@@ -1,0 +1,66 @@
+"""Simulate the verify driver: plain SparkSession (none of our confs),
+run entry() at sf0.001, then every queries()[k] at sf0.01 vs oracle_sql()[k]
+through DuckDB views — order-insensitive value compare. Usage:
+    python scripts/driver_sim.py [key ...]
+"""
+import sys, math, time
+sys.path.insert(0, "/root/repo")
+import duckdb
+from pyspark.sql import SparkSession
+
+SF = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def norm(v):
+    import numpy as np, pandas as pd, datetime
+    if v is None or (isinstance(v, float) and math.isnan(v)): return None
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        return None if math.isnan(f) else round(f + 0.0, 6)
+    if isinstance(v, np.integer): return int(v)
+    if isinstance(v, pd.Timestamp): return None if v is pd.NaT else v.isoformat()
+    if isinstance(v, (datetime.datetime, datetime.date)): return v.isoformat()
+    if isinstance(v, (np.ndarray, list, tuple)): return tuple(norm(x) for x in v)
+    if isinstance(v, dict): return tuple(sorted((k, norm(x)) for k, x in v.items()))
+    return v
+
+def canon(pdf):
+    cols = sorted(pdf.columns)
+    return cols, sorted((tuple(norm(r[c]) for c in cols) for r in pdf.to_dict("records")), key=repr)
+
+spark = SparkSession.builder.master("local[8]").config("spark.ui.enabled","false") \
+    .config("spark.ui.showConsoleProgress","false").getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as e
+
+rows = e.entry(spark).collect()
+print(f"entry(): {len(rows)} rows  first={rows[0]}")
+assert len(rows) > 0
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+qs, os_ = e.queries(), e.oracle_sql()
+keys = sys.argv[1:] or sorted(qs)
+fails = 0
+for k in keys:
+    t0 = time.time()
+    try:
+        pdf = qs[k](spark, SF).toPandas()
+        if k in os_:
+            exp = con.execute(os_[k]).fetchdf()
+            ac, ar = canon(pdf); ec, er = canon(exp)
+            status = "MATCH" if (ac == ec and len(ar) == len(er) and ar == er) else "MISMATCH"
+            if status == "MISMATCH":
+                fails += 1
+                print(f"  cols spark={ac} oracle={ec} rows {len(ar)}/{len(er)}")
+                for a, b in list(zip(ar, er))[:3]:
+                    if a != b: print(f"  spark={a}\n  oracle={b}")
+        else:
+            status = f"ROWS-ONLY({len(pdf)})"
+    except Exception as ex:
+        status, fails = f"ERROR {type(ex).__name__}: {str(ex)[:200]}", fails + 1
+    print(f"{k:24s} {status:14s} {time.time()-t0:5.1f}s")
+print(f"\n{len(keys)-fails}/{len(keys)} ok")
+sys.exit(1 if fails else 0)

@@ -1,0 +1,97 @@
+"""Shared pytest fixtures: one SparkSession for the whole run + the
+DuckDB-oracle comparator replicating the driver's check (row-count +
+schema-width + order-insensitive value comparison) at sf0.001 for speed.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from training_feed_kinesis_spark.session import build_session
+from training_feed_kinesis_spark.tables import TABLES
+
+SF_DIR = os.environ.get("TFK_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")  # fast test startup
+    s = build_session("tfk-tests")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _normalize_cell(v):
+    """Canonical comparable form for one value across Spark/DuckDB/pandas."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            return None
+        # queries round to 4dp; normalize representation (incl. -0.0)
+        return round(f + 0.0, 6)
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, pd.Timestamp):
+        if v is pd.NaT:
+            return None
+        return v.isoformat()
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return tuple(_normalize_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _normalize_cell(x)) for k, x in v.items()))
+    return v
+
+
+def _canonical_rows(pdf):
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_normalize_cell(row[c]) for c in cols)
+        for row in pdf.to_dict("records")
+    ]
+    return cols, sorted(rows, key=repr)
+
+
+def assert_matches_oracle(spark_df, duck_con, sql: str):
+    """Driver-equivalent differential check (order-insensitive)."""
+    actual = spark_df.toPandas()
+    expected = duck_con.execute(sql).fetchdf()
+    assert sorted(actual.columns) == sorted(expected.columns), (
+        f"column mismatch: spark={sorted(actual.columns)} "
+        f"oracle={sorted(expected.columns)}"
+    )
+    assert len(actual) == len(expected), (
+        f"row count mismatch: spark={len(actual)} oracle={len(expected)}"
+    )
+    a_cols, a_rows = _canonical_rows(actual)
+    e_cols, e_rows = _canonical_rows(expected)
+    mismatches = [
+        (i, a, e) for i, (a, e) in enumerate(zip(a_rows, e_rows)) if a != e
+    ]
+    assert not mismatches, (
+        f"value mismatch ({len(mismatches)}/{len(a_rows)} rows); first 3: "
+        + "; ".join(f"spark={a} oracle={e}" for _, a, e in mismatches[:3])
+    )

@@ -1,0 +1,1 @@
+"""Batch operators, one module per SURVEY.md §2 category."""

@@ -1,0 +1,308 @@
+"""§2.D Aggregations.
+
+All hash/partial aggregation physics belongs to Tungsten (partial + final
+hash-agg with map-side combine is automatic for every groupBy here — we never
+hand-build it). Our job: sargable filters before aggs, ROUND(…,4) on every
+aggregated DOUBLE on both engine sides (SURVEY §5.3.1), deterministic
+first/last via min_by/max_by on the unique event_id.
+
+Scale notes (100 TB): group-by keys here (returnflag×linestatus, event_type,
+user_id) are low-to-medium cardinality → partial agg collapses almost all
+rows map-side; the shuffle carries only group states. High-cardinality
+groupBy(user_id) relies on AQE coalescing; skewed users would be handled by
+AQE skew mitigation (aggs pre-combine, so skew is already absorbed map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+FLAGSHIP_CATEGORY = "2.D aggregations"
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary — the engine's flagship query.
+
+    scan → sargable filter (pushed to parquet) → derived columns → hash agg
+    → sort. Exercises the whole relational core in one plan; Catalyst keeps
+    it a single shuffle (partial agg map-side, final agg post-shuffle).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                4,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+FLAGSHIP_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  ROUND(SUM(l_quantity), 4)                                       AS sum_qty,
+  ROUND(SUM(l_extendedprice), 4)                                  AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)               AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+  ROUND(AVG(l_quantity), 4)                                       AS avg_qty,
+  ROUND(AVG(l_extendedprice), 4)                                  AS avg_price,
+  ROUND(AVG(l_discount), 4)                                       AS avg_disc,
+  COUNT(*)                                                        AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+register("agg_basic", FLAGSHIP_CATEGORY, FLAGSHIP_ORACLE)(flagship)
+
+
+@register(
+    "agg_count_distinct",
+    "2.D aggregations",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*)                AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register("agg_approx_distinct", "2.D aggregations")  # rows-only: HLL++ ≠ DuckDB HLL
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++). No oracle — approx sketches differ by
+    engine (SURVEY §5.3.4); the exact variant is oracled in agg_count_distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+@register(
+    "agg_stats",
+    "2.D aggregations",
+    """
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 4)                 AS sd_qty,
+           ROUND(VAR_SAMP(l_extendedprice), 4)               AS var_price,
+           ROUND(CORR(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
+           ROUND(COVAR_POP(l_quantity, l_extendedprice), 4)  AS covar_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_extendedprice"), 4).alias("var_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+@register(
+    "agg_percentile",
+    "2.D aggregations",
+    """
+    SELECT event_type,
+           ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY value), 4) AS p25,
+           ROUND(percentile_cont(0.5)  WITHIN GROUP (ORDER BY value), 4) AS p50,
+           ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 4) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+@register(
+    "agg_collect",
+    "2.D aggregations",
+    # sort-then-join-to-string: collect order is nondeterministic across
+    # partitions, so both sides emit a canonical sorted string (SURVEY §5.3.5)
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    na = load_table(spark, sf_dir, "nation")
+    return na.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@register(
+    "agg_filtered",
+    "2.D aggregations",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'purchase')                 AS n_purchases,
+           ROUND(SUM(value) FILTER (WHERE event_type = 'purchase'), 4)    AS purchase_value,
+           COUNT(*) FILTER (WHERE event_type = 'error')                   AS n_errors
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchase = F.col("event_type") == "purchase"
+    return ev.groupBy("user_id").agg(
+        F.count_if(purchase).alias("n_purchases"),
+        F.round(F.sum(F.when(purchase, F.col("value"))), 4).alias("purchase_value"),
+        F.count_if(F.col("event_type") == "error").alias("n_errors"),
+    )
+
+
+@register(
+    "agg_rollup",
+    "2.D aggregations",
+    """
+    SELECT r_name, n_name,
+           COUNT(*)                  AS n_customers,
+           ROUND(SUM(c_acctbal), 4)  AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+    )
+
+
+@register(
+    "agg_cube",
+    "2.D aggregations",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*)                    AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    "2.D aggregations",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    # SQL entry point — GROUPING SETS has no direct DataFrame spelling
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+@register(
+    "agg_pivot",
+    "2.D aggregations",
+    # manual CASE-WHEN spread: DuckDB PIVOT column ordering differs (SURVEY §5.3.6)
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # explicit pivot values: skips the extra distinct-values job AND pins schema
+    df = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    # pivot emits NULL for empty cells; COUNT FILTER emits 0 — normalize
+    return df.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+
+
+@register(
+    "agg_first_last",
+    "2.D aggregations",
+    # deterministic first/last: arg-min/max on the globally-unique event_id
+    """
+    SELECT user_id,
+           arg_min(event_type, event_id) AS first_type,
+           arg_max(event_type, event_id) AS last_type,
+           ROUND(arg_min(value, event_id), 4) AS first_value,
+           ROUND(arg_max(value, event_id), 4) AS last_value
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", "event_id").alias("first_type"),
+        F.max_by("event_type", "event_id").alias("last_type"),
+        F.round(F.min_by("value", "event_id"), 4).alias("first_value"),
+        F.round(F.max_by("value", "event_id"), 4).alias("last_value"),
+    )

@@ -1,0 +1,84 @@
+"""Operator registry — the single source of truth behind ``__spark_entry__.py``.
+
+Every operator from SURVEY.md §2 registers here with:
+  * a Spark implementation ``fn(spark, sf_dir) -> DataFrame``;
+  * optionally a DuckDB-runnable ANSI-SQL oracle string (same parquet tables,
+    pre-registered views per __spark_entry__.py). Omitted oracle ⇒ the driver
+    records a weaker rows-only check (approx/streaming/binary ops).
+
+Hash-match discipline enforced by convention in every registered query
+(SURVEY.md §5.3): aggregate DOUBLE outputs wrapped ROUND(x,4) on BOTH sides,
+identical column aliases on both sides, collect_list sorted + joined to
+string, LIMIT only under total order, UTC timestamps.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    key: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None ⇒ rows-only check
+    category: str       # SURVEY §2 section, e.g. "2.C joins"
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+# Modules whose import registers operators. Extended as categories land.
+_OPERATOR_MODULES = [
+    "training_feed_kinesis_spark.operators.scans",
+    "training_feed_kinesis_spark.operators.filters",
+    "training_feed_kinesis_spark.operators.joins",
+    "training_feed_kinesis_spark.operators.aggregates",
+    "training_feed_kinesis_spark.operators.windows",
+    "training_feed_kinesis_spark.operators.sorts_setops",
+    "training_feed_kinesis_spark.operators.functions_scalar",
+    "training_feed_kinesis_spark.operators.llm_text",
+    "training_feed_kinesis_spark.operators.llm_dedup",
+    "training_feed_kinesis_spark.operators.llm_similarity",
+    "training_feed_kinesis_spark.operators.multimodal",
+    "training_feed_kinesis_spark.operators.udfs",
+    "training_feed_kinesis_spark.streaming.queries",
+]
+
+
+def register(key: str, category: str, oracle: str | None = None):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``key``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if key in REGISTRY:
+            raise ValueError(f"duplicate operator key: {key}")
+        REGISTRY[key] = QuerySpec(key=key, fn=fn, oracle=oracle, category=category)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every operator module (idempotent) and return the registry."""
+    for mod in _OPERATOR_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError as e:
+            # tolerate not-yet-written category modules during incremental build
+            if e.name and e.name.startswith("training_feed_kinesis_spark"):
+                continue
+            raise
+    return REGISTRY
+
+
+def get_queries() -> dict[str, QueryFn]:
+    return {k: spec.fn for k, spec in load_all().items()}
+
+
+def get_oracles() -> dict[str, str]:
+    return {k: spec.oracle for k, spec in load_all().items() if spec.oracle is not None}

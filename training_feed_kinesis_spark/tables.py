@@ -1,0 +1,52 @@
+"""Parquet table loading for the TESTDATA.md star schema + events stream table.
+
+Load-time normalization (SURVEY.md §1.4, probe-verified):
+  * ``events.ts`` is stored as parquet ``timestamp[ns]``; with
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as LongType
+    nanos and is converted here ONCE with integer division
+    ``timestamp_micros(ts div 1000)`` — float division is off by 1µs on some
+    rows vs DuckDB's truncation; integer ``div`` gives exact raw-value parity.
+
+Scale note: at 100 TB these reads become partitioned-table scans; everything
+downstream only sees DataFrames, so swapping the loader for a catalog table
+(``spark.table``) or a partition-pruned path is a one-line change here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import configure
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (region=5,
+# nation=25 rows always). customer/supplier/part grow with sf — Catalyst+AQE
+# decide for those based on autoBroadcastJoinThreshold.
+ALWAYS_BROADCAST = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table, applying required session confs + load-time fixes."""
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos → micros, integer division (exact DuckDB parity; SURVEY §1.4.2)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
