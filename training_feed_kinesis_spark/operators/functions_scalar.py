@@ -1,0 +1,300 @@
+"""§2.H Scalar function families — one composite query per family.
+
+Every function call here is a built-in `pyspark.sql.functions` expression:
+JVM-side, inside whole-stage codegen, never a Python UDF. Oracles mind the
+dialect traps catalogued in SURVEY §5.3.6 (regex kept POSIX-simple, no
+weekofyear, transcendental outputs rounded to 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+CAT = "2.H scalar functions"
+
+
+@register(
+    "fn_string",
+    CAT,
+    """
+    SELECT p_partkey,
+           upper(p_name)                          AS name_upper,
+           lower(p_brand)                         AS brand_lower,
+           trim('  ' || p_name || ' ')            AS name_trimmed,
+           substring(p_name, 1, 5)                AS name_prefix,
+           p_name || '/' || p_type                AS name_type,
+           length(p_name)                         AS name_len,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')  AS size_padded,
+           string_split(p_name, ' ')[1]           AS first_word
+    FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias(
+            "name_trimmed"
+        ),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws("/", "p_name", "p_type").alias("name_type"),
+        F.length("p_name").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+    )
+
+
+@register(
+    "fn_regex",
+    CAT,
+    """
+    SELECT p_partkey, p_brand,
+           CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS INT) AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '*', 'g')               AS name_masked
+    FROM part
+    WHERE regexp_matches(p_name, '(bolt|ring|widget)')
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").rlike("(bolt|ring|widget)")).select(
+        "p_partkey",
+        "p_brand",
+        F.regexp_extract("p_brand", r"Brand#([0-9]+)", 1).cast("int").alias(
+            "brand_num"
+        ),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("name_masked"),
+    )
+
+
+@register(
+    "fn_string_dist",
+    CAT,
+    """
+    SELECT n_name, r_name, levenshtein(n_name, r_name) AS edit_dist
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def fn_string_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return n.join(r, n.n_regionkey == r.r_regionkey).select(
+        "n_name", "r_name", F.levenshtein("n_name", "r_name").alias("edit_dist")
+    )
+
+
+@register(
+    "fn_date",
+    CAT,
+    """
+    SELECT event_id,
+           year(ts)                                   AS y,
+           month(ts)                                  AS mo,
+           day(ts)                                    AS d,
+           hour(ts)                                   AS h,
+           date_trunc('day', ts)                      AS day_start,
+           ts + INTERVAL 36 HOUR                      AS ts_plus_36h,
+           date_diff('day', TIMESTAMP '2024-01-01', ts) AS days_since_start,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS unix_sec
+    FROM events WHERE event_type = 'signup'
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family. unix_timestamp truncates to seconds in Spark, so the
+    oracle truncates before epoch(); avoid weekofyear (ISO rules differ)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.date_trunc("day", "ts").alias("day_start"),
+        (F.col("ts") + F.expr("INTERVAL 36 HOURS")).alias("ts_plus_36h"),
+        F.datediff(F.col("ts"), F.lit("2024-01-01")).alias("days_since_start"),
+        F.unix_timestamp("ts").alias("unix_sec"),
+    )
+
+
+@register(
+    "fn_math",
+    CAT,
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1)                       AS price_r1,
+           FLOOR(l_quantity)                               AS qty_floor,
+           CEIL(l_discount * 100)                          AS disc_pct_ceil,
+           ABS(l_discount - 0.05)                          AS disc_dev,
+           ROUND(POW(l_quantity, 2), 4)                    AS qty_sq,
+           ROUND(LN(l_extendedprice), 4)                   AS price_ln,
+           ROUND(LOG10(l_extendedprice), 4)                AS price_log10,
+           ROUND(SQRT(l_quantity), 4)                      AS qty_sqrt,
+           CAST(SIGN(l_discount - 0.05) AS INT)            AS disc_sign,
+           CAST(l_quantity AS INT) % 7                     AS qty_mod7
+    FROM lineitem WHERE l_linenumber = 2
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. pmod ≡ % for non-negative operands (quantities are >0);
+    transcendentals (ln/log10/pow/sqrt) rounded to 4 — libm last-ulp may
+    differ across engines. Division-by-zero guards live in fn_conditional."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 2)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.round(F.log("l_extendedprice"), 4).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 4).alias("price_log10"),
+        F.round(F.sqrt("l_quantity"), 4).alias("qty_sqrt"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+        F.pmod(F.col("l_quantity").cast("int"), F.lit(7)).alias("qty_mod7"),
+    )
+
+
+@register(
+    "fn_array",
+    CAT,
+    """
+    SELECT vec_id,
+           pos,
+           ROUND(CAST(embedding[pos] AS DOUBLE), 4) AS val,
+           len(embedding)                           AS n_dims,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS max_elem
+    FROM embeddings
+    CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS pos) p
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: slice + posexplode (→ 4 rows/vector), size, array_max."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return em.select(
+        "vec_id",
+        F.posexplode(F.slice("embedding", 1, 4)).alias("pos0", "raw_val"),
+        F.size("embedding").alias("n_dims"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("max_elem"),
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("raw_val").cast("double"), 4).alias("val"),
+        "n_dims",
+        "max_elem",
+    )
+
+
+@register(
+    "fn_array_hof",
+    CAT,
+    """
+    SELECT vec_id,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS norm_sq,
+           len(list_filter(embedding, x -> x > 0))                AS n_positive,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))), 4)                     AS elem_sum
+    FROM embeddings
+    """,
+)
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (the JVM-side alternative to a Python UDF
+    for vector math): aggregate-fold for norm², filter+size, element sum.
+    Both engines fold left-to-right over 64 doubles → bit-identical sums."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return em.select(
+        "vec_id",
+        F.round(
+            F.expr(
+                "aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+            ),
+            4,
+        ).alias("norm_sq"),
+        F.size(F.expr("filter(embedding, x -> x > 0)")).alias("n_positive"),
+        F.round(
+            F.expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE))"), 4
+        ).alias("elem_sum"),
+    )
+
+
+@register(
+    "fn_map",
+    CAT,
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+           array_to_string(json_keys(props), ',')         AS prop_keys
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family over parsed JSON props: from_json → MapType, element_at,
+    map_keys (sorted for cross-engine stability)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_value"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("prop_keys"),
+    )
+
+
+@register(
+    "fn_json",
+    CAT,
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k')              AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           json_extract_string(props, '$.missing')        AS missing_attr
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing_attr"),
+    )
+
+
+@register(
+    "fn_conditional",
+    CAT,
+    """
+    SELECT o_orderkey,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN')    AS status_label,
+           GREATEST(o_totalprice, 100000.0)                AS price_floor,
+           LEAST(o_totalprice, 500000.0)                   AS price_cap,
+           ROUND(o_totalprice / NULLIF(0.0, 0.0), 4)       AS div_by_null,
+           IFNULL(NULLIF(o_orderstatus, o_orderstatus), 'same') AS nvl_demo
+    FROM orders WHERE o_orderstatus != 'F'
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family. Division-by-zero guard: Spark (ANSI off) yields
+    NULL, DuckDB errors — NULLIF(den, 0) makes both NULL (SURVEY §5.3.6)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.greatest("o_totalprice", F.lit(100000.0)).alias("price_floor"),
+        F.least("o_totalprice", F.lit(500000.0)).alias("price_cap"),
+        F.round(F.col("o_totalprice") / F.nullif(F.lit(0.0), F.lit(0.0)), 4).alias(
+            "div_by_null"
+        ),
+        F.ifnull(
+            F.nullif("o_orderstatus", F.col("o_orderstatus")), F.lit("same")
+        ).alias("nvl_demo"),
+    )

@@ -1,0 +1,322 @@
+"""§2.C Joins (batch; stream joins live in streaming/queries.py).
+
+We implement NO join algorithms — Catalyst + AQE pick broadcast-hash /
+sort-merge / shuffled-hash at runtime (SURVEY §4). Our obligations:
+  * broadcast() hints on always-small dims (region/nation — bounded domains);
+  * equi-keys exposed as plain column equalities so the planner can shuffle
+    on them (never buried in expressions);
+  * range/asof patterns spelled so the equi part carries the join and the
+    range part is a post-filter — the 100 TB-safe shape.
+
+Skew: AQE skew-join splitting handles hot keys at scale (enabled in
+session.py); no manual salting needed for these key distributions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import load_table
+
+CAT = "2.C joins"
+
+
+@register(
+    "join_inner",
+    CAT,
+    """
+    SELECT o_orderkey, o_totalprice, c_custkey, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "join_broadcast",
+    CAT,
+    """
+    SELECT r_name, c_mktsegment, COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 4) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, c_mktsegment
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of bounded dims: the fact side never shuffles for
+    the join — only the final 10-group agg shuffles. Same result as the
+    oracle; the hint is purely physical."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "join_left",
+    CAT,
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM customer
+    LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+      ON c_custkey = o_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_right",
+    CAT,
+    """
+    SELECT c_custkey, c_name, o_orderkey
+    FROM (SELECT * FROM orders WHERE o_orderpriority = '5-LOW') o
+    RIGHT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "5-LOW")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+
+
+@register(
+    "join_full",
+    CAT,
+    """
+    WITH hi_purch AS (
+      SELECT user_id, COUNT(*) AS n_purchases FROM events
+      WHERE event_type = 'purchase' AND value > 190 GROUP BY user_id
+    ),
+    hi_err AS (
+      SELECT user_id, COUNT(*) AS n_errors FROM events
+      WHERE event_type = 'error' AND value > 190 GROUP BY user_id
+    )
+    SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+           COALESCE(n_purchases, 0) AS n_purchases,
+           COALESCE(n_errors, 0)    AS n_errors
+    FROM hi_purch p FULL JOIN hi_err e ON p.user_id = e.user_id
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hi = ev.filter(F.col("value") > 190)
+    # distinct aliases: both sides derive from the same plan (self-join)
+    p = (
+        hi.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("p_user"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    e = (
+        hi.filter(F.col("event_type") == "error")
+        .groupBy(F.col("user_id").alias("e_user"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    return p.join(e, p.p_user == e.e_user, "full").select(
+        F.coalesce("p_user", "e_user").alias("user_id"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+    )
+
+
+@register(
+    "join_semi",
+    CAT,
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    CAT,
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left_anti. (Plain customers-without-orders is empty at
+    sf≥0.01 — every customer has orders — so the build side is predicated.)"""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_cross",
+    CAT,
+    """
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — bounded inputs only (5×25). At scale, a cross join
+    is only ever legitimate against a broadcastable side."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@register(
+    "join_theta_range",
+    CAT,
+    """
+    SELECT bucket_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+    FROM events
+    JOIN (VALUES (0, 0.0, 50.0), (1, 50.0, 100.0),
+                 (2, 100.0, 150.0), (3, 150.0, 1e9)) AS b(bucket_id, lo, hi)
+      ON value >= lo AND value < hi
+    GROUP BY bucket_id
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded (non-equi) join. Catalyst plans BroadcastNestedLoopJoin — the
+    correct physical choice because the band table is tiny; each event tests
+    4 bands map-side with zero shuffle. The general 100 TB pattern for
+    range joins is exactly this: make one side broadcastable (or bucketize
+    the range into an equi-join key first)."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(0, 0.0, 50.0), (1, 50.0, 100.0), (2, 100.0, 150.0), (3, 150.0, 1e9)],
+        "bucket_id INT, lo DOUBLE, hi DOUBLE",
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+        )
+        .groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    CAT,
+    """
+    SELECT p.event_id, p.user_id, c.ts AS click_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click at or before it.
+
+    Spark has no native ASOF JOIN; the idiomatic spelling is equi-join on the
+    entity key + range predicate, then keep the max-timestamp match per probe
+    row via a window. The equi key (user_id) carries the shuffle, so this
+    scales as a normal key join; the window dedup is per-probe-row.
+    100 TB note: if one user's click history is huge, bound the range
+    (e.g. `c.ts >= p.ts - INTERVAL 7 DAYS`) to cap the pre-dedup blowup —
+    the unbounded form is quadratic per key in the worst case (SURVEY §4.2).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts")
+    )
+    joined = p.join(
+        c, (p.user_id == c.c_user_id) & (p.ts >= c.click_ts), "left"
+    )
+    w = Window.partitionBy("event_id").orderBy(F.desc_nulls_last("click_ts"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "click_ts")
+    )
+
+
+@register(
+    "join_multiway",
+    CAT,
+    """
+    SELECT r_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY r_name, n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join (TPC-H Q5 shape): fact→fact equi join shuffles on the
+    orderkey/custkey chain; bounded dims broadcast so they add no shuffle.
+    Join order: largest (lineitem⋈orders) first on the filtered orders side —
+    the date filter lands before the join (Catalyst pushes it), shrinking
+    the shuffled build side ~7×."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

@@ -1,0 +1,132 @@
+"""§2.A Scans / sources / sinks (batch side; streaming sources in streaming/).
+
+Scale notes (100 TB): scans rely on Catalyst pushdown — `.explain` on these
+plans shows PushedFilters + pruned ReadSchema reaching the parquet reader, so
+row-groups that can't match are skipped and unused columns never leave disk.
+At cluster scale the loader swaps to partitioned catalog tables (tables.py).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ..tables import load_table
+
+CAT = "2.A scans/sources/sinks"
+
+# scratch space for sink/source round-trips (kept inside the repo, gitignored)
+SCRATCH = os.environ.get(
+    "TFK_SCRATCH", os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+)
+
+
+def scratch_dir(prefix: str) -> str:
+    os.makedirs(SCRATCH, exist_ok=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=SCRATCH)
+
+
+@register("scan_parquet", CAT, "SELECT * FROM part")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table parquet scan (schema from parquet footer, no inference)."""
+    return load_table(spark, sf_dir, "part")
+
+
+@register(
+    "scan_projected",
+    CAT,
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 10",
+)
+def scan_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned + filtered scan — ReadSchema shows only 3 of 11 columns and
+    PushedFilters shows LessThan(l_quantity,10) reaching the reader."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") < 10).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+_EVENT_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "source_json",
+    CAT,
+    "SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'purchase'",
+)
+def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingest with an explicit user-supplied StructType (schema
+    lives in consumer code — the reference-class schema-on-read model,
+    SURVEY §1.1). Round-trips events→JSON→DataFrame, so the oracle is the
+    original selection."""
+    out = scratch_dir("json_src_")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    ev.select("event_id", "user_id", "event_type", "value").write.mode(
+        "overwrite"
+    ).json(out)
+    return spark.read.schema(_EVENT_JSON_SCHEMA).json(out)
+
+
+@register(
+    "sink_parquet",
+    CAT,
+    # sink round-trip of the flagship aggregate — same oracle as agg_basic
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           COUNT(*)                  AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch parquet sink + re-read: proves what we write is what we read."""
+    out = scratch_dir("parquet_sink_")
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    agg.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@register(
+    "sink_partitioned",
+    CAT,
+    """
+    SELECT event_type, user_id, COUNT(*) AS n
+    FROM events GROUP BY event_type, user_id
+    """,
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink (partitionBy event_type) + re-read.
+    At 100 TB this layout is what enables static+dynamic partition pruning on
+    every downstream read; the partition column round-trips from directory
+    names, which is also why it comes back last in the schema."""
+    out = scratch_dir("parquet_part_")
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    agg.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out)
+    # partition value decodes as string from the path; restore declared type+order
+    return back.select(
+        F.col("event_type").cast("string").alias("event_type"), "user_id", "n"
+    )

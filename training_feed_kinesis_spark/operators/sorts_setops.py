@@ -1,0 +1,159 @@
+"""§2.F Sorts / limits / top-k and §2.G set operations.
+
+Determinism discipline (SURVEY §5.3.5): the driver's value-hash is
+order-insensitive, but LIMIT changes WHICH rows survive — so every limit
+here sits under a total order (unique tiebreak column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import load_table
+
+CAT_SORT = "2.F sorts/limits"
+CAT_SET = "2.G set operations"
+
+
+@register(
+    "sort_multikey",
+    CAT_SORT,
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           ROW_NUMBER() OVER (ORDER BY o_orderpriority DESC, o_totalprice ASC,
+                              o_orderkey ASC) AS rank_pos
+    FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort, asc+desc mixed. The global row_number makes the sort
+    order itself observable under an order-insensitive hash. Note: an
+    unpartitioned window is a single-task operation — fine here because the
+    'P' filter bounds the input; at 100 TB a global rank would instead be
+    computed per-partition + offset (zipWithIndex pattern) or avoided."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    w = Window.orderBy(
+        F.col("o_orderpriority").desc(), F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rank_pos"),
+    )
+
+
+@register(
+    "limit_topk",
+    CAT_SORT,
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 100
+    """,
+)
+def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy().limit(k) — Catalyst plans TakeOrderedAndProject: each task
+    keeps a k-element heap, the driver merges heaps. No global sort, no
+    shuffle of the full table; this is THE scalable top-k at any data size.
+    Total order via (price desc, orderkey, linenumber) makes the row set
+    deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(100)
+    )
+
+
+def _rich(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+
+
+def _building(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+
+
+_RICH_SQL = "SELECT c_custkey FROM customer WHERE c_acctbal > 5000"
+_BUILDING_SQL = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+
+
+@register(
+    "set_union_all",
+    CAT_SET,
+    f"{_RICH_SQL} UNION ALL {_BUILDING_SQL}",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL — pure concatenation, zero shuffle (inputs overlap, so
+    duplicates are genuinely present and preserved)."""
+    return _rich(spark, sf_dir).unionByName(_building(spark, sf_dir))
+
+
+@register(
+    "set_union_distinct",
+    CAT_SET,
+    f"{_RICH_SQL} UNION {_BUILDING_SQL}",
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rich(spark, sf_dir).union(_building(spark, sf_dir)).distinct()
+
+
+@register(
+    "set_intersect",
+    CAT_SET,
+    f"{_RICH_SQL} INTERSECT {_BUILDING_SQL}",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rich(spark, sf_dir).intersect(_building(spark, sf_dir))
+
+
+@register(
+    "set_except",
+    CAT_SET,
+    f"{_RICH_SQL} EXCEPT {_BUILDING_SQL}",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rich(spark, sf_dir).exceptAll(_building(spark, sf_dir)).distinct()
+
+
+@register(
+    "set_intersect_all",
+    CAT_SET,
+    # nationkey projections are duplicate-heavy → ALL semantics observable
+    """
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT ALL
+    SELECT c_nationkey FROM customer WHERE c_acctbal > 0
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = c.filter(F.col("c_acctbal") > 0).select("c_nationkey")
+    return a.intersectAll(b)
+
+
+@register(
+    "set_except_all",
+    CAT_SET,
+    """
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT ALL
+    SELECT c_nationkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_nationkey")
+    return a.exceptAll(b)
