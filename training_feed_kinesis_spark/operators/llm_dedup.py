@@ -1,0 +1,328 @@
+"""§2.J LLM-pipeline: deduplication over `documents`.
+
+Ladder of dedup strength, each a pure DataFrame plan:
+  exact (normalized-hash groupBy) → bag-of-words fingerprint (llm_text.py)
+  → exact shingle-Jaccard pairs → MinHash signatures → MinHash-LSH banding
+  (candidate generation + exact verification) → SimHash.
+
+The fixture corpus has NO exact duplicates at sf0.001/0.01 (SURVEY §1.3),
+so the near-dup operators are the real test; self-pairs (Jaccard 1.0) keep
+the oracled pair queries non-trivially non-empty.
+
+Everything seeds its hashing from md5 — available and bit-identical in both
+Spark and DuckDB, which is what makes MinHash/LSH fully SQL-oracle-able
+instead of rows-only.
+
+100 TB design: the whole pipeline is shuffle-bounded by (a) the token/shingle
+explode (map-side, no shuffle), (b) groupBys keyed on doc_id or (band,
+band_sig) — both hash-partitioned and skew-free because md5 output is
+uniform, and (c) the candidate-pair join, whose size LSH controls by
+construction (that is the point of banding: candidates ≪ n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+CAT = "2.J llm-pipeline (dedup)"
+
+N_SEEDS = 8          # minhash signature length
+BAND_SIZE = 2        # seeds per LSH band → 4 bands
+JACCARD_THRESHOLD = 0.6
+
+# --- shared token / shingle expressions (Spark + DuckDB spellings) ---------
+
+_TOK = "split(lower(text), ' ')"
+_TOK_SQL = "string_split(lower(text), ' ')"
+
+# distinct 3-token shingles; guarded for docs with <3 tokens
+_SHINGLES = (
+    f"CASE WHEN size({_TOK}) >= 3 THEN "
+    f"array_distinct(transform(sequence(1, size({_TOK}) - 2), "
+    f"i -> concat_ws(' ', element_at({_TOK}, i), element_at({_TOK}, i+1), "
+    f"element_at({_TOK}, i+2)))) ELSE array() END"
+)
+_SHINGLES_SQL = (
+    f"list_distinct(list_transform(range(1, len({_TOK_SQL}) - 1), "
+    f"i -> {_TOK_SQL}[i] || ' ' || {_TOK_SQL}[i+1] || ' ' || {_TOK_SQL}[i+2]))"
+)
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(F.expr(_SHINGLES)).alias("sh"))
+
+
+_SHINGLE_ROWS_SQL = f"SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM documents"
+
+
+@register(
+    "llm_dedup_exact",
+    CAT,
+    """
+    SELECT md5(lower(trim(text))) AS content_hash,
+           MIN(doc_id)            AS keeper_doc_id,
+           COUNT(*)               AS n_copies
+    FROM documents
+    GROUP BY md5(lower(trim(text)))
+    """,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: hash → groupBy → keep min doc_id.
+    One shuffle on a uniform 128-bit key; at 100 TB the hash (16 bytes)
+    shuffles instead of the document bodies — join survivors back by doc_id
+    if full rows are needed."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash")
+    ).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "llm_jaccard_pairs",
+    CAT,
+    f"""
+    WITH sh AS ({_SHINGLE_ROWS_SQL}),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <= b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id,
+           ROUND(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
+    FROM pairs
+    JOIN counts ca ON ca.doc_id = a_id
+    JOIN counts cb ON cb.doc_id = b_id
+    WHERE inter * 1.0 / (ca.n + cb.n - inter) >= {JACCARD_THRESHOLD}
+    """,
+)
+def llm_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram (3-shingle) Jaccard similarity pairs ≥ threshold.
+
+    Blocked by shared shingle (the equi-join key) — never an n² cross join:
+    only pairs sharing ≥1 shingle materialize. Self-pairs (jaccard=1)
+    included deliberately so the result is non-empty on a dup-free corpus.
+    At 100 TB, hot shingles would be dropped as stop-shingles (df cap)
+    before the join; the LSH variant below replaces this entirely."""
+    sh = _shingle_rows(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "sh")
+    b = sh.select(F.col("doc_id").alias("b_id"), "sh")
+    pairs = (
+        a.join(b, "sh")
+        .filter(F.col("a_id") <= F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    jac = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.join(ca, "a_id")
+        .join(cb, "b_id")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+_SEEDS_SQL = f"(SELECT unnest(range(0, {N_SEEDS})) AS seed)"
+
+_MINHASH_SQL = f"""
+    SELECT doc_id, seed,
+           MIN(md5(seed::VARCHAR || ':' || sh)) AS minhash
+    FROM ({_SHINGLE_ROWS_SQL}), {_SEEDS_SQL}
+    GROUP BY doc_id, seed
+"""
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_rows(spark, sf_dir)
+    seeds = spark.range(N_SEEDS).select(F.col("id").cast("int").alias("seed"))
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh")))
+            ).alias("minhash")
+        )
+    )
+
+
+@register("llm_minhash_sig", CAT, _MINHASH_SQL)
+def llm_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: k=8 seeded md5 minima over the shingle set.
+    Fully deterministic and engine-portable (md5 both sides) — hence a real
+    SQL oracle rather than the usual rows-only check for sketches.
+    Shape at scale: explode is map-side; the groupBy shuffles (doc_id, seed)
+    pairs — 8 small rows per doc, not the document text."""
+    return _minhash_sigs(spark, sf_dir)
+
+
+@register(
+    "llm_dedup_near",
+    CAT,
+    f"""
+    WITH sigs AS ({_MINHASH_SQL}),
+    bands AS (
+      SELECT doc_id, seed // {BAND_SIZE} AS band,
+             md5((seed // {BAND_SIZE})::VARCHAR || ':' ||
+                 MIN(minhash) || '|' || MAX(minhash)) AS band_sig
+      FROM sigs GROUP BY doc_id, seed // {BAND_SIZE}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    sh AS ({_SHINGLE_ROWS_SQL}),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    verified AS (
+      SELECT c.a_id, c.b_id, COUNT(*) AS inter
+      FROM cands c
+      JOIN sh sa ON sa.doc_id = c.a_id
+      JOIN sh sb ON sb.doc_id = c.b_id AND sb.sh = sa.sh
+      GROUP BY c.a_id, c.b_id
+    )
+    SELECT v.a_id, v.b_id,
+           ROUND(v.inter * 1.0 / (ca.n + cb.n - v.inter), 4) AS jaccard
+    FROM verified v
+    JOIN counts ca ON ca.doc_id = v.a_id
+    JOIN counts cb ON cb.doc_id = v.b_id
+    WHERE v.inter * 1.0 / (ca.n + cb.n - v.inter) >= {JACCARD_THRESHOLD}
+    """,
+)
+def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection: shingle → minhash(k=8) → band into
+    4 bands of 2 → bucket-join candidates → EXACT Jaccard verification.
+
+    This is the 100 TB dedup path: candidate generation is a hash-partitioned
+    self-join on (band, band_sig) whose output is ~(true near-dups +
+    controlled false positives), not n². Banding parameters (4×2) put the
+    S-curve threshold around jaccard≈0.5 — tune per corpus. Verification
+    joins shingles only for candidate docs (semi-join pruning).
+    Deterministic md5 minhashing ⇒ full SQL oracle, not rows-only."""
+    sigs = _minhash_sigs(spark, sf_dir)
+    bands = _bands(sigs)
+    a = bands.select(F.col("doc_id").alias("a_id"), "band", "band_sig")
+    b = bands.select(F.col("doc_id").alias("b_id"), "band", "band_sig")
+    cands = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sh = _shingle_rows(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("a_id"), "sh")
+    sb = sh.select(F.col("doc_id").alias("b_id"), "sh")
+    verified = (
+        cands.join(sa, "a_id")
+        .join(sb, ["b_id", "sh"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    jac = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        verified.join(ca, "a_id")
+        .join(cb, "b_id")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig): md5 over the band's min|max minhash pair —
+    order-insensitive within the 2-seed band, so no collect_list needed."""
+    return (
+        sigs.withColumn("band", (F.col("seed") / BAND_SIZE).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat(
+                    F.col("band").cast("string"),
+                    F.lit(":"),
+                    F.min("minhash"),
+                    F.lit("|"),
+                    F.max("minhash"),
+                )
+            ).alias("band_sig")
+        )
+    )
+
+
+@register(
+    "llm_simhash",
+    CAT,
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(list_distinct({_TOK_SQL})) AS token
+      FROM documents
+    ),
+    weights AS (
+      SELECT doc_id, bitpos,
+             CASE WHEN strpos('89abcdef', substr(md5(token), bitpos, 1)) > 0
+                  THEN 1 ELSE -1 END AS w
+      FROM tok, (SELECT unnest(range(1, 17)) AS bitpos)
+    ),
+    bits AS (
+      SELECT doc_id, bitpos,
+             CASE WHEN SUM(w) > 0 THEN 1 ELSE 0 END AS bit
+      FROM weights GROUP BY doc_id, bitpos
+    )
+    SELECT doc_id,
+           string_agg(bit::VARCHAR, '' ORDER BY bitpos) AS simhash16
+    FROM bits GROUP BY doc_id
+    """,
+)
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: per token, hex digit j of md5 votes ±1 on bit j; the
+    sign of the vote sum is bit j. Near-dup docs differ in few bits →
+    Hamming-ball lookup. md5-derived bits keep it engine-portable (oracled);
+    a production 64-bit variant would use xxhash64 (JVM-side, faster) and a
+    rows-only check. Scale: explode(tokens)×16 rows shuffle as (doc, bitpos)
+    ints — the text itself never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_TOK))).alias("token")
+    ).distinct()
+    bitpos = F.explode(F.sequence(F.lit(1), F.lit(16))).alias("bitpos")
+    weights = tok.select(
+        "doc_id",
+        bitpos,
+        "token",
+    ).select(
+        "doc_id",
+        "bitpos",
+        F.when(
+            F.instr(
+                F.lit("89abcdef"), F.substring(F.md5("token"), F.col("bitpos"), 1)
+            )
+            > 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("w"),
+    )
+    bits = weights.groupBy("doc_id", "bitpos").agg(
+        F.when(F.sum("w") > 0, 1).otherwise(0).alias("bit")
+    )
+    return bits.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bitpos", "bit"))),
+                lambda s: s.bit.cast("string"),
+            ),
+            "",
+        ).alias("simhash16")
+    )

@@ -1,0 +1,246 @@
+"""§2.J LLM-pipeline: similarity search over `embeddings` (array<float>, dim 64).
+
+Three tiers:
+  * llm_sim_topk    — brute-force cosine top-k, exact, SQL-oracled. The
+                      correctness baseline every ANN variant is judged against.
+  * llm_sim_lsh     — BucketedRandomProjectionLSH (pyspark.ml) approx join:
+                      the 100 TB path (seeded → deterministic, but the hash
+                      family is Spark-internal → rows-only check).
+  * llm_embed_stats — per-label centroids (the IVF coarse quantizer build
+                      step: centroids are what an IVF index partitions by).
+
+Vector math stays JVM-side via array higher-order functions — both engines
+fold 64 doubles left-to-right, so dot/norm are bit-identical and ROUND(..,4)
+before ranking removes any residual tie ambiguity (rank on the ROUNDED value
+with vec_id tiebreak — never rank on raw floats across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import load_table
+
+CAT = "2.J llm-pipeline (similarity)"
+
+TOPK = 5
+N_PROBES = 50  # probe set: vec_id < 50 query vectors
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "0D, (acc, v) -> acc + v)"
+)
+_NORM_SQL = "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+_DOT_SQL = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@register(
+    "llm_sim_topk",
+    CAT,
+    f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label,
+             ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                   / ({_NORM_SQL.format(v='a.embedding')}
+                      * {_NORM_SQL.format(v='b.embedding')}), 4) AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+      WHERE a.vec_id < {N_PROBES}
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, label, cosine, rn AS rank_pos
+    FROM ranked WHERE rn <= {TOPK}
+    """,
+)
+def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: probe set × corpus, exact.
+
+    Physical shape: the probe side (50 vectors) BROADCASTS; each executor
+    scans its corpus slice once computing 50 dots/row — a map-only stage,
+    zero shuffle until the tiny per-probe top-k. This exact pattern is how
+    brute-force kNN stays viable surprisingly far: 100 TB corpus × small
+    probe batch is a linear scan, embarrassingly parallel. It stops scaling
+    when BOTH sides are large — that's llm_sim_lsh's job."""
+    em = load_table(spark, sf_dir, "embeddings")
+    probes = em.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = em.select(
+        F.col("vec_id").alias("neighbor_id"), "label", F.col("embedding").alias("c_emb")
+    )
+    dot = F.expr(_DOT.format(a="q_emb", b="c_emb"))
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.expr(f"aggregate({c}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    )
+    pairs = (
+        F.broadcast(probes)
+        .crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            F.round(dot / (norm("q_emb") * norm("c_emb")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank_pos", F.row_number().over(w))
+        .filter(F.col("rank_pos") <= TOPK)
+    )
+
+
+@register("llm_sim_lsh", CAT)  # rows-only: LSH family is Spark-internal
+def llm_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane bucketing (BucketedRandomProjectionLSH),
+    seeded for determinism: approxSimilarityJoin prunes the pair space to
+    same-bucket candidates before exact distance — the scale path when both
+    sides are large. Output: candidate pairs within euclidean distance 1.0.
+    No SQL oracle (hash family internal); the exact baseline llm_sim_topk is
+    the oracled ground truth this approximation is validated against in
+    tests (recall check)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("vec")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
+    )
+    model = lsh.fit(em)
+    joined = model.approxSimilarityJoin(em, em, 1.0, distCol="dist")
+    return (
+        joined.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("a_id"),
+            F.col("datasetB.vec_id").alias("b_id"),
+            F.round("dist", 4).alias("euclidean_dist"),
+        )
+    )
+
+
+@register(
+    "llm_embed_stats",
+    CAT,
+    """
+    SELECT label, pos,
+           ROUND(AVG(CAST(embedding[pos] AS DOUBLE)), 4) AS centroid_val,
+           COUNT(*) AS n_vectors
+    FROM embeddings, (SELECT unnest(range(1, 65)) AS pos)
+    GROUP BY label, pos
+    """,
+)
+def llm_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, element-wise mean over FLOAT[64] via posexplode →
+    groupBy(label, pos) → avg. Scale shape: the explode is map-side and the
+    shuffle carries (label, pos, partial-sum) — 640 states total regardless
+    of corpus size (partial agg collapses everything map-side). Reassembling
+    arrays (collect_list over pos) is a final 640-row operation. These
+    centroids are the IVF coarse quantizer for llm_sim_topk at scale."""
+    em = load_table(spark, sf_dir, "embeddings")
+    exploded = em.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "val")
+    )
+    return (
+        exploded.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.round(F.avg("val"), 4).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+
+
+@register("llm_sim_ivf", CAT)  # rows-only: reduction-order float sums ≠ across engines
+def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into cells (label centroids
+    = the coarse codebook), route each probe to its nprobe=2 nearest cells,
+    then exact-search only those cells.
+
+    Scale shape — the reason IVF wins at 100 TB: the corpus is written
+    partitioned by cell (partitionBy(cell) parquet), so a probe batch scans
+    nprobe/ncells of the data with partition pruning instead of everything.
+    Here cells = labels (10 cells); production would k-means the centroids
+    (the fixture labels are random w.r.t. the vectors, so cross-cell recall
+    is a quantizer property, not tested — tests assert exactness WITHIN the
+    routed cells against numpy ground truth instead). No SQL oracle:
+    cross-engine float reduction order differs on the group-sum path."""
+    em = load_table(spark, sf_dir, "embeddings")
+    exploded = em.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    centroids = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg("val").alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s.cv
+            ).alias("centroid")
+        )
+    )
+    probes = em.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    # route: cosine(probe, centroid) → top-2 cells per probe
+    pc_dot = F.expr(_DOT.format(a="q_emb", b="centroid"))
+    pc_norm_q = F.sqrt(
+        F.expr("aggregate(q_emb, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    )
+    pc_norm_c = F.sqrt(
+        F.expr("aggregate(centroid, 0D, (acc, x) -> acc + x * x)")
+    )
+    routed = (
+        probes.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id", "q_emb", "label", (pc_dot / (pc_norm_q * pc_norm_c)).alias("cell_sim")
+        )
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cell_sim").desc(), F.col("label").asc()
+                )
+            ),
+        )
+        .filter(F.col("cell_rank") <= 2)
+        .select("query_id", "q_emb", "label")
+    )
+    # exact search inside the routed cells only
+    corpus = em.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    dot = F.expr(_DOT.format(a="q_emb", b="c_emb"))
+    norm_c = F.sqrt(
+        F.expr("aggregate(c_emb, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    )
+    pairs = (
+        routed.join(corpus, routed.label == corpus.c_label)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("c_label").alias("label"),
+            F.round(dot / (pc_norm_q * norm_c), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return pairs.withColumn("rank_pos", F.row_number().over(w)).filter(
+        F.col("rank_pos") <= TOPK
+    )

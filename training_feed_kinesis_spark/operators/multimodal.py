@@ -1,0 +1,133 @@
+"""§2.J LLM-pipeline: multimodal columns.
+
+Model: a modality payload is an opaque BinaryType column + a typed metadata
+struct; decode/feature-extraction is an Arrow-batched mapInPandas stage.
+The image/audio codec libraries are absent in this container, so the decode
+kernel is STUBBED with a deterministic fake (clearly marked) — but the
+Spark-side plumbing (schema, binary handling, batch iteration, partition
+strategy) is real and tested.
+
+100 TB notes: binary payloads dominate bytes → never groupBy/shuffle the
+payload column; shuffle (id, metadata) and semi-join payloads back. Size
+`maxPartitionBytes` for blob row-groups; feature extraction is map-only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ..tables import load_table
+
+CAT = "2.J llm-pipeline (multimodal)"
+
+
+def _with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + synthetic multimodal columns: a deterministic binary
+    payload (md5-derived — a stand-in for image/audio bytes), a modality
+    tag, and a typed metadata struct."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "text",
+        F.unhex(F.md5("text")).alias("payload"),
+        F.element_at(
+            F.array(F.lit("text"), F.lit("image"), F.lit("audio")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.struct(
+            F.col("n_chars").alias("size_hint"),
+            F.col("lang").alias("lang"),
+            (F.col("doc_id") % 3 == 1).alias("has_image"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "llm_multimodal",
+    CAT,
+    """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'image'
+                           ELSE 'audio' END              AS modality,
+           octet_length(unhex(md5(text)))                AS payload_bytes,
+           md5(text)                                     AS payload_hex,
+           n_chars                                       AS meta_size_hint,
+           doc_id % 3 = 1                                AS meta_has_image
+    FROM documents
+    WHERE doc_id % 3 != 0
+    """,
+)
+def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal struct/binary round-trip: build binary payload + metadata
+    struct, filter on modality, project scalar facets back out. The binary
+    itself is asserted via its length and hex digest (hash-comparable),
+    since raw BLOB equality is not oracle-friendly."""
+    df = _with_payload(spark, sf_dir)
+    return df.filter(F.col("modality") != "text").select(
+        "doc_id",
+        "modality",
+        F.octet_length("payload").alias("payload_bytes"),
+        F.hex(F.col("payload")).alias("payload_hex"),
+        F.col("meta.size_hint").alias("meta_size_hint"),
+        F.col("meta.has_image").alias("meta_has_image"),
+    ).withColumn("payload_hex", F.lower("payload_hex"))
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB DECODE KERNEL — deterministic fake.
+
+    A real deployment decodes `payload` with PIL/ffmpeg here (absent in this
+    container). The fake derives pseudo-features from the payload bytes so
+    the full Arrow batch path — binary in, typed features out — is exercised
+    end-to-end and deterministically testable.
+    """
+    for pdf in batches:
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "modality": pdf["modality"],
+                # fake "dimensions" from the first payload bytes
+                "width": pdf["payload"].map(lambda b: 16 * (b[0] % 64 + 1)),
+                "height": pdf["payload"].map(lambda b: 16 * (b[1] % 64 + 1)),
+                "mean_intensity": pdf["payload"].map(
+                    lambda b: round(sum(b) / len(b), 4)
+                ),
+                "n_frames": pdf["modality"].map(
+                    lambda m: 1 if m == "image" else 30
+                ).astype("int32"),
+            }
+        )
+        out["width"] = out["width"].astype("int32")
+        out["height"] = out["height"].astype("int32")
+        yield out
+
+
+@register("llm_multimodal_features", CAT)  # rows-only: stubbed decode kernel
+def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas (Arrow
+    batches): the executor-side Python worker receives binary + metadata
+    columns in columnar batches and emits a typed feature frame. Map-only —
+    no shuffle; scales with input splits."""
+    df = _with_payload(spark, sf_dir).filter(F.col("modality").isin("image", "audio"))
+    feats = df.select("doc_id", "modality", "payload").mapInPandas(
+        _decode_batch, schema=_FEATURE_SCHEMA
+    )
+    return feats
