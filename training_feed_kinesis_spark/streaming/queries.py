@@ -1,0 +1,394 @@
+"""§2.I Streaming operators (+ §2.A streaming source/sink keys).
+
+Every key drains a finite replay stream with Trigger.AvailableNow and
+returns the materialized result (SURVEY §5.3.7): where a drained stream is
+semantically ≡ the batch query (tumbling/sliding/session windows, dedup,
+stream-static join), the DuckDB batch oracle applies in full; genuinely
+streaming-only behaviors (late-data drop, stream-stream join tail, arbitrary
+state) are rows-only.
+
+State & scale posture: every stateful operator here carries a watermark
+(state eviction bound — SURVEY §4.3); at 100 TB/day the state store backend
+is RocksDB (conf switch), watermark delay is the SLA for out-of-orderness,
+and keyed state shuffles on the group key exactly like a batch groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.scans import scratch_dir
+from ..registry import register
+from ..tables import load_table
+from .replay import drain, replay_stream
+
+CAT_SRC = "2.A scans/sources/sinks"
+CAT = "2.I streaming"
+
+
+@register(
+    "source_kinesis",
+    CAT_SRC,
+    "SELECT event_id, user_id, event_type, value FROM events",
+)
+def source_kinesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-feed ingest via sources.kinesis.feed_stream: a real Kinesis
+    readStream when TFK_KINESIS_STREAM is set, deterministic file replay in
+    CI (SURVEY §1.4 row 1). Drained passthrough ≡ the batch table — which is
+    exactly what the oracle asserts (exactly-once replay, no loss, no dups)."""
+    from ..sources.kinesis import feed_stream
+
+    stream = feed_stream(spark, sf_dir)
+    out = drain(
+        stream.select("event_id", "user_id", "event_type", "value"), "append"
+    )
+    return out
+
+
+@register(
+    "stream_tumbling",
+    CAT,
+    """
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation. Complete mode: a drained
+    finite stream then holds exactly the batch group-by result. The
+    watermark bounds state eviction in continuous operation."""
+    stream = replay_stream(spark, sf_dir, "ordered")
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    res = drain(agg, "complete")
+    return res.select(
+        F.col("window.start").alias("hour_start"), "event_type", "n", "total_value"
+    )
+
+
+@register(
+    "stream_sliding",
+    CAT,
+    # each event belongs to 4 sliding windows: starts at bucket15(ts)-k*15min
+    """
+    SELECT time_bucket(INTERVAL '15 minutes', ts)
+             - k * INTERVAL '15 minutes' AS window_start,
+           COUNT(*) AS n
+    FROM events, (SELECT unnest(range(0, 4)) AS k)
+    GROUP BY window_start
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h length, 15min slide): every event lands in 4
+    overlapping windows; both engines align windows to the unix epoch."""
+    stream = replay_stream(spark, sf_dir, "ordered")
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    res = drain(agg, "complete")
+    return res.select(F.col("window.start").alias("window_start"), "n")
+
+
+@register(
+    "stream_session",
+    CAT,
+    # lag-gap-cumsum sessionization ≡ session_window semantics
+    # (end = last event + gap); SURVEY §5.3.7, verified writable
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts)                          AS session_start,
+           MAX(ts) + INTERVAL '30 minutes'  AS session_end,
+           COUNT(*)                         AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window (30-minute gap) per user, append mode — sessions emit
+    once the watermark proves no more events can merge into them. The replay
+    sentinel (far-future row) pushes the watermark past all real sessions so
+    the drained result is complete (SURVEY §5.3.7); sentinel filtered out."""
+    stream = replay_stream(spark, sf_dir, "ordered", sentinel=True)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    res = drain(agg, "append")
+    return res.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )
+
+
+@register("stream_watermark_late", CAT)  # rows-only: late-drop is stream-order-dependent
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data handling: the shuffled replay delivers events wildly out of
+    time order under a tight 10-minute watermark in APPEND mode — windows
+    finalize as the watermark passes and genuinely-late rows are dropped, so
+    emitted counts ≤ batch counts (strictly fewer here). Deliberately
+    rows-only: the drop set depends on arrival order, which is the point.
+    The tumbling/sliding/session keys prove the lossless cases."""
+    stream = replay_stream(spark, sf_dir, "shuffled", sentinel=True)
+    agg = (
+        stream.filter(F.col("user_id") >= 0)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_ontime"))
+    )
+    res = drain(agg, "append")
+    return res.select(F.col("window.start").alias("window_start"), "n_ontime")
+
+
+@register(
+    "stream_dedup",
+    CAT,
+    """
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup under at-least-once delivery: the doubled
+    replay redelivers every record; dropDuplicates on the payload key makes
+    the drained result identical to the exactly-once batch answer — the
+    Kinesis replay-tolerance pattern (SURVEY §1.1). Production uses
+    dropDuplicatesWithinWatermark to bound the key state; unbounded here to
+    keep CI deterministic."""
+    stream = replay_stream(spark, sf_dir, "doubled")
+    deduped = stream.dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    return drain(agg, "complete")
+
+
+@register(
+    "stream_stateful",
+    CAT,
+    """
+    SELECT user_id, COUNT(*) AS n_events, ROUND(MAX(value), 4) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-key state via applyInPandasWithState: a running
+    (count, max) per user, emitted as cumulative updates each micro-batch.
+    After draining, the last update per key ≡ the batch aggregate — that
+    equivalence is the oracle. State is explicit (tuple in GroupState),
+    eviction would use timeouts in continuous operation."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def running(key, pdfs, state: GroupState):
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [round(mx, 4)]}
+        )
+
+    stream = replay_stream(spark, sf_dir, "ordered")
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        running,
+        outputStructType="user_id long, n_events long, max_value double",
+        stateStructType="n long, mx double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = drain(updates, "update")
+    # cumulative emissions: the per-key maximum IS the final state
+    return res.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value")
+    )
+
+
+@register(
+    "stream_output_modes",
+    CAT,
+    """
+    SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-mode semantics, verified against each other: the same
+    aggregation runs in COMPLETE mode (memory sink snapshot) and in UPDATE
+    mode (foreachBatch capturing per-batch changed keys); the last update
+    per key must equal the complete snapshot — asserted here, and the
+    snapshot is oracle-checked against batch."""
+    agg_of = lambda s: s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))  # noqa: E731
+
+    complete = drain(agg_of(replay_stream(spark, sf_dir, "ordered")), "complete")
+
+    captured: list = []
+
+    def capture(batch_df: DataFrame, batch_id: int) -> None:
+        captured.append((batch_id, batch_df.toPandas()))
+
+    q = (
+        agg_of(replay_stream(spark, sf_dir, "ordered"))
+        .writeStream.foreachBatch(capture)
+        .outputMode("update")
+        .option("checkpointLocation", scratch_dir("ckpt_modes_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final_update: dict = {}
+    for _, pdf in sorted(captured, key=lambda t: t[0]):
+        for r in pdf.itertuples(index=False):
+            final_update[r.event_type] = r.n
+    snapshot = {r["event_type"]: r["n"] for r in complete.toPandas().to_dict("records")}
+    if final_update != snapshot:
+        raise AssertionError(
+            f"update-mode final state {final_update} != complete snapshot {snapshot}"
+        )
+    return complete
+
+
+def _foreachbatch_sink(spark: SparkSession, sf_dir: str, sink: str, ckpt: str) -> None:
+    """Run the feed into an idempotent foreachBatch parquet sink: each batch
+    writes to a batchId-keyed subdirectory with overwrite — a retried batch
+    rewrites the same path instead of duplicating (SURVEY §1.4 at-least-once
+    → exactly-once)."""
+    stream = replay_stream(spark, sf_dir, "ordered")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{sink}/batch={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@register(
+    "sink_foreachbatch",
+    CAT_SRC,
+    """
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: batchId-keyed idempotent parquet writes; the sink's
+    contents re-aggregated must equal the batch answer (no loss, no dups)."""
+    sink = scratch_dir("febsink_")
+    _foreachbatch_sink(spark, sf_dir, sink, scratch_dir("ckpt_feb_"))
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+@register(
+    "stream_exactly_once",
+    CAT,
+    """
+    SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once under restart: the same foreachBatch pipeline runs TWICE
+    with one checkpoint — the restarted run finds all offsets committed and
+    writes nothing new; the sink still holds each event exactly once, which
+    the oracle asserts. (Checkpoint WAL + idempotent sink = the recipe.)"""
+    sink = scratch_dir("eosink_")
+    ckpt = scratch_dir("ckpt_eo_")
+    _foreachbatch_sink(spark, sf_dir, sink, ckpt)
+    _foreachbatch_sink(spark, sf_dir, sink, ckpt)  # restart with same checkpoint
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "join_stream_static",
+    "2.C joins",
+    """
+    SELECT user_id % 5 AS cohort, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY user_id % 5
+    """,
+)
+def join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream enrichment: streaming events ⋈ static dimension (user cohort
+    map, broadcast — re-resolved per micro-batch). The dim here derives from
+    the batch events table; production swaps in any slowly-changing dim."""
+    cohorts = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("cohort", F.col("user_id") % 5)
+    )
+    stream = replay_stream(spark, sf_dir, "ordered")
+    enriched = stream.join(F.broadcast(cohorts), "user_id")
+    agg = enriched.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value")
+    )
+    return drain(agg, "complete")
+
+
+@register("join_stream_stream", "2.C joins")  # rows-only: tail-of-stream matches
+def join_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases ⋈ clicks by the same user
+    within the preceding 30 minutes, both sides watermarked (bounds the
+    buffered state to the interval + watermark — mandatory, SURVEY §4.3).
+    Rows-only: matches whose completion depends on watermark progression at
+    the stream tail are inherently arrival-order-dependent."""
+    stream = replay_stream(spark, sf_dir, "ordered", sentinel=True)
+    p = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            "p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"
+        ),
+    )
+    res = drain(joined.select("p_event", "c_event", "p_user", "p_ts", "c_ts"), "append")
+    return res
