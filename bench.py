@@ -1,0 +1,83 @@
+"""Headline benchmark — the driver's per-round perf gate.
+
+Runs a representative query set (relational core + LLM-pipeline + one
+streaming drain) from the operator registry at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Methodology: one shared SparkSession (JVM startup excluded — it is fixed
+cost, not query cost); per-query wall-clock covers plan + execution to a
+noop sink (full materialization, no driver collect); a small warmup scan
+first so the first timed query doesn't pay one-time codegen/filesystem
+costs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from training_feed_kinesis_spark.registry import load_all  # noqa: E402
+from training_feed_kinesis_spark.session import build_session  # noqa: E402
+
+# Headline set: one per load-bearing capability (SURVEY §2 categories).
+HEADLINE = [
+    "agg_basic",          # TPC-H-Q1-shaped scan+filter+agg
+    "join_multiway",      # 5-table star join
+    "join_asof",          # as-of join pattern (range + window dedup)
+    "agg_grouping_sets",  # multi-grouping aggregation
+    "win_ranking",        # window functions
+    "topk_per_group",     # per-group top-k
+    "llm_text_tokens",    # tokenize + token stats
+    "llm_tfidf",          # TF-IDF scoring
+    "llm_dedup_exact",    # exact dedup
+    "llm_dedup_near",     # MinHash-LSH near-dup
+    "llm_sim_topk",       # cosine top-k neighbors
+    "llm_embed_stats",    # per-label centroids
+    "stream_tumbling",    # streaming drain: windowed agg over event replay
+]
+
+
+def _consume(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = build_session("tfk-bench")
+    registry = load_all()
+
+    # warmup: touch the fat table end-to-end once
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        spec = registry[key]
+        t0 = time.perf_counter()
+        _consume(spec.fn(spark, sf_dir))
+        timings[key] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
