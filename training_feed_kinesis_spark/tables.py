@@ -50,3 +50,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def parallelize(df: DataFrame) -> DataFrame:
+    """Ensure at least defaultParallelism partitions before a CPU-bound
+    per-row stage (hash sketches, vector math).
+
+    A small parquet file scans as ONE split — every core but one idles
+    through the expensive map stage (measured: the whole MinHash pipeline
+    on a single core at sf0.1). At real scale inputs arrive with hundreds
+    of splits and this is a no-op; the repartition only fires when the scan
+    produced fewer splits than cores, so the one-time shuffle of the input
+    rows buys a cores-wide compute stage."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
