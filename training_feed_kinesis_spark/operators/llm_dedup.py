@@ -290,6 +290,74 @@ def _band_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KGRAM = 8        # winnowing: character k-gram length
+WINNOW_W = 16    # window of consecutive k-gram hashes; min per window kept
+
+
+@register(
+    "llm_winnow",
+    CAT,
+    f"""
+    WITH positions AS (
+      SELECT doc_id, lower(text) AS lt,
+             unnest(range(1, length(text) - {KGRAM} + 2)) AS pos
+      FROM documents WHERE length(text) >= {KGRAM}
+    ),
+    grams AS (
+      SELECT doc_id, pos, substr(md5(substr(lt, pos, {KGRAM})), 1, 8) AS gh
+      FROM positions
+    ),
+    winmin AS (
+      SELECT doc_id,
+             MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW
+                           AND {WINNOW_W - 1} FOLLOWING) AS fp
+      FROM grams
+    )
+    SELECT DISTINCT doc_id, fp FROM winmin
+    """,
+)
+def llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash scheme of MOSS,
+    Schleimer et al. 2003): hash every 8-char-gram, slide a 16-hash window,
+    keep each window's minimum, dedupe. Guarantees any shared substring of
+    length ≥ w+k-1 yields a shared fingerprint — substring-level plagiarism/
+    overlap detection, complementing token-set (fingerprint/minhash) dedup.
+
+    Plan shape: positions explode map-side; the window min runs per-doc
+    (partitioned window, no global sort); distinct collapses map-side first.
+    At 100 TB the fingerprint set (~n_chars/w per doc) joins against an
+    index relation on fp — same bucket-join shape as LSH bands."""
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    # posexplode the gram-array EXPRESSION (inline generator — see
+    # _shingle_rows) so exploded rows carry one 8-char gram, never the text
+    grams = (
+        d.filter(F.length("text") >= KGRAM)
+        .select("doc_id", F.lower("text").alias("lt"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, length(lt) - {KGRAM} + 1), "
+                    f"i -> substring(lt, i, {KGRAM}))"
+                )
+            ).alias("pos", "gram"),
+        )
+        .select("doc_id", "pos", F.substring(F.md5("gram"), 1, 8).alias("gh"))
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    return (
+        grams.select("doc_id", F.min("gh").over(w).alias("fp"))
+        .distinct()
+    )
+
+
 @register(
     "llm_simhash",
     CAT,

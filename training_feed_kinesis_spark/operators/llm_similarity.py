@@ -101,6 +101,48 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COS_DUP_THRESHOLD = 0.5  # fixture embeddings are random: max pairwise cosine ≈ 0.51/0.60 at sf0.01/0.1
+
+
+@register(
+    "llm_dedup_embed",
+    "2.J llm-pipeline (dedup)",
+    f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                 / ({_NORM_SQL.format(v='a.embedding')}
+                    * {_NORM_SQL.format(v='b.embedding')}), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+          / ({_NORM_SQL.format(v='a.embedding')}
+             * {_NORM_SQL.format(v='b.embedding')}) >= {COS_DUP_THRESHOLD}
+    """,
+)
+def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (semantic dedup): every pair
+    with cosine ≥ threshold. Exact all-pairs here — the oracled correctness
+    baseline. At 100 TB all-pairs is off the table: normalize vectors once,
+    then llm_sim_lsh's random-hyperplane bucketing (cosine LSH) generates
+    candidates and THIS exact cosine check verifies them — identical
+    verify-after-candidates shape as MinHash→Jaccard in llm_dedup_near."""
+    em = load_table(spark, sf_dir, "embeddings")
+    a = em.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    b = parallelize(em).select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+    )
+    dot = F.expr(_DOT.format(a="a_emb", b="b_emb"))
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.expr(f"aggregate({c}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    )
+    cos = dot / (norm("a_emb") * norm("b_emb"))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("a_id") < F.col("b_id"))
+        .filter(cos >= COS_DUP_THRESHOLD)
+        .select("a_id", "b_id", F.round(cos, 4).alias("cosine"))
+    )
+
+
 @register("llm_sim_lsh", CAT)  # rows-only: LSH family is Spark-internal
 def llm_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane bucketing (BucketedRandomProjectionLSH),

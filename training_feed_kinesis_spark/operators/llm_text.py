@@ -215,6 +215,38 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_token_regex",
+    CAT,
+    f"""
+    SELECT doc_id,
+           len({_TOKENS_SQL})                                        AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]{{1,4}}'))      AS n_subwords,
+           ROUND(len(regexp_extract_all(lower(text), '[a-z]{{1,4}}')) * 1.0
+                 / len({_TOKENS_SQL}), 4)                            AS subwords_per_token
+    FROM documents
+    """,
+)
+def llm_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: greedy fixed-width subword chunks via
+    regexp_extract_all — the cheap engine-side estimator for LLM token
+    budgets (real BPE needs the merges table; greedy ≤4-char chunks are the
+    standard length-proxy). Leftmost-greedy matching of this simple class
+    is identical in Java regex and RE2, so it oracles cleanly. Pure map
+    stage at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    # group index 0 = whole match on BOTH engines (Spark defaults to 1, DuckDB to 0)
+    subwords = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]{1,4}"), 0)
+    return d.select(
+        "doc_id",
+        F.size(_tokens()).alias("n_ws_tokens"),
+        F.size(subwords).alias("n_subwords"),
+        F.round(F.size(subwords) * 1.0 / F.size(_tokens()), 4).alias(
+            "subwords_per_token"
+        ),
+    )
+
+
+@register(
     "llm_fingerprint",
     CAT,
     f"""
