@@ -1,0 +1,109 @@
+"""Differential fuzzing: random filter/group-by queries over `lineitem` and
+`events`, generated in a dialect subset valid in BOTH Spark SQL and DuckDB,
+executed by both engines and compared with the driver-equivalent
+order-insensitive check (SURVEY §5.4).
+
+Deterministic: each case derives from a seeded Random, so failures
+reproduce by seed. The generator sticks to the hash-match discipline
+(SURVEY §5.3): aggregated doubles ROUND(...,4), no LIMIT without total
+order, no float equality predicates.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from .conftest import SF_DIR, assert_matches_oracle
+
+N_CASES = 25
+
+_LINEITEM_NUM = [
+    ("l_quantity", 1.0, 50.0),
+    ("l_extendedprice", 900.0, 105000.0),
+    ("l_discount", 0.0, 0.1),
+    ("l_tax", 0.0, 0.08),
+]
+_LINEITEM_STR = [
+    ("l_returnflag", ["A", "N", "R"]),
+    ("l_linestatus", ["F", "O"]),
+]
+_EVENTS_NUM = [("value", 0.0, 200.0), ("user_id", 0, 15)]
+_EVENTS_STR = [("event_type", ["click", "purchase", "error", "signup", "view"])]
+
+
+def _atom(rng: random.Random, num_cols, str_cols) -> str:
+    kind = rng.choice(["cmp", "between", "in", "eq"])
+    if kind in ("cmp", "between"):
+        col, lo, hi = rng.choice(num_cols)
+        a = round(rng.uniform(lo, hi), 2)
+        b = round(rng.uniform(lo, hi), 2)
+        if kind == "cmp":
+            op = rng.choice(["<", "<=", ">", ">=", "!="])
+            return f"{col} {op} {a}"
+        return f"{col} BETWEEN {min(a, b)} AND {max(a, b)}"
+    col, domain = rng.choice(str_cols)
+    if kind == "in":
+        vals = rng.sample(domain, k=rng.randint(1, min(3, len(domain))))
+        lst = ", ".join(f"'{v}'" for v in vals)
+        return f"{col} IN ({lst})"
+    return f"{col} = '{rng.choice(domain)}'"
+
+
+def _predicate(rng: random.Random, num_cols, str_cols) -> str:
+    n = rng.randint(1, 3)
+    atoms = [_atom(rng, num_cols, str_cols) for _ in range(n)]
+    out = atoms[0]
+    for a in atoms[1:]:
+        conj = rng.choice(["AND", "OR"])
+        neg = "NOT " if rng.random() < 0.2 else ""
+        out = f"({out}) {conj} {neg}({a})"
+    return out
+
+
+def gen_query(seed: int) -> str:
+    rng = random.Random(seed)
+    table = rng.choice(["lineitem", "events"])
+    if table == "lineitem":
+        num_cols, str_cols = _LINEITEM_NUM, _LINEITEM_STR
+        agg_col, key_pool = "l_quantity", ["l_returnflag", "l_linestatus"]
+    else:
+        num_cols, str_cols = _EVENTS_NUM, _EVENTS_STR
+        agg_col, key_pool = "value", ["event_type", "user_id"]
+    pred = _predicate(rng, num_cols, str_cols)
+    if rng.random() < 0.7:
+        keys = ", ".join(rng.sample(key_pool, k=rng.randint(1, len(key_pool))))
+        aggs = rng.sample(
+            [
+                f"COUNT(*) AS n",
+                f"ROUND(SUM({agg_col}), 4) AS s",
+                f"ROUND(AVG({agg_col}), 4) AS a",
+                f"ROUND(MIN({agg_col}), 4) AS mn",
+                f"ROUND(MAX({agg_col}), 4) AS mx",
+            ],
+            k=rng.randint(1, 3),
+        )
+        return (
+            f"SELECT {keys}, {', '.join(aggs)} FROM {table} "
+            f"WHERE {pred} GROUP BY {keys}"
+        )
+    cols = ", ".join(key_pool + [agg_col])
+    return f"SELECT {cols} FROM {table} WHERE {pred}"
+
+
+@pytest.fixture(scope="module")
+def spark_views(spark):
+    from training_feed_kinesis_spark.tables import load_table
+
+    for t in ("lineitem", "events"):
+        load_table(spark, SF_DIR, t).createOrReplaceTempView(t)
+    return spark
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_fuzz_query(seed, spark_views, duck):
+    sql = gen_query(seed)
+    # tolerance covers ROUND-boundary flips from cross-engine sum order;
+    # real engine bugs produce errors orders of magnitude above 2e-4
+    assert_matches_oracle(spark_views.sql(sql), duck, sql, float_tol=2e-4)
