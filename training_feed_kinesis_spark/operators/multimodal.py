@@ -131,3 +131,71 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         _decode_batch, schema=_FEATURE_SCHEMA
     )
     return feats
+
+
+_TRANSFORM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("payload_out", T.BinaryType()),
+        T.StructField("out_bytes", T.IntegerType()),
+        T.StructField("n_frames_sampled", T.IntegerType()),
+    ]
+)
+
+_RESIZE_BYTES = 64   # stub "resized image" payload size
+_FRAME_LEN = 4       # stub frame width in bytes
+_FRAME_STRIDE = 2    # sample every 2nd frame
+
+
+def _transform_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB RESIZE / FRAME-SAMPLE KERNELS — deterministic fakes.
+
+    Real deployments put PIL `Image.resize` (image) and ffmpeg/pyav frame
+    iteration (video/audio) here; neither library ships in this container.
+    The fakes preserve the real contract — binary in, transformed binary
+    out, metadata updated — so batch shape, BinaryType round-trip, and
+    partition behavior are exercised for real:
+      * resize: byte-resample the payload to a fixed _RESIZE_BYTES length
+        (nearest-neighbor over byte offsets — the 1-D analogue);
+      * frame-sample: split the payload into _FRAME_LEN-byte "frames" and
+        keep every _FRAME_STRIDE-th one.
+    """
+    for pdf in batches:
+        def resize(b: bytes) -> bytes:
+            if len(b) == 0:
+                return b
+            return bytes(b[(i * len(b)) // _RESIZE_BYTES] for i in range(_RESIZE_BYTES))
+
+        def frame_sample(b: bytes) -> bytes:
+            frames = [b[i : i + _FRAME_LEN] for i in range(0, len(b), _FRAME_LEN)]
+            return b"".join(frames[:: _FRAME_STRIDE])
+
+        is_img = pdf["modality"] == "image"
+        out_payload = pdf["payload"].where(is_img, pdf["payload"].map(frame_sample))
+        out_payload = out_payload.where(~is_img, pdf["payload"].map(resize))
+        n_frames = pdf["payload"].map(
+            lambda b: -(-len(b) // _FRAME_LEN)  # ceil
+        ).where(~is_img, 1).map(lambda n: -(-n // _FRAME_STRIDE))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "modality": pdf["modality"],
+                "payload_out": out_payload,
+                "out_bytes": out_payload.map(len).astype("int32"),
+                "n_frames_sampled": n_frames.astype("int32"),
+            }
+        )
+
+
+@register("llm_multimodal_transform", CAT)  # rows-only: binary output
+def llm_multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize (image) / frame-sample (audio-video) transform stage via
+    mapInPandas: binary payload in, transformed binary payload out, metadata
+    recomputed — the preprocessing step before a multimodal training feed.
+    Map-only, no shuffle; payload bytes stay inside their partition (the
+    100 TB rule: metadata shuffles, blobs don't)."""
+    df = _with_payload(spark, sf_dir).filter(F.col("modality").isin("image", "audio"))
+    return df.select("doc_id", "modality", "payload").mapInPandas(
+        _transform_batch, schema=_TRANSFORM_SCHEMA
+    )
