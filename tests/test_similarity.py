@@ -86,3 +86,23 @@ def test_sim_lsh_respects_threshold(spark, ground_truth):
         assert true_dist <= 1.0 + 1e-6
         assert abs(r.euclidean_dist - true_dist) < 1e-3
         assert r.a_id < r.b_id
+
+
+def test_multimodal_transform_invariants(spark):
+    """Stub kernels honor the contract: images resample to exactly
+    _RESIZE_BYTES; audio keeps every 2nd 4-byte frame of the 16-byte
+    payload (= 8 bytes, 2 frames)."""
+    from training_feed_kinesis_spark.operators.multimodal import (
+        _RESIZE_BYTES,
+        llm_multimodal_transform,
+    )
+
+    rows = llm_multimodal_transform(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.out_bytes == len(r.payload_out)
+        if r.modality == "image":
+            assert r.out_bytes == _RESIZE_BYTES and r.n_frames_sampled == 1
+        else:
+            assert r.modality == "audio"
+            assert r.out_bytes == 8 and r.n_frames_sampled == 2
