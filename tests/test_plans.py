@@ -1,0 +1,87 @@
+"""Physical-plan shape assertions for scale-critical queries.
+
+Correctness tests prove the VALUES; these prove the PLAN — the properties
+that decide whether the same code survives 100 TB: dimension joins
+broadcast (no shuffle), filters reach the parquet scan (row-group
+skipping), aggregations partial-aggregate map-side, and no accidental
+cartesian products. A regression here is invisible at sf0.001 and fatal at
+scale, which is exactly why it needs a test.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from .conftest import SF_DIR
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from training_feed_kinesis_spark.registry import load_all
+
+    return load_all()
+
+
+def test_star_join_broadcasts_dims(spark, registry):
+    plan = _plan(registry["join_multiway"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge join should appear: every dim fits broadcast at test sf,
+    # and the fact-side chain must not force one
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, registry):
+    plan = _plan(registry["agg_basic"].fn(spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark, registry):
+    plan = _plan(registry["scan_projected"].fn(spark, SF_DIR))
+    # ReadSchema must carry only the projected columns, not the full table
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    assert "l_extendedprice" not in read_schema[0]
+
+
+def test_agg_partial_aggregation(spark, registry):
+    # two HashAggregates (partial + final) around one exchange: map-side
+    # combine means the shuffle carries group states, not input rows
+    plan = _plan(registry["agg_basic"].fn(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_minhash_shuffles_states_not_shingles(spark, registry):
+    plan = _plan(registry["llm_minhash_sig"].fn(spark, SF_DIR))
+    # partial aggregation below the exchange: the md5 minima are computed
+    # map-side; shingle rows never cross the shuffle. min(string) has no
+    # fixed-width buffer, so Spark plans SortAggregate instead of
+    # HashAggregate — partial+final still means ≥2 aggregate operators.
+    n_aggs = sum(plan.count(op) for op in ("HashAggregate", "SortAggregate", "ObjectHashAggregate"))
+    assert n_aggs >= 2, plan
+
+
+def test_topk_uses_take_ordered(spark, registry):
+    plan = _plan(registry["limit_topk"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sim_topk_broadcasts_probes(spark, registry):
+    plan = _plan(registry["llm_sim_topk"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark, registry):
+    plan = _plan(registry["project_compute"].fn(spark, SF_DIR), "codegen")
+    assert "Found 1 WholeStageCodegen subtrees" in plan or "WholeStageCodegen" in plan
