@@ -85,3 +85,30 @@ def test_sim_topk_broadcasts_probes(spark, registry):
 def test_whole_stage_codegen_on_hot_path(spark, registry):
     plan = _plan(registry["project_compute"].fn(spark, SF_DIR), "codegen")
     assert "Found 1 WholeStageCodegen subtrees" in plan or "WholeStageCodegen" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, registry):
+    # first call writes the bucketed tables (and its load_table(...) path
+    # re-applies engine confs); only then pin the conf for the re-plan
+    registry["join_bucketed"].fn(spark, SF_DIR)
+    # disable broadcast so the planner must consider a shuffle — bucket
+    # alignment is what makes it unnecessary
+    for conf in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ):
+        spark.conf.set(conf, "-1")
+    try:
+        plan = _plan(registry["join_bucketed"].fn(spark, SF_DIR))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in plan, plan
+    # no shuffle exchange anywhere: both scans are bucket-aligned on the key
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_salted_join_spreads_keys(spark, registry):
+    plan = _plan(registry["join_skew_salted"].fn(spark, SF_DIR))
+    # the join key must be the composite (user_id, salt), not user_id alone
+    assert "salt" in plan

@@ -320,3 +320,98 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+_bucketed_ready: set[str] = set()
+
+
+@register(
+    "join_bucketed",
+    CAT,
+    """
+    SELECT l_orderkey, o_orderdate, o_totalprice,
+           ROUND(l_extendedprice * (1 - l_discount), 4) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join via bucketing: both tables are written
+    bucketBy(orderkey) + sortBy into the warehouse once; the subsequent join
+    reads bucket-aligned files and sort-merge-joins WITHOUT any Exchange —
+    the pattern that turns the biggest repeated shuffle in a 100 TB star
+    schema into a one-time write cost (verified shuffle-free in
+    tests/test_plans.py). Results are identical to the plain join, which is
+    what the oracle asserts."""
+    tag = sf_dir.strip("/").split("/")[-1].replace(".", "_")
+    li_t, o_t = f"li_bkt_{tag}", f"o_bkt_{tag}"
+    if tag not in _bucketed_ready:
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for name, tbl, key, sort in (
+            (li_t, "lineitem", "l_orderkey", "l_orderkey"),
+            (o_t, "orders", "o_orderkey", "o_orderkey"),
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            # a previous PROCESS may have left the managed location behind
+            # (in-memory catalog forgets it; the directory survives)
+            shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+            (
+                load_table(spark, sf_dir, tbl)
+                .write.bucketBy(8, key)
+                .sortBy(sort)
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        _bucketed_ready.add(tag)
+    li = spark.table(li_t)
+    o = spark.table(o_t).filter(F.col("o_orderpriority") == "1-URGENT")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "revenue"
+        ),
+    )
+
+
+N_SALTS = 8
+
+
+@register(
+    "join_skew_salted",
+    CAT,
+    """
+    SELECT e.user_id, u.cohort, COUNT(*) AS n,
+           ROUND(SUM(e.value), 4) AS total_value
+    FROM events e
+    JOIN (SELECT DISTINCT user_id, user_id % 5 AS cohort FROM events) u
+      ON e.user_id = u.user_id
+    GROUP BY e.user_id, u.cohort
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual salting for skewed join keys: the fact side gets a
+    deterministic salt = xxhash64(event_id) % N, the dim side is exploded
+    ×N, and the join runs on (key, salt) — a hot key's rows spread across N
+    reducers instead of one. Result ≡ the unsalted join (the oracle).
+    At scale this is the fallback when AQE skew splitting can't help
+    (e.g. skewed AGGREGATION keys or stream-static joins); for plain batch
+    joins AQE usually makes it unnecessary (session.py enables it)."""
+    ev = load_table(spark, sf_dir, "events")
+    users = (
+        ev.select("user_id").distinct().withColumn("cohort", F.col("user_id") % 5)
+    )
+    salts = spark.range(N_SALTS).select(F.col("id").cast("int").alias("salt"))
+    dim_salted = users.crossJoin(F.broadcast(salts))
+    fact_salted = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS)).cast("int")
+    )
+    joined = fact_salted.join(dim_salted, ["user_id", "salt"])
+    return joined.groupBy("user_id", "cohort").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
