@@ -107,3 +107,48 @@ def test_fuzz_query(seed, spark_views, duck):
     # tolerance covers ROUND-boundary flips from cross-engine sum order;
     # real engine bugs produce errors orders of magnitude above 2e-4
     assert_matches_oracle(spark_views.sql(sql), duck, sql, float_tol=2e-4)
+
+
+_ORDERS_NUM = [("o_totalprice", 1000.0, 450000.0)]
+_ORDERS_STR = [
+    ("o_orderstatus", ["F", "O", "P"]),
+    ("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]),
+]
+
+N_JOIN_CASES = 15
+
+
+def gen_join_query(seed: int) -> str:
+    rng = random.Random(10_000 + seed)
+    pred_l = _predicate(rng, _LINEITEM_NUM, _LINEITEM_STR)
+    pred_o = _predicate(rng, _ORDERS_NUM, _ORDERS_STR)
+    if rng.random() < 0.6:
+        keys = rng.sample(
+            ["l_returnflag", "l_linestatus", "o_orderstatus"], k=rng.randint(1, 2)
+        )
+        return (
+            f"SELECT {', '.join(keys)}, COUNT(*) AS n, "
+            f"ROUND(SUM(l_quantity), 4) AS s "
+            f"FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            f"WHERE ({pred_l}) AND ({pred_o}) GROUP BY {', '.join(keys)}"
+        )
+    return (
+        f"SELECT l_orderkey, l_linenumber, o_totalprice, l_quantity "
+        f"FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        f"WHERE ({pred_l}) AND ({pred_o})"
+    )
+
+
+@pytest.fixture(scope="module")
+def spark_join_views(spark):
+    from training_feed_kinesis_spark.tables import load_table
+
+    for t in ("lineitem", "orders"):
+        load_table(spark, SF_DIR, t).createOrReplaceTempView(t)
+    return spark
+
+
+@pytest.mark.parametrize("seed", range(N_JOIN_CASES))
+def test_fuzz_join_query(seed, spark_join_views, duck):
+    sql = gen_join_query(seed)
+    assert_matches_oracle(spark_join_views.sql(sql), duck, sql, float_tol=2e-4)
