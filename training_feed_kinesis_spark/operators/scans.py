@@ -130,3 +130,27 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         F.col("event_type").cast("string").alias("event_type"), "user_id", "n"
     )
+
+
+@register(
+    "source_csv",
+    CAT,
+    """
+    SELECT c_custkey, c_name, c_nationkey, ROUND(c_acctbal, 4) AS acctbal
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest with an explicit schema (no inference pass — at 100 TB a
+    schema-inference scan doubles the read; headers off, types declared).
+    Round-trips customer→CSV→DataFrame; ROUND pins the float text parse."""
+    out = scratch_dir("csv_src_")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    c.select(
+        "c_custkey", "c_name", "c_nationkey", F.round("c_acctbal", 4).alias("acctbal")
+    ).write.mode("overwrite").option("header", "false").csv(out)
+    return spark.read.schema(
+        "c_custkey bigint, c_name string, c_nationkey int, acctbal double"
+    ).csv(out)

@@ -195,6 +195,10 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary per-key state via applyInPandasWithState: a running
     (count, max) per user, emitted as cumulative updates each micro-batch.
+    (Spark 4's successor API, transformWithStateInPandas, was probed and
+    crashes in this container: its Python runner imports google.protobuf,
+    which is not installed and cannot be — the GroupState API below is the
+    equivalent supported path here.)
     After draining, the last update per key ≡ the batch aggregate — that
     equivalence is the oracle. State is explicit (tuple in GroupState),
     eviction would use timeouts in continuous operation."""
