@@ -306,3 +306,38 @@ def agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min_by("value", "event_id"), 4).alias("first_value"),
         F.round(F.max_by("value", "event_id"), 4).alias("last_value"),
     )
+
+
+@register(
+    "agg_skew_twophase",
+    FLAGSHIP_CATEGORY,
+    """
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value,
+           ROUND(MAX(value), 4) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted) aggregation for skewed group keys: phase 1 groups
+    by (key, salt) — a hot key's rows split across N reducers — phase 2
+    re-aggregates the N partials per key. For algebraic aggregates
+    (count/sum/max) the composition is exact, so the plain-group-by oracle
+    must match. This is the manual fallback when one group key dominates:
+    Spark's map-side partial aggregation already handles MOST skew (each
+    mapper pre-collapses its rows), but when a single key's partials still
+    overwhelm one reducer — think 10^9-row groups at 100 TB — the salt
+    bounds any reducer's share to 1/N of the hot key."""
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(16)).cast("int")
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("psum"),
+        F.max("value").alias("pmax"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("psum"), 4).alias("total_value"),
+        F.round(F.max("pmax"), 4).alias("max_value"),
+    )

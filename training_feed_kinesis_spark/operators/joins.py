@@ -415,3 +415,54 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+@register(
+    "join_range_bucketized",
+    CAT,
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts < p.ts
+    """,
+)
+def join_range_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized time-range join — the 100 TB-safe spelling of a theta
+    join when NEITHER side broadcasts (click-attribution: clicks in the
+    2 hours before each same-user purchase). The raw range condition plans
+    as a nested loop; instead each purchase EXPLODES to the 3 hour-buckets
+    its window can touch, each click keys by its own hour-bucket, and the
+    join becomes a hash-partitioned EQUI join on (user_id, hour) with the
+    exact range as a post-filter. A click's single bucket meets each
+    purchase window at most once, so no dedup is needed. Cost: window/slide
+    copies of one side; payoff: linear shuffle scaling instead of O(n·m).
+    Cites the same pattern SURVEY §4.2 mandates for join_asof at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.explode(
+            F.expr(
+                "sequence(date_trunc('hour', ts - INTERVAL 2 HOUR), "
+                "date_trunc('hour', ts), INTERVAL 1 HOUR)"
+            )
+        ).alias("hour"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.date_trunc("hour", "ts").alias("hour"),
+    )
+    return (
+        p.join(c, (p.user_id == c.c_user) & (p.hour == c.hour))
+        .filter(
+            (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 2 HOUR"))
+            & (F.col("c_ts") < F.col("p_ts"))
+        )
+        .select("purchase_id", "click_id", "user_id")
+    )
