@@ -39,6 +39,9 @@ HEADLINE = [
     "llm_dedup_near",     # MinHash-LSH near-dup
     "llm_sim_topk",       # cosine top-k neighbors
     "llm_embed_stats",    # per-label centroids
+    "llm_winnow",         # rolling-hash (winnowing) fingerprints
+    "join_range_bucketized",  # time-range theta join as bucketed equi join
+    "agg_skew_twophase",  # salted two-phase aggregation
     "stream_tumbling",    # streaming drain: windowed agg over event replay
 ]
 
