@@ -60,12 +60,25 @@ def _stamp_mtimes(path: str, base_offset: int = 0) -> int:
 
 
 def _prepare(spark: SparkSession, sf_dir: str, variant: str) -> str:
-    """Write the replay files once per (sf_dir, variant); return source dir."""
+    """Write the replay files once per (sf_dir, variant); return source dir.
+
+    The replay content is a deterministic function of (events.parquet,
+    variant), so the directory is cached at a STABLE path and reused across
+    processes — a `_READY` marker written after the mtime stamping guards
+    against reusing a partial dir from a crashed writer. Checkpoints are
+    never reused (each drain gets a fresh one)."""
     key = (sf_dir, variant)
     if key in _prepared and os.path.isdir(_prepared[key]):
         return _prepared[key]
+    sf_tag = sf_dir.strip("/").split("/")[-1].replace(".", "_")
+    from ..operators.scans import SCRATCH
+
+    stable = os.path.join(SCRATCH, f"replay_cache_{variant}_{sf_tag}")
+    if os.path.isfile(os.path.join(stable, "_READY")):
+        _prepared[key] = stable
+        return stable
     ev = load_table(spark, sf_dir, "events")
-    out = scratch_dir(f"replay_{variant}_")
+    out = stable
     if variant == "ordered":
         df = ev.repartitionByRange(N_REPLAY_FILES, "ts").sortWithinPartitions("ts")
     elif variant == "shuffled":
@@ -86,6 +99,8 @@ def _prepare(spark: SparkSession, sf_dir: str, variant: str) -> str:
         raise ValueError(f"unknown replay variant: {variant}")
     df.write.mode("overwrite").parquet(out)
     _stamp_mtimes(out)
+    with open(os.path.join(out, "_READY"), "w") as f:
+        f.write("ok")
     _prepared[key] = out
     return out
 
@@ -117,7 +132,13 @@ def _with_sentinel(spark: SparkSession, src: str) -> str:
         return _sentineled[src]
     import shutil
 
-    out = scratch_dir("replay_sent_")
+    from ..operators.scans import SCRATCH
+
+    out = os.path.join(SCRATCH, f"{os.path.basename(src)}_sent")
+    if os.path.isfile(os.path.join(out, "_READY")):
+        _sentineled[src] = out
+        return out
+    os.makedirs(out, exist_ok=True)
     # byte-copy part files (preserving names ⇒ preserving time order); a
     # Spark re-write would pack input files by size and scramble the ranges
     for f in sorted(os.listdir(src)):
@@ -144,6 +165,8 @@ def _with_sentinel(spark: SparkSession, src: str) -> str:
     for f in set(os.listdir(out)) - before:
         if f.startswith("part-") and not f.endswith(".crc"):
             os.utime(os.path.join(out, f), (t, t))
+    with open(os.path.join(out, "_READY"), "w") as fh:
+        fh.write("ok")
     _sentineled[src] = out
     return out
 
