@@ -1,0 +1,216 @@
+"""§2.M Composite workload queries — realistic multi-operator pipelines.
+
+Classic TPC-H-shaped reporting queries over the star schema plus the two
+workloads a training-feed processor actually runs on its event stream:
+sessionization and funnel analysis. Each composes operators that are
+individually oracled elsewhere; these prove the compositions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import load_table
+
+CAT = "2.M workloads"
+
+
+@register(
+    "q3_shipping_priority",
+    CAT,
+    """
+    SELECT o_orderkey, o_orderdate,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate  > TIMESTAMP '1997-01-01'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top unshipped orders by revenue for one segment.
+    Scale shape: both date filters push to the scans; customer (filtered)
+    joins before the fact-fact join shrinks lineitem rows early; the final
+    top-10 is TakeOrderedAndProject — no global sort materializes. LIMIT is
+    deterministic: ordered on the ROUNDED revenue with unique orderkey
+    tiebreak (SURVEY §5.3.5)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1997-01-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1997-01-01"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q10_returned_items",
+    CAT,
+    """
+    SELECT c_custkey, c_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           COUNT(*) AS n_items
+    FROM customer
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer. nation
+    broadcasts; the returnflag filter pushes into the lineitem scan (a
+    1/3 row-group selectivity win at scale)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "batch_sessionize",
+    CAT,
+    # identical semantics to the streaming session window (SURVEY §5.3.7)
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts)                          AS session_start,
+           MAX(ts) + INTERVAL '30 minutes'  AS session_end,
+           COUNT(*)                         AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-minute gap) via lag→flag→running-sum —
+    the window-function spelling of `session_window`, for backfills over
+    historical data. Must agree exactly with the streaming session
+    operator's result (same oracle as stream_session). Scale shape: both
+    windows partition by user_id — ONE shuffle total, reused by the final
+    per-(user, session) aggregation; no global sort anywhere."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # compare in MICROSECONDS: cast("long") truncates to seconds, which
+    # misclassifies a 1800.5s gap that DuckDB's exact interval compare keeps
+    us = F.unix_micros(F.col("ts"))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(us - F.lag(us).over(w) > 1800 * 1_000_000, 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).drop("session_id")
+
+
+@register(
+    "funnel_conversion",
+    CAT,
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT v.user_id, MIN(e.ts) AS t_click
+      FROM v JOIN events e
+        ON e.user_id = v.user_id AND e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY v.user_id
+    ),
+    p AS (
+      SELECT c.user_id, MIN(e.ts) AS t_purchase
+      FROM c JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY c.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_then_clicked,
+           (SELECT COUNT(*) FROM p) AS n_then_purchased
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → later click → later purchase): how many users
+    advance through each stage in strict event-time order. Stage N is a
+    per-user MIN-timestamp aggregation joined to the next event type with a
+    time bound — each stage is one hash join + partial-agg on user_id, so
+    the whole funnel reuses one partitioning and never sorts globally. The
+    driver's own per-user event streams make this the canonical
+    training-feed analysis."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(prev: DataFrame, etype: str, tcol: str, prev_t: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype).select(
+            F.col("user_id").alias("u"), F.col("ts").alias("e_ts")
+        )
+        return (
+            prev.join(e, (prev.user_id == F.col("u")) & (F.col("e_ts") > F.col(prev_t)))
+            .groupBy("user_id")
+            .agg(F.min("e_ts").alias(tcol))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = stage(v, "click", "t_click", "t_view")
+    p = stage(c, "purchase", "t_purchase", "t_click")
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_then_clicked")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_then_purchased")))
+    )

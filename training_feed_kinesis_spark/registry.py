@@ -47,6 +47,7 @@ _OPERATOR_MODULES = [
     "training_feed_kinesis_spark.operators.llm_similarity",
     "training_feed_kinesis_spark.operators.multimodal",
     "training_feed_kinesis_spark.operators.udfs",
+    "training_feed_kinesis_spark.operators.workloads",
     "training_feed_kinesis_spark.streaming.queries",
 ]
 
