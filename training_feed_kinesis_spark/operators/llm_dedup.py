@@ -179,7 +179,8 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("llm_minhash_sig", CAT, _MINHASH_SQL)
 def llm_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures: k=8 seeded md5 minima over the shingle set.
+    """MinHash signatures (Broder 1997, "On the resemblance and containment
+    of documents"): k=8 seeded md5 minima over the shingle set.
     Fully deterministic and engine-portable (md5 both sides) — hence a real
     SQL oracle rather than the usual rows-only check for sketches.
     Shape at scale: explode×seeds is map-side; partial aggregation collapses
@@ -383,7 +384,8 @@ def llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash: per token, hex digit j of md5 votes ±1 on bit j; the
+    """16-bit SimHash (Charikar 2002 random-hyperplane sketch): per token,
+    hex digit j of md5 votes ±1 on bit j; the
     sign of the vote sum is bit j. Near-dup docs differ in few bits →
     Hamming-ball lookup. md5-derived bits keep it engine-portable (oracled);
     a production 64-bit variant would use xxhash64 (JVM-side, faster) and a

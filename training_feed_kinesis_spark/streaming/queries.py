@@ -1,5 +1,10 @@
 """§2.I Streaming operators (+ §2.A streaming source/sink keys).
 
+Model: "Structured Streaming: A Declarative API for Real-Time Applications
+in Apache Spark" (SIGMOD 2018, PAPERS.md) — the same declarative plans run
+batch and incremental; these operators lean on that equivalence for their
+drained-stream == batch oracles.
+
 Every key drains a finite replay stream with Trigger.AvailableNow and
 returns the materialized result (SURVEY §5.3.7): where a drained stream is
 semantically ≡ the batch query (tumbling/sliding/session windows, dedup,
