@@ -286,3 +286,89 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("rank_pos", F.row_number().over(w)).filter(
         F.col("rank_pos") <= TOPK
     )
+
+
+COS_EDGE_THRESHOLD = 0.4  # clustering threshold: 59 edges over 500 vecs at sf0.01
+
+_EDGES_SQL = f"""
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+        / ({_NORM_SQL.format(v='a.embedding')}
+           * {_NORM_SQL.format(v='b.embedding')}) >= {COS_EDGE_THRESHOLD}
+"""
+
+
+@register(
+    "llm_dedup_clusters",
+    "2.J llm-pipeline (dedup)",
+    f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    reach(node, label) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT CASE WHEN r.node = e.a THEN e.b ELSE e.a END, r.label
+      FROM reach r JOIN edges e ON r.node = e.a OR r.node = e.b
+    )
+    SELECT node AS vec_id, MIN(label) AS component FROM reach GROUP BY node
+    """,
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation: connected components over the
+    similarity graph (cosine ≥ threshold), via Pregel-style min-label
+    propagation — each iteration sends every node's current label across
+    its edges and keeps the minimum; fixpoint = every node labeled with its
+    component's smallest vec_id. The step after ANY pairwise dedup signal
+    (MinHash, SimHash, embedding cosine): pairs must become clusters before
+    a keeper can be chosen.
+
+    Iterative-algorithm mechanics on Spark: a driver-side loop of
+    join+groupBy rounds, converging in graph-diameter iterations (near-dup
+    graphs are shallow — tight clusters, small diameter); localCheckpoint
+    truncates the growing lineage each round (cluster deployments use
+    checkpoint(dir) for fault tolerance); convergence is a count() of
+    changed labels, never a data collect. Oracle: DuckDB RECURSIVE CTE
+    computing the same reachability minimum — an oracled iterative
+    operator, not rows-only."""
+    em = load_table(spark, sf_dir, "embeddings")
+    a = em.select(F.col("vec_id").alias("a"), F.col("embedding").alias("a_emb"))
+    b = parallelize(em).select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("b_emb")
+    )
+    dot = F.expr(_DOT.format(a="a_emb", b="b_emb"))
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.expr(f"aggregate({c}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    )
+    edges = (
+        F.broadcast(a)
+        .join(b, F.col("a") < F.col("b"))
+        .filter(dot / (norm("a_emb") * norm("b_emb")) >= COS_EDGE_THRESHOLD)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    labels = em.select(F.col("vec_id").alias("node"), F.col("vec_id").alias("label"))
+    for _ in range(15):
+        msgs = (
+            edges.join(labels, edges.a == labels.node)
+            .select(F.col("b").alias("node"), "label")
+            .unionByName(
+                edges.join(labels, edges.b == labels.node)
+                .select(F.col("a").alias("node"), "label")
+            )
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("vec_id"), F.col("label").alias("component"))
