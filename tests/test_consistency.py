@@ -1,0 +1,104 @@
+"""Cross-operator consistency: independent implementations of the same
+semantics must agree with each other — a second differential axis on top of
+the DuckDB oracles (engine-vs-engine there, operator-vs-operator here).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from .conftest import SF_DIR
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from training_feed_kinesis_spark.registry import load_all
+
+    return load_all()
+
+
+def test_streaming_session_equals_batch_sessionize(spark, registry):
+    """session_window over a drained stream ≡ lag-gap-cumsum batch
+    sessionization — same gap, same (start, end, count) per session."""
+    stream = registry["stream_session"].fn(spark, SF_DIR)
+    batch = registry["batch_sessionize"].fn(spark, SF_DIR)
+    cols = ("user_id", "session_start", "session_end", "n_events")
+    assert _rows(stream, *cols) == _rows(batch, *cols)
+
+
+def test_streaming_dedup_equals_batch_aggregate(spark, registry):
+    """Doubled-delivery stream after stateful dedup ≡ exactly-once batch
+    aggregate over the original events."""
+    from training_feed_kinesis_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    streamed = registry["stream_dedup"].fn(spark, SF_DIR)
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    cols = ("event_type", "n", "total_value")
+    assert _rows(streamed, *cols) == _rows(batch, *cols)
+
+
+def test_watermark_late_drops_rows(spark, registry):
+    """The shuffled replay under a tight watermark in append mode MUST lose
+    rows (that is the semantics being demonstrated): emitted on-time counts
+    are strictly fewer than the batch total."""
+    from pyspark.sql import functions as F
+
+    late = registry["stream_watermark_late"].fn(spark, SF_DIR)
+    emitted = late.agg(F.sum("n_ontime")).first()[0] or 0
+    from training_feed_kinesis_spark.tables import load_table
+
+    total = load_table(spark, SF_DIR, "events").count()
+    assert 0 < emitted < total
+
+
+def test_salted_equals_plain_aggregation(spark, registry):
+    """Two-phase salted aggregation ≡ plain groupBy for algebraic aggs."""
+    from training_feed_kinesis_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    salted = registry["agg_skew_twophase"].fn(spark, SF_DIR)
+    plain = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+    )
+    cols = ("event_type", "n", "total_value", "max_value")
+    assert _rows(salted, *cols) == _rows(plain, *cols)
+
+
+def test_bucketed_join_equals_plain_join(spark, registry):
+    """Bucketed co-located join ≡ plain shuffle join, row for row."""
+    from training_feed_kinesis_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    bucketed = registry["join_bucketed"].fn(spark, SF_DIR)
+    li = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plain = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "revenue"
+        ),
+    )
+    cols = ("l_orderkey", "o_orderdate", "o_totalprice", "revenue")
+    assert _rows(bucketed, *cols) == _rows(plain, *cols)
