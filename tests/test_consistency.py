@@ -102,3 +102,33 @@ def test_bucketed_join_equals_plain_join(spark, registry):
     )
     cols = ("l_orderkey", "o_orderdate", "o_totalprice", "revenue")
     assert _rows(bucketed, *cols) == _rows(plain, *cols)
+
+
+def test_approx_quantile_close_to_exact(spark, registry):
+    """The quantile sketch must land near the exact percentiles (the
+    oracled agg_percentile path is the ground truth)."""
+    from training_feed_kinesis_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    approx = {
+        r["event_type"]: (r["p50_approx"], r["p95_approx"])
+        for r in registry["agg_approx_quantile"].fn(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: (r["p50"], r["p95"])
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    # tolerance: approx_percentile returns an actual sample value while
+    # exact percentile INTERPOLATES between order statistics — at ~100-row
+    # test groups adjacent samples sit ~5 apart on the 0-200 domain, so the
+    # bound covers one inter-sample gap, not sketch failure
+    for et in exact:
+        for a, e in zip(approx[et], exact[et]):
+            assert abs(a - e) <= 10.0, (et, approx[et], exact[et])

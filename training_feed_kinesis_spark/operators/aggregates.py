@@ -341,3 +341,19 @@ def agg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("psum"), 4).alias("total_value"),
         F.round(F.max("pmax"), 4).alias("max_value"),
     )
+
+
+@register("agg_approx_quantile", FLAGSHIP_CATEGORY)  # rows-only: approx sketch
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna-style quantile sketch) per event
+    type — mergeable sketch states partial-aggregate map-side, so the
+    shuffle is O(groups × sketch), independent of row count: the quantile
+    operator that still works at 100 TB where exact percentile must shuffle
+    whole groups. No SQL oracle (sketch internals engine-specific);
+    agg_percentile beside it is the oracled exact variant, and tests bound
+    the sketch error against it."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("approx_percentile(value, 0.5, 1000)"), 4).alias("p50_approx"),
+        F.round(F.expr("approx_percentile(value, 0.95, 1000)"), 4).alias("p95_approx"),
+    )

@@ -298,3 +298,31 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nullif("o_orderstatus", F.col("o_orderstatus")), F.lit("same")
         ).alias("nvl_demo"),
     )
+
+
+@register(
+    "fn_hash",
+    CAT,
+    """
+    SELECT doc_id,
+           md5(text)                                    AS h_md5,
+           sha256(text)                                 AS h_sha256,
+           substr(md5(lang || ':' || source), 1, 16)    AS h_composite
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash family (md5 / sha256 / composite-key hashing) —
+    the substrate for content addressing, dedup keys, and deterministic
+    salts. Engine-portable hex output (lowercase both engines). xxhash64
+    is the faster JVM-side choice for non-portable internal keys (used in
+    join_skew_salted); it has no DuckDB twin, so the oracled family here
+    sticks to the portable pair."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    comp = F.md5(F.concat(F.col("lang"), F.lit(":"), F.col("source")))
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+        F.substring(comp, 1, 16).alias("h_composite"),
+    )
