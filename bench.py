@@ -42,6 +42,10 @@ HEADLINE = [
     "llm_winnow",         # rolling-hash (winnowing) fingerprints
     "join_range_bucketized",  # time-range theta join as bucketed equi join
     "agg_skew_twophase",  # salted two-phase aggregation
+    "q3_shipping_priority",   # TPC-H Q3 shape: star join + top-k
+    "q10_returned_items",     # TPC-H Q10 shape: 4-way join report
+    "batch_sessionize",   # lag-gap-cumsum sessionization
+    "funnel_conversion",  # ordered multi-stage funnel
     "stream_tumbling",    # streaming drain: windowed agg over event replay
 ]
 
