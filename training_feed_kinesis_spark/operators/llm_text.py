@@ -266,3 +266,47 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("bucket")
     )
+
+
+@register(
+    "llm_text_clean",
+    CAT,
+    r"""
+    SELECT doc_id,
+           length(trim(regexp_replace(
+               regexp_replace(text, '\b(a|the|of|to|and|in)\b', '', 'g'),
+               ' +', ' ', 'g')))                                AS clean_chars,
+           md5(trim(regexp_replace(
+               regexp_replace(text, '\b(a|the|of|to|and|in)\b', '', 'g'),
+               ' +', ' ', 'g')))                                AS clean_hash,
+           length(text) - length(trim(regexp_replace(
+               regexp_replace(text, '\b(a|the|of|to|and|in)\b', '', 'g'),
+               ' +', ' ', 'g')))                                AS removed_chars
+    FROM documents
+    """,
+)
+def llm_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""Text-cleaning normalization stage: stopword removal (whole-word
+    regex) + whitespace collapse + trim, verified via md5 of the cleaned
+    text so the oracle checks the exact output bytes, not just lengths.
+
+    Pure regexp_replace column expressions — at 100 TB this is a map-only
+    codegen stage over the scan (the pattern is compiled once per task),
+    the shape a real pipeline uses for boilerplate stripping and PII
+    scrubbing. Patterns stay in the RE2 ∩ Java-regex common dialect
+    (\b, alternation, ' +') so both engines agree byte-for-byte.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), r"\b(a|the|of|to|and|in)\b", ""),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length(clean).alias("clean_chars"),
+        F.md5(clean).alias("clean_hash"),
+        (F.length("text") - F.length(clean)).alias("removed_chars"),
+    )
