@@ -62,8 +62,14 @@ def main() -> None:
     spark = build_session("tfk-bench")
     registry = load_all()
 
-    # warmup: touch the fat table end-to-end once
+    # warmup: touch the fat table end-to-end once, and drain one trivial
+    # stream at the smallest sf so the first timed streaming query doesn't
+    # pay one-time micro-batch/sink/codegen initialization
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    from training_feed_kinesis_spark.streaming.replay import drain, replay_stream
+
+    drain(replay_stream(spark, "/root/testdata/sf0.001", "ordered").groupBy(
+        "event_type").count(), "complete")
 
     timings: dict[str, float] = {}
     for key in HEADLINE:

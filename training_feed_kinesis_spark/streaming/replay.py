@@ -171,19 +171,54 @@ def _with_sentinel(spark: SparkSession, src: str) -> str:
     return out
 
 
-def drain(df: DataFrame, output_mode: str = "complete", checkpoint: str | None = None):
+def _ckpt_dir() -> str:
+    """Checkpoint scratch: prefer tmpfs (/dev/shm) — checkpoint WAL/state
+    commits are fsync-heavy and throwaway in this harness. Production
+    deployments pass a durable `checkpoint` path instead."""
+    import tempfile
+
+    shm = "/dev/shm/tfk_ckpt"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        return tempfile.mkdtemp(prefix="ckpt_", dir=shm)
+    except OSError:
+        return scratch_dir("ckpt_")
+
+
+def drain(
+    df: DataFrame,
+    output_mode: str = "complete",
+    checkpoint: str | None = None,
+    state_partitions: int | None = 8,
+):
     """Run a streaming DataFrame to completion (AvailableNow) into a memory
     sink; return the materialized batch DataFrame. The memory sink is a
-    test/CI harness — production sinks are parquet/foreachBatch."""
+    test/CI harness — production sinks are parquet/foreachBatch.
+
+    ``state_partitions`` right-sizes ``spark.sql.shuffle.partitions`` for the
+    duration of the drain (the stateful-operator partition count is fixed at
+    query start from that conf, and each micro-batch commits one state-store
+    delta PER partition): the replay corpus has O(10³) keys, where 64 state
+    partitions × N batches is pure commit overhead — measured 2.5× slower
+    than 8. On a real cluster state cardinality is huge and the conf comes
+    from cluster tuning, so ``None`` (leave untouched) is the production
+    setting."""
     spark = df.sparkSession
     name = f"tfk_replay_{next(_qcounter)}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint or scratch_dir("ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint or _ckpt_dir())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None and prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
