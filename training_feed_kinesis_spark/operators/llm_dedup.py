@@ -234,8 +234,12 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side inside the scan stage with zero shuffle. The ONLY shuffles are
     (a) the candidate self-join on (band, band_sig) — hash-partitioned,
     skew-free (md5 is uniform), sized by LSH construction (~true near-dups
-    + controlled false positives, not n²) — and (b) the final verify joins,
-    which touch shingles only for candidate docs. Banding parameters (4×2)
+    + controlled false positives, not n²) — and (b) joining the candidate
+    pairs back to per-doc shingle ARRAYS for `array_intersect`
+    verification: only candidate docs' arrays move, and the exploded
+    shingle relation is never joined at all (an exploded intersect-count
+    spelling shuffles every shingle row of every doc twice — measured 35%
+    slower warm and 4× slower cold at sf0.1). Banding parameters (4×2)
     put the S-curve threshold around jaccard≈0.5 — tune per corpus.
     Deterministic md5 minhashing ⇒ full SQL oracle, not rows-only."""
     bands = _band_sigs(spark, sf_dir)
@@ -247,22 +251,17 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .distinct()
     )
-    sh = _shingle_rows(spark, sf_dir)
-    counts = _shingle_counts(spark, sf_dir)
-    sa = sh.select(F.col("doc_id").alias("a_id"), "sh")
-    sb = sh.select(F.col("doc_id").alias("b_id"), "sh")
-    verified = (
-        cands.join(sa, "a_id")
-        .join(sb, ["b_id", "sh"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    arrs = d.select("doc_id", F.expr(_TOK).alias("toks")).select(
+        "doc_id", F.expr(_SHINGLES).alias("shs")
     )
-    ca = counts.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
-    jac = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
+    aa = arrs.select(F.col("doc_id").alias("a_id"), F.col("shs").alias("sha"))
+    bb = arrs.select(F.col("doc_id").alias("b_id"), F.col("shs").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    jac = inter * 1.0 / (F.size("sha") + F.size("shb") - inter)
     return (
-        verified.join(ca, "a_id")
-        .join(cb, "b_id")
+        cands.join(aa, "a_id")
+        .join(bb, "b_id")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
     )

@@ -59,7 +59,15 @@ def build_session(app_name: str = "training-feed-kinesis-spark") -> SparkSession
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(min(int(cpus) * 2, 64)))
+        # Local-harness sizing: at bench sf (≤600k rows) task-scheduling
+        # overhead dominates, and AQE coalescing already caps downstream
+        # parallelism — cpus/2 measured ~15-20% faster than 2*cpus on the
+        # batch suite. A real cluster sets this (or AQE initialPartitionNum)
+        # from cluster conf; nothing in the engine assumes this value.
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("TFK_SHUFFLE_PARTITIONS", str(max(int(cpus) // 2, 8))),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
