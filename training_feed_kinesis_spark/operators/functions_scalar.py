@@ -326,3 +326,31 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("h_sha256"),
         F.substring(comp, 1, 16).alias("h_composite"),
     )
+
+
+@register(
+    "fn_struct",
+    CAT,
+    """
+    SELECT lang,
+           COUNT(DISTINCT (lang, source))               AS n_src_structs,
+           MIN(struct_pack(a := source, b := n_chars).a) AS first_source,
+           CAST(MAX(struct_pack(a := source,
+                                b := n_chars).b) AS BIGINT) AS max_inner_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct family: struct construction, field access (dot path),
+    and struct-valued DISTINCT (whole-row equality semantics) — the column
+    shape multimodal/metadata records use. Structs are flattened in
+    Tungsten's columnar layout, so field access and struct equality stay
+    inside whole-stage codegen at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    s = F.struct(F.col("source").alias("a"), F.col("n_chars").alias("b"))
+    return d.groupBy("lang").agg(
+        F.countDistinct(F.struct("lang", "source")).alias("n_src_structs"),
+        F.min(s.getField("a")).alias("first_source"),
+        F.max(s.getField("b")).cast("bigint").alias("max_inner_chars"),
+    )

@@ -154,3 +154,66 @@ def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "c_custkey bigint, c_name string, c_nationkey int, acctbal double"
     ).csv(out)
+
+
+@register(
+    "source_schema_evolution",
+    CAT,
+    """
+    SELECT doc_id, lang, n_chars,
+           CASE WHEN doc_id % 2 = 1 THEN n_chars * 2 ELSE NULL END AS quality
+    FROM documents
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: a v1 writer emits (doc_id, lang, n_chars),
+    a later v2 writer adds a `quality` column; `mergeSchema=true` reconciles
+    the union schema and back-fills NULL for pre-evolution files.
+
+    This is how a long-lived 100 TB feed actually grows columns — no
+    rewrite of historical data, the merged schema is computed from parquet
+    footers only. (Footer-merge cost scales with file count, so production
+    turns mergeSchema OFF per-read and declares the schema from a catalog;
+    the capability matters for the evolution boundary itself.)"""
+    d = load_table(spark, sf_dir, "documents")
+    out = scratch_dir("schema_evo_")
+    v1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
+    v2 = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "lang", "n_chars")
+        .withColumn("quality", F.col("n_chars") * 2)
+    )
+    v1.write.mode("overwrite").parquet(f"{out}/v1")
+    v2.write.mode("overwrite").parquet(f"{out}/v2")
+    back = spark.read.option("mergeSchema", "true").parquet(f"{out}/v1", f"{out}/v2")
+    return back.select("doc_id", "lang", "n_chars", "quality")
+
+
+@register(
+    "sink_compacted",
+    CAT,
+    """
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction sink: repartition to a target file count +
+    `maxRecordsPerFile` cap, then re-read and aggregate — the maintenance
+    pass every streaming feed needs (each micro-batch emits one file per
+    state partition; a day of 1-minute batches is ~10^5 files, and at
+    100 TB footer/listing overhead starts to dominate scans). Round-trip
+    aggregate proves content survives compaction byte-exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    out = scratch_dir("compacted_")
+    (
+        d.repartition(4, "lang")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 500_000)
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
