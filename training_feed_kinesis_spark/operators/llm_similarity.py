@@ -81,6 +81,11 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = lambda c: F.sqrt(  # noqa: E731
         F.expr(f"aggregate({c}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
     )
+    # norms are precomputed per SIDE, not per pair: interpreted HOF work per
+    # pair drops from dot+2 norms to dot alone (each corpus norm would
+    # otherwise be re-evaluated once per probe)
+    probes = probes.withColumn("q_norm", norm("q_emb"))
+    corpus = corpus.withColumn("c_norm", norm("c_emb"))
     pairs = (
         F.broadcast(probes)
         .crossJoin(corpus)
@@ -89,7 +94,7 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "label",
-            F.round(dot / (norm("q_emb") * norm("c_emb")), 4).alias("cosine"),
+            F.round(dot / (F.col("q_norm") * F.col("c_norm")), 4).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -134,12 +139,17 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = lambda c: F.sqrt(  # noqa: E731
         F.expr(f"aggregate({c}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
     )
-    cos = dot / (norm("a_emb") * norm("b_emb"))
+    # per-side norm precompute + single cosine projection (computing the
+    # expression in both filter and select doubles the interpreted HOF work)
+    a = a.withColumn("a_norm", norm("a_emb"))
+    b = b.withColumn("b_norm", norm("b_emb"))
+    cos = dot / (F.col("a_norm") * F.col("b_norm"))
     return (
         F.broadcast(a)
         .join(b, F.col("a_id") < F.col("b_id"))
-        .filter(cos >= COS_DUP_THRESHOLD)
-        .select("a_id", "b_id", F.round(cos, 4).alias("cosine"))
+        .select("a_id", "b_id", cos.alias("_cos"))
+        .filter(F.col("_cos") >= COS_DUP_THRESHOLD)
+        .select("a_id", "b_id", F.round("_cos", 4).alias("cosine"))
     )
 
 
