@@ -112,3 +112,33 @@ def test_salted_join_spreads_keys(spark, registry):
     plan = _plan(registry["join_skew_salted"].fn(spark, SF_DIR))
     # the join key must be the composite (user_id, salt), not user_id alone
     assert "salt" in plan
+
+
+def test_sample_hash_prunes_text_column(spark, registry):
+    # the sample projects metadata only: the fat `text` payload must not be
+    # read — at 100 TB reading text to sample doc_ids is the difference
+    # between a metadata scan and a full-corpus scan
+    plan = _plan(registry["sample_hash"].fn(spark, SF_DIR))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    assert "text" not in read_schema[0], read_schema[0]
+
+
+def test_dedup_near_no_cartesian(spark, registry):
+    # LSH banding exists precisely to avoid the n² pair space; a planner
+    # regression to a doc×doc cartesian would be fatal at scale. The ONLY
+    # permitted nested-loop joins are the minhash seed fan-outs: a broadcast
+    # cross against a literal 8-row Range — constant-size, scale-free.
+    plan = _plan(registry["llm_dedup_near"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    # count tree nodes only (the formatted details section repeats names)
+    n_bnlj = plan.count("BroadcastNestedLoopJoin Cross")
+    n_range = plan.count("+- Range")
+    assert n_bnlj <= n_range, plan
+
+
+def test_split_partial_aggregates(spark, registry):
+    # split profiling must map-side combine: the shuffle carries one state
+    # per (split, lang), not one row per document
+    plan = _plan(registry["split_train_test"].fn(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2, plan

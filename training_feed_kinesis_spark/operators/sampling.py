@@ -170,3 +170,38 @@ def hist_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("bigint").alias("bucket_min"),
         F.max("n_chars").cast("bigint").alias("bucket_max"),
     )
+
+
+@register(
+    "sample_per_group",
+    CAT,
+    f"""
+    SELECT doc_id, lang, sample_rank FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY {_BUCKET_SQL.replace('1, 2', '1, 8')}, doc_id)
+               AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 20
+    """,
+)
+def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced fixed-N-per-stratum sample (20 docs per language), ordered
+    by md5(doc_id) — a deterministic stand-in for per-group reservoir
+    sampling: the hash order is uniform-random-like but reproducible on any
+    engine and stable under repartitioning.
+
+    Scale note: rank-over-hash needs a per-group sort, so at 100 TB with
+    huge groups prefer a two-phase cut: threshold-filter on the hash first
+    (cheap map-side over-sample to ~2N), then rank only the survivors —
+    same result, sort input shrunk by orders of magnitude.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= 20)
+    )
