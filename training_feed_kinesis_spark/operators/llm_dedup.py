@@ -358,10 +358,7 @@ def llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "llm_simhash",
-    CAT,
-    f"""
+_SIMHASH_SQL = f"""
     WITH tok AS (
       SELECT DISTINCT doc_id, unnest(list_distinct({_TOK_SQL})) AS token
       FROM documents
@@ -380,8 +377,10 @@ def llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            string_agg(bit::VARCHAR, '' ORDER BY bitpos) AS simhash16
     FROM bits GROUP BY doc_id
-    """,
-)
+"""
+
+
+@register("llm_simhash", CAT, _SIMHASH_SQL)
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash (Charikar 2002 random-hyperplane sketch): per token,
     hex digit j of md5 votes ±1 on bit j; the
@@ -423,4 +422,80 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "",
         ).alias("simhash16")
+    )
+
+
+HAMMING_MAX = 3  # SimHash near-dup radius (16-bit sketch)
+
+_HAMMING_SQL = (
+    "list_sum(list_transform(range(1, 17), i -> CASE WHEN "
+    "substr({a}, i, 1) != substr({b}, i, 1) THEN 1 ELSE 0 END))"
+)
+
+
+@register(
+    "llm_simhash_pairs",
+    CAT,
+    f"""
+    WITH sigs AS ({_SIMHASH_SQL}),
+    blocks AS (
+      SELECT doc_id, simhash16, k, substr(simhash16, 1 + k * 4, 4) AS blk
+      FROM sigs, (SELECT unnest(range(0, 4)) AS k)
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.simhash16 AS sig_a, b.simhash16 AS sig_b
+      FROM blocks a JOIN blocks b
+        ON a.k = b.k AND a.blk = b.blk AND a.doc_id <= b.doc_id
+    )
+    SELECT a_id, b_id,
+           CAST({_HAMMING_SQL.format(a='sig_a', b='sig_b')} AS BIGINT) AS hamming
+    FROM cands
+    WHERE {_HAMMING_SQL.format(a='sig_a', b='sig_b')} <= {HAMMING_MAX}
+    """,
+)
+def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS: Hamming-ball search over the 16-bit sketch,
+    completing the sketch→candidates→verify ladder for the SimHash family
+    (mirror of llm_dedup_near for MinHash).
+
+    Candidate generation is pigeonhole block-matching: split the signature
+    into 4 nibbles — any two signatures within Hamming distance 3 agree on
+    at least one nibble, so an equi-join on (block_idx, block_value) finds
+    every qualifying pair with zero distance computations outside the
+    candidate set. Self-pairs (distance 0) keep the oracle non-trivially
+    non-empty on the no-duplicate fixture corpus. At 100 TB: 4 rows shuffle
+    per doc (16 bytes each), the join is hash-partitioned on uniform sketch
+    blocks, and verification is a fixed 16-step char compare per candidate —
+    the same candidates ≪ n² argument as LSH banding."""
+    sigs = llm_simhash(spark, sf_dir)
+    blocks = sigs.select(
+        "doc_id",
+        "simhash16",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+    ).select(
+        "doc_id",
+        "simhash16",
+        "k",
+        F.expr("substr(simhash16, 1 + k * 4, 4)").alias("blk"),
+    )
+    a = blocks.select(
+        F.col("doc_id").alias("a_id"), F.col("simhash16").alias("sig_a"), "k", "blk"
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash16").alias("sig_b"), "k", "blk"
+    )
+    cands = (
+        a.join(b, ["k", "blk"])
+        .filter(F.col("a_id") <= F.col("b_id"))
+        .select("a_id", "b_id", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.expr(
+        "aggregate(sequence(1, 16), 0, (acc, i) -> acc + "
+        "CASE WHEN substr(sig_a, i, 1) != substr(sig_b, i, 1) THEN 1 ELSE 0 END)"
+    )
+    return (
+        cands.select("a_id", "b_id", hamming.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
     )
