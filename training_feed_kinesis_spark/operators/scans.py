@@ -217,3 +217,22 @@ def sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "source_orc",
+    CAT,
+    "SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'error'",
+)
+def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingest: round-trips a selection through ORC and reads it back
+    with the file-carried schema — same pattern as source_json, proving the
+    columnar-format breadth of the source layer (parquet, ORC, JSON, CSV).
+    DuckDB cannot read ORC, so the oracle replays the original selection —
+    the check still proves write→read byte fidelity."""
+    out = scratch_dir("orc_src_")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    ev.select("event_id", "user_id", "event_type", "value").write.mode(
+        "overwrite"
+    ).orc(out)
+    return spark.read.orc(out)

@@ -214,3 +214,46 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_then_clicked")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_then_purchased")))
     )
+
+
+@register(
+    "retention_cohorts",
+    CAT,
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS BIGINT)
+             AS day_offset,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    WHERE date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) <= 7
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, activity
+    counted per day-offset for the first week — the standard engagement
+    report over a training feed's event log.
+
+    Scale shape: first-seen is ONE groupBy on user_id; the activity join is
+    a broadcast (the cohort table is one row per user — at extreme user
+    counts it becomes a co-partitioned shuffle join on user_id, which AQE
+    picks automatically); the final agg is low-cardinality (days × 8
+    offsets). No window functions, no self-join over raw events."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    offset = F.datediff(F.col("day"), F.col("cohort_day"))
+    return (
+        ev.join(first_seen, "user_id")
+        .filter(offset <= 7)
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            offset.cast("bigint").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
