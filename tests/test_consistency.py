@@ -132,3 +132,41 @@ def test_approx_quantile_close_to_exact(spark, registry):
     for et in exact:
         for a, e in zip(approx[et], exact[et]):
             assert abs(a - e) <= 10.0, (et, approx[et], exact[et])
+
+
+def test_rocksdb_state_store_matches_default(spark, registry):
+    """The tumbling-window drain must produce identical results under the
+    RocksDB state-store provider — the large-state production path (state
+    spills off-heap/disk instead of living in executor heap, which is what
+    makes 100 TB streaming state survivable). Provider choice is pure conf:
+    no operator code changes."""
+    from training_feed_kinesis_spark.streaming.replay import drain, replay_stream
+    from pyspark.sql import functions as F
+
+    def tumbling():
+        stream = replay_stream(spark, SF_DIR, "ordered")
+        return (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    baseline = _rows(
+        drain(tumbling(), "complete").select("event_type", "n"), "event_type", "n"
+    )
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(
+        conf,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = _rows(
+            drain(tumbling(), "complete").select("event_type", "n"), "event_type", "n"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
+    assert rocks == baseline

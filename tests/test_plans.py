@@ -142,3 +142,22 @@ def test_split_partial_aggregates(spark, registry):
     # per (split, lang), not one row per document
     plan = _plan(registry["split_train_test"].fn(spark, SF_DIR))
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_partitioned_sink_enables_partition_pruning(spark, registry):
+    # the partitionBy layout exists to make downstream reads prune: a filter
+    # on the partition column must become a PartitionFilter (directory skip),
+    # never a row-level scan filter over all partitions
+    import training_feed_kinesis_spark.operators.scans as scans
+    from pyspark.sql import functions as F
+
+    out = scans.scratch_dir("prune_probe_")
+    from training_feed_kinesis_spark.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    ev.groupBy("event_type", "user_id").count().write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(out)
+    df = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    plan = _plan(df)
+    assert "PartitionFilters: [isnotnull(event_type" in plan, plan
