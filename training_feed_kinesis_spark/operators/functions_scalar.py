@@ -354,3 +354,31 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(s.getField("a")).alias("first_source"),
         F.max(s.getField("b")).cast("bigint").alias("max_inner_chars"),
     )
+
+
+@register(
+    "fn_bitwise",
+    CAT,
+    """
+    SELECT event_id,
+           user_id & 255                       AS masked,
+           CAST(user_id << 2 AS BIGINT)        AS shifted,
+           xor(user_id, event_id)              AS xored,
+           CAST(bit_count(user_id) AS BIGINT)  AS popcount
+    FROM events WHERE event_type = 'signup'
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: AND-mask, shift, XOR, population count — the
+    primitives under hash partitioning, bloom-style membership bits, and
+    SimHash-style sketches. All codegen'd integer ops, scale-free."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    )
+    return ev.select(
+        "event_id",
+        F.expr("user_id & 255").alias("masked"),
+        F.expr("shiftleft(user_id, 2)").cast("bigint").alias("shifted"),
+        F.expr("user_id ^ event_id").alias("xored"),
+        F.bit_count("user_id").cast("bigint").alias("popcount"),
+    )

@@ -466,3 +466,39 @@ def join_range_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("purchase_id", "click_id", "user_id")
     )
+
+
+@register(
+    "join_null_safe",
+    CAT,
+    """
+    WITH a AS (
+      SELECT nullif(o_orderstatus, 'P') AS k, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    b AS (
+      SELECT nullif(l_linestatus, 'F') AS k, COUNT(*) AS n_lines
+      FROM lineitem GROUP BY 1
+    )
+    SELECT a.k AS status_key, a.n_orders, b.n_lines
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of vanishing — required when the join key legitimately
+    carries NULL as a value (unknown-bucket rollups, outer-join products).
+    Spark plans eqNullSafe as a hash join (the null bucket is just another
+    key), NOT a nested loop — same scale behavior as plain equi joins.
+    Fixture has no NULLs, so both sides derive them via nullif."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = o.groupBy(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    b = li.groupBy(
+        F.nullif(F.col("l_linestatus"), F.lit("F")).alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_lines"))
+    return a.join(b, a.k.eqNullSafe(b.k)).select(
+        a.k.alias("status_key"), "n_orders", "n_lines"
+    )

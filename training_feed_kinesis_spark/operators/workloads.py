@@ -257,3 +257,109 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "q5_local_supplier",
+    CAT,
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey   = c_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    JOIN supplier ON s_suppkey   = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue from orders where customer and supplier share
+    a nation, by nation within one region-year. The hardest star shape here:
+    six tables, one join condition spanning two dimensions (s_nationkey =
+    c_nationkey rides along the l_suppkey equi-join).
+
+    Scale shape: region/nation broadcast always; customer/supplier broadcast
+    at test sf and become shuffle joins on custkey/suppkey at 100 TB (AQE
+    decides); lineitem never moves until its orderkey join. The date filter
+    pushes into the orders scan BEFORE the fact-fact join, shrinking the
+    biggest join's probe side by ~6/7."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    CAT,
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           ROUND(o_totalprice, 4) AS o_totalprice,
+           ROUND(SUM(l_quantity), 4) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 210
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with very large orders — the
+    semi-join-on-aggregate pattern (IN over a grouped HAVING subquery).
+
+    Scale shape: the subquery is a partial+final agg over lineitem whose
+    survivors (few) become a LEFT SEMI join key set — Spark plans the IN as
+    a semi join, and at scale AQE broadcasts the tiny survivor side, so the
+    big lineitem relation is filtered map-side before the reporting joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 210)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
