@@ -357,3 +357,59 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("approx_percentile(value, 0.5, 1000)"), 4).alias("p50_approx"),
         F.round(F.expr("approx_percentile(value, 0.95, 1000)"), 4).alias("p95_approx"),
     )
+
+
+@register(
+    "agg_mode",
+    "2.D aggregations",
+    # deterministic mode: highest count, ties broken by smallest value —
+    # never the engines' native mode() (tie-breaking is engine-defined)
+    """
+    SELECT user_id, event_type AS mode_type, n FROM (
+      SELECT user_id, event_type, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group, deterministically tie-broken —
+    count-then-rank instead of native mode() because tie order is
+    engine-defined. Scale shape: ONE shuffle on (user_id, event_type)
+    partial-aggregated map-side, then a per-user rank over at most
+    |event_type| rows — no second full shuffle of raw events."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
+
+
+@register(
+    "agg_unpivot",
+    "2.D aggregations",
+    # pivot∘unpivot must be the identity on the long form
+    """
+    SELECT source, lang, COUNT(*) AS n_docs
+    FROM documents GROUP BY source, lang
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long melt): pivots per-source language counts wide,
+    then unpivots back — proving pivot and unpivot are inverses, which is
+    the property reporting pipelines rely on when they round-trip between
+    matrix and tidy layouts. Empty cells (NULL after pivot) are dropped on
+    unpivot, restoring exactly the original long form."""
+    d = load_table(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    wide = d.groupBy("source").pivot("lang", langs).count()
+    long = wide.unpivot("source", langs, "lang", "n_docs")
+    return long.filter(F.col("n_docs").isNotNull()).select(
+        "source", "lang", F.col("n_docs").cast("bigint").alias("n_docs")
+    )
