@@ -43,7 +43,9 @@ HEADLINE = [
     "join_range_bucketized",  # time-range theta join as bucketed equi join
     "agg_skew_twophase",  # salted two-phase aggregation
     "q3_shipping_priority",   # TPC-H Q3 shape: star join + top-k
+    "q5_local_supplier",      # TPC-H Q5 shape: 6-table star, cross-dim condition
     "q10_returned_items",     # TPC-H Q10 shape: 4-way join report
+    "retention_cohorts",      # cohort retention matrix over the event log
     "batch_sessionize",   # lag-gap-cumsum sessionization
     "funnel_conversion",  # ordered multi-stage funnel
     "stream_tumbling",    # streaming drain: windowed agg over event replay
