@@ -170,3 +170,61 @@ def test_rocksdb_state_store_matches_default(spark, registry):
         else:
             spark.conf.set(conf, prev)
     assert rocks == baseline
+
+
+def test_checkpoint_recovery_processes_each_file_once(spark):
+    """Crash/resume semantics: a second drain reusing the SAME checkpoint
+    must pick up only files that arrived after the first drain — offsets in
+    the checkpoint WAL are the exactly-once source contract (SURVEY §1.1:
+    sequence-number checkpointing). Each event must appear exactly once in
+    the sink across both runs."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from training_feed_kinesis_spark.operators.scans import scratch_dir
+    from training_feed_kinesis_spark.streaming.replay import _prepare
+    from training_feed_kinesis_spark.tables import load_table
+
+    prepared = _prepare(spark, SF_DIR, "ordered")
+    parts = sorted(
+        f for f in os.listdir(prepared)
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
+    assert len(parts) >= 2
+    src = scratch_dir("ckpt_rec_src_")
+    sink = scratch_dir("ckpt_rec_sink_")
+    ckpt = scratch_dir("ckpt_rec_wal_")
+    # phase 1: all but the last file
+    for f in parts[:-1]:
+        shutil.copy(os.path.join(prepared, f), os.path.join(src, f))
+
+    schema = load_table(spark, SF_DIR, "events").schema
+
+    def run_drain():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("event_id")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_drain()
+    n_phase1 = spark.read.parquet(sink).count()
+    # "crash", then a new file arrives; resume from the same checkpoint
+    shutil.copy(os.path.join(prepared, parts[-1]), os.path.join(src, parts[-1]))
+    run_drain()
+    out = spark.read.parquet(sink)
+    n_total_events = load_table(spark, SF_DIR, "events").count()
+    assert n_phase1 < n_total_events  # phase 1 genuinely partial
+    assert out.count() == n_total_events  # resume processed ONLY the new file
+    # exactly once: no event_id appears twice across the two drains
+    assert out.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0

@@ -152,3 +152,38 @@ def spark_join_views(spark):
 def test_fuzz_join_query(seed, spark_join_views, duck):
     sql = gen_join_query(seed)
     assert_matches_oracle(spark_join_views.sql(sql), duck, sql, float_tol=2e-4)
+
+
+N_WINDOW_CASES = 12
+
+
+def gen_window_query(seed: int) -> str:
+    """Random window-function query over events: random predicate, partition
+    keys, and function — always totally ordered (event_id tiebreak) so both
+    engines agree row-for-row."""
+    rng = random.Random(20_000 + seed)
+    pred = _predicate(rng, _EVENTS_NUM, _EVENTS_STR)
+    part = rng.choice(["user_id", "event_type", "user_id, event_type"])
+    direction = rng.choice(["ASC", "DESC"])
+    order = rng.choice(["ts", "value"])
+    over = f"OVER (PARTITION BY {part} ORDER BY {order} {direction}, event_id)"
+    fn = rng.choice(
+        [
+            f"ROW_NUMBER() {over}",
+            f"RANK() {over}",
+            f"DENSE_RANK() {over}",
+            f"LAG(event_type, 1) {over}",
+            f"LEAD(event_type, 1) {over}",
+            f"ROUND(SUM(value) {over.replace(')', ' ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)')}, 4)",
+        ]
+    )
+    return (
+        f"SELECT event_id, user_id, event_type, {fn} AS w "
+        f"FROM events WHERE ({pred})"
+    )
+
+
+@pytest.mark.parametrize("seed", range(N_WINDOW_CASES))
+def test_fuzz_window_query(seed, spark_views, duck):
+    sql = gen_window_query(seed)
+    assert_matches_oracle(spark_views.sql(sql), duck, sql, float_tol=2e-4)

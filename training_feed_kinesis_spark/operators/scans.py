@@ -236,3 +236,53 @@ def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).orc(out)
     return spark.read.orc(out)
+
+
+@register(
+    "source_json_permissive",
+    CAT,
+    """
+    SELECT (SELECT COUNT(*) FROM events WHERE event_type = 'view') AS n_valid,
+           CAST(5 AS BIGINT)  AS n_corrupt
+    """,
+)
+def source_json_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record tolerance: PERMISSIVE JSON parse routes unparseable
+    lines into `_corrupt_record` instead of failing the job — mandatory for
+    a real feed, where one producer bug must not poison the whole batch.
+    Five deterministic malformed lines are injected; the count of survivors
+    and corpses is the oracle. At 100 TB the corrupt branch is written to a
+    quarantine sink for replay, never dropped silently."""
+    import os
+
+    out = scratch_dir("json_perm_")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    ev.select("event_id", "user_id", "event_type", "value").write.mode(
+        "overwrite"
+    ).json(out)
+    bad = os.path.join(out, "part-99999-malformed.json")
+    with open(bad, "w") as f:
+        for i in range(5):
+            f.write(f'{{"event_id": {i}, "user_id": BROKEN{i}\n')
+    schema = T.StructType(
+        list(_EVENT_JSON_SCHEMA.fields)
+        + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    # cache() before splitting on _corrupt_record: Spark requires the parsed
+    # relation to be materialized before referencing the corrupt column in
+    # disjoint filters (documented JSON-source restriction)
+    df = df.cache()
+    return df.agg(
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0)).alias(
+            "n_valid"
+        ),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+    )
