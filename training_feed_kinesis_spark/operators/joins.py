@@ -502,3 +502,32 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a.k.eqNullSafe(b.k)).select(
         a.k.alias("status_key"), "n_orders", "n_lines"
     )
+
+
+@register(
+    "join_hint_shuffle_hash",
+    CAT,
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 4) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner-control surface: the SHUFFLE_HASH hint forces a shuffled hash
+    join where the optimizer would default to broadcast/SMJ. Same result by
+    construction — the hint is the knob an operator uses when it KNOWS the
+    build side fits executor memory but exceeds the broadcast threshold
+    (common for mid-size dims at 100 TB: too big to broadcast, wasteful to
+    sort). MERGE/BROADCAST/SHUFFLE_REPLICATE_NL hints ride the same API."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").hint("shuffle_hash")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+        )
+    )

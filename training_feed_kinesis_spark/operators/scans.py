@@ -286,3 +286,28 @@ def source_json_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_corrupt"),
     )
+
+
+@register("scan_file_lineage", CAT)  # rows-only: file paths are environment-specific
+def scan_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level lineage via the hidden `_metadata` struct: every row tagged
+    with its source file and intra-file position — the provenance primitive
+    a 100 TB feed needs for quarantining bad producers, reprocessing a
+    single day's files, or attributing training examples back to shards.
+    Zero-cost: served from the reader's own bookkeeping, no extra scan."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select(
+            "doc_id",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                "source_file"
+            ),
+            F.col("_metadata.row_index").alias("row_index"),
+        )
+        .groupBy("source_file")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("row_index").alias("first_row"),
+            F.max("row_index").alias("last_row"),
+        )
+    )
