@@ -199,3 +199,42 @@ def llm_multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", "modality", "payload").mapInPandas(
         _transform_batch, schema=_TRANSFORM_SCHEMA
     )
+
+
+@register(
+    "multimodal_manifest",
+    CAT,
+    """
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'image'
+                           ELSE 'audio' END AS modality,
+           lang,
+           COUNT(*)                                        AS n_items,
+           CAST(SUM(octet_length(unhex(md5(text)))) AS BIGINT) AS total_payload_bytes,
+           CAST(SUM(n_chars) AS BIGINT)                    AS total_size_hint
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifest for a multimodal export: per (modality, language)
+    item counts and byte totals — what a training job's data loader reads
+    to plan shards BEFORE touching any payload bytes.
+
+    Scale shape: aggregates only metadata and octet_length(payload) — the
+    length is served from the column's own representation, the payload
+    bytes never shuffle (the module's cardinal rule for binary columns)."""
+    mm = _with_payload(spark, sf_dir)
+    return (
+        mm.select(
+            "modality",
+            F.col("meta.lang").alias("lang"),
+            F.octet_length("payload").alias("nbytes"),
+            F.col("meta.size_hint").alias("size_hint"),
+        )
+        .groupBy("modality", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("nbytes").cast("bigint").alias("total_payload_bytes"),
+            F.sum("size_hint").cast("bigint").alias("total_size_hint"),
+        )
+    )
