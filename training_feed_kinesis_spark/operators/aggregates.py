@@ -413,3 +413,26 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.filter(F.col("n_docs").isNotNull()).select(
         "source", "lang", F.col("n_docs").cast("bigint").alias("n_docs")
     )
+
+
+@register(
+    "agg_boolean",
+    "2.D aggregations",
+    """
+    SELECT user_id,
+           bool_and(value >= 0)                  AS all_nonneg,
+           bool_or(event_type = 'error')         AS any_error,
+           count_if(event_type = 'purchase')     AS n_purchases
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family: every/any/count_if — the predicates-per-
+    group shape behind data-quality gates (all rows valid? any poison
+    marker? how many conversions?). Plain partial-aggregating hash agg."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("event_type") == "error").alias("any_error"),
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+    )

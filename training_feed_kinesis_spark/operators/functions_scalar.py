@@ -382,3 +382,35 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("user_id ^ event_id").alias("xored"),
         F.bit_count("user_id").cast("bigint").alias("popcount"),
     )
+
+
+@register(
+    "fn_trig",
+    CAT,
+    """
+    SELECT event_id,
+           ROUND(sin(value / 100), 4)            AS s,
+           ROUND(cos(value / 100), 4)            AS c,
+           ROUND(atan2(value, 100), 4)           AS a2,
+           ROUND(degrees(value / 100), 4)        AS deg,
+           ROUND(exp(-value / 100), 4)           AS decay
+    FROM events WHERE event_type = 'click' AND user_id = 0
+    """,
+)
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric / transcendental family (sin, cos, atan2, degrees,
+    exp) — the math under positional encodings, geo features, and decay
+    weighting. ROUND(.,4) absorbs last-ulp libm differences between
+    engines; all codegen'd scalar ops."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "click") & (F.col("user_id") == 0)
+    )
+    v = F.col("value") / 100
+    return ev.select(
+        "event_id",
+        F.round(F.sin(v), 4).alias("s"),
+        F.round(F.cos(v), 4).alias("c"),
+        F.round(F.atan2(F.col("value"), F.lit(100)), 4).alias("a2"),
+        F.round(F.degrees(v), 4).alias("deg"),
+        F.round(F.exp(-v), 4).alias("decay"),
+    )
