@@ -1,0 +1,272 @@
+"""Corpus- and time-series-analytics operators.
+
+Training-data curation ops beyond SURVEY §2.J's dedup/similarity core:
+cross-split contamination detection (the check every eval pipeline needs
+before trusting a test split), unigram negative-log-likelihood scoring (the
+cheap perplexity proxy used for corpus quality filtering), top-k n-gram
+census, and two event-stream time-series ops (gap-filled hourly resample,
+z-score anomaly flagging) a feed monitor runs on its own telemetry.
+
+All five are pure DataFrame compositions (no UDFs) and DuckDB-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+CAT_TEXT = "2.J llm-pipeline (text)"
+CAT_TS = "2.M workloads"
+
+# 8-token shingles for contamination: long enough that word-salad docs do
+# not collide by chance (3-shingles match ~100% of this corpus; 8-shingles
+# match ~8%, measured), mirroring the 8-13-gram windows used in public
+# decontamination pipelines.
+_W = "split(lower(text), ' ')"
+_SHINGLES8 = (
+    "CASE WHEN size(w) >= 8 THEN "
+    "array_distinct(transform(sequence(1, size(w) - 7), "
+    "i -> array_join(slice(w, i, 8), ' '))) ELSE array() END"
+)
+_W_SQL = "string_split(lower(text), ' ')"
+_SHINGLES8_SQL = (
+    "list_distinct(list_transform(range(1, len(w) - 6), "
+    "i -> array_to_string(w[i:i+7], ' ')))"
+)
+
+
+def _shingle8_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, is_test, s) exploded distinct 8-shingles with the hash-based
+    train/test split tag. Split by md5 prefix (SURVEY §2.L `split_train_test`
+    idiom): reproducible on any engine/cluster, no RNG state."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.expr(_W).alias("w"),
+            (
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) >= "d0"
+            ).alias("is_test"),
+        )
+        .select("doc_id", "is_test", F.explode(F.expr(_SHINGLES8)).alias("s"))
+    )
+
+
+_SH8_SQL = f"""
+  WITH t AS (SELECT doc_id, {_W_SQL} AS w,
+                    substr(md5(doc_id::VARCHAR), 1, 2) >= 'd0' AS is_test
+             FROM documents),
+  sh AS (SELECT doc_id, is_test, unnest({_SHINGLES8_SQL}) AS s
+         FROM t WHERE len(w) >= 8)
+"""
+
+
+@register(
+    "llm_contamination",
+    CAT_TEXT,
+    _SH8_SQL
+    + """
+    SELECT a.doc_id, COUNT(*) AS n_shared
+    FROM sh a JOIN (SELECT DISTINCT s FROM sh WHERE NOT is_test) b
+      ON a.s = b.s
+    WHERE a.is_test
+    GROUP BY a.doc_id
+    """,
+)
+def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test contamination: test-split docs sharing ≥1 distinct
+    8-token shingle with any train-split doc, with the shared-shingle count.
+
+    The train side reduces to DISTINCT shingles before the join — the
+    membership probe never carries doc ids, so the shuffle key is the
+    shingle alone and hot shingles don't fan out train-side. At 100 TB the
+    string shingle would be xxhash64-ed to a 8-byte key before the shuffle
+    (not done here: the hash functions differ across engines, which would
+    forfeit the oracle).
+    """
+    sh = _shingle8_rows(spark, sf_dir)
+    train = sh.filter(~F.col("is_test")).select("s").distinct()
+    return (
+        sh.filter(F.col("is_test"))
+        .join(train, "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@register(
+    "llm_unigram_logprob",
+    CAT_TEXT,
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+                 FROM documents),
+    cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT SUM(c)::DOUBLE AS n FROM cnt)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(-ln(c::DOUBLE / n)), 4) AS avg_nll
+    FROM tok JOIN cnt USING (t), tot
+    GROUP BY doc_id
+    """,
+)
+def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus's own
+    unigram MLE — the standard cheap perplexity proxy for quality filtering
+    (high avg_nll = rare-token-heavy documents).
+
+    Two aggregates over one exploded token relation: corpus counts (small —
+    vocabulary-sized — so the count table broadcasts back onto the token
+    stream), and the per-doc average. The corpus total is a broadcast
+    1-row scalar. At 100 TB the vocab table is the only state that must fit
+    per-executor; for open vocabularies it would be frequency-truncated
+    with an <unk> bucket.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").cast("double").alias("n"))
+    return (
+        tok.join(F.broadcast(cnt), "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c").cast("double") / F.col("n"))), 4).alias(
+                "avg_nll"
+            ),
+        )
+    )
+
+
+@register(
+    "llm_bigram_topk",
+    CAT_TEXT,
+    """
+    WITH tok AS (SELECT {w} AS w FROM documents),
+    bg AS (SELECT unnest(list_transform(range(1, len(w)),
+                  i -> w[i] || ' ' || w[i+1])) AS bigram
+           FROM tok WHERE len(w) >= 2)
+    SELECT bigram, COUNT(*) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 20
+    """.format(w=_W_SQL),
+)
+def llm_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams — the n-gram census behind stop-phrase lists
+    and boilerplate detection. Generate evaluates the bigram transform
+    inline under the explode; the count is a two-phase hash aggregate and
+    the top-20 is TakeOrderedAndProject (no global sort), deterministic via
+    the bigram tiebreak.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = (
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), "
+        "i -> concat_ws(' ', element_at(w, i), element_at(w, i+1))) "
+        "ELSE array() END"
+    )
+    return (
+        d.select(F.expr(_W).alias("w"))
+        .select(F.explode(F.expr(bigrams)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+_HOURLY_SQL = """
+  WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS n
+                  FROM events GROUP BY user_id, date_trunc('hour', ts))
+"""
+
+
+def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "ts_resample_gapfill",
+    CAT_TS,
+    _HOURLY_SQL
+    + """,
+    span AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1
+             FROM hourly GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+             FROM span)
+    SELECT g.user_id, g.h, COALESCE(n, 0) AS n_events
+    FROM grid g LEFT JOIN hourly USING (user_id, h)
+    """,
+)
+def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with zero-filled gaps over each user's active span —
+    the dense regular series downstream forecasting/monitoring expects.
+
+    The dense grid is GENERATED per user (``sequence`` + explode over the
+    per-user [min,max] hour span), never materialized as a cross join of
+    users × global span. Grid and hourly counts shuffle on the same
+    (user_id) key family, and the left join fills gaps with 0. At 100 TB
+    span explosion is bounded: rows out ≤ users × span-hours regardless of
+    event count.
+    """
+    hourly = _hourly(spark, sf_dir)
+    span = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, INTERVAL 1 HOUR)")).alias("h"),
+    )
+    return (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id", "h", F.coalesce(F.col("n"), F.lit(0)).alias("n_events")
+        )
+    )
+
+
+@register(
+    "ts_anomaly_zscore",
+    CAT_TS,
+    _HOURLY_SQL
+    + """,
+    stats AS (SELECT user_id, AVG(n::DOUBLE) AS mu,
+                     STDDEV_SAMP(n::DOUBLE) AS sd
+              FROM hourly GROUP BY user_id)
+    SELECT h.user_id, h.h, h.n AS n_events
+    FROM hourly h JOIN stats USING (user_id)
+    WHERE sd IS NOT NULL AND sd > 0 AND h.n > mu + 2 * sd
+    """,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity anomalies: hours whose event count exceeds that
+    user's mean + 2σ over its hourly series — self-join of the hourly
+    aggregate with its own per-user statistics.
+
+    Both sides derive from one shuffle on user_id (AQE reuses the
+    exchange); the stats side is one row per user. Threshold comparison is
+    strict-greater on a continuous value, so engine ulp differences cannot
+    flip membership except on exact-boundary counts (not present in this
+    corpus; a production pipeline would round the threshold).
+    """
+    hourly = _hourly(spark, sf_dir)
+    stats = hourly.groupBy(F.col("user_id").alias("su")).agg(
+        F.avg(F.col("n").cast("double")).alias("mu"),
+        F.stddev_samp(F.col("n").cast("double")).alias("sd"),
+    )
+    return (
+        hourly.join(stats, hourly.user_id == F.col("su"))
+        .filter(
+            F.col("sd").isNotNull()
+            & (F.col("sd") > 0)
+            & (F.col("n") > F.col("mu") + 2 * F.col("sd"))
+        )
+        .select("user_id", "h", F.col("n").alias("n_events"))
+    )
