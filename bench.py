@@ -48,6 +48,11 @@ HEADLINE = [
     "retention_cohorts",      # cohort retention matrix over the event log
     "batch_sessionize",   # lag-gap-cumsum sessionization
     "funnel_conversion",  # ordered multi-stage funnel
+    "q8_market_share",    # TPC-H Q8 shape: 8-table star market-share ratio
+    "q21_waiting_supplier",   # TPC-H Q21 shape: EXISTS/NOT-EXISTS self-joins
+    "llm_contamination",  # train→test 8-gram contamination probe
+    "llm_unigram_logprob",    # unigram NLL quality scoring
+    "ts_resample_gapfill",    # per-user hourly gap-filled resample
     "stream_tumbling",    # streaming drain: windowed agg over event replay
 ]
 

@@ -161,3 +161,53 @@ def test_partitioned_sink_enables_partition_pruning(spark, registry):
     df = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
     plan = _plan(df)
     assert "PartitionFilters: [isnotnull(event_type" in plan, plan
+
+
+def test_q21_self_joins_no_cartesian(spark, registry):
+    # EXISTS / NOT-EXISTS self-correlations must plan as semi/anti joins
+    # with an equi key (l_orderkey) — a nested-loop fallback would be n²
+    # over the fact table at scale
+    plan = _plan(registry["q21_waiting_supplier"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+
+
+def test_q4_semi_join_residual_theta(spark, registry):
+    # the shipdate-vs-orderdate theta part must ride as a residual on the
+    # orderkey equi join, not force a nested loop
+    plan = _plan(registry["q4_order_priority"].fn(spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_envelope_predicates_push_to_scans(spark, registry):
+    # constraint propagation must derive scan-level envelopes from the
+    # disjunction (brand IN set on part; quantity bounds on lineitem)
+    plan = _plan(registry["q19_disjunctive_revenue"].fn(spark, SF_DIR))
+    scans = [l for l in plan.splitlines() if "PushedFilters" in l]
+    pushed = " ".join(scans)
+    assert "p_brand" in pushed, plan
+    assert "l_quantity" in pushed, plan
+
+
+def test_contamination_train_side_distinct_before_join(spark, registry):
+    # the train membership set must aggregate to DISTINCT shingles BELOW
+    # the join: probing with raw (doc, shingle) rows would fan out hot
+    # shingles across every test doc at scale
+    plan = _plan(registry["llm_contamination"].fn(spark, SF_DIR))
+    semi = plan.find("LeftSemi")
+    assert semi != -1, plan
+    assert "HashAggregate" in plan[semi:], plan
+    # only doc_id + text are read from the corpus
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert all("lang" not in l for l in read_schema), read_schema
+
+
+def test_gapfill_generates_grid_not_cross_join(spark, registry):
+    # the dense hour grid must come from per-user sequence() explode —
+    # never users × global-span cross join
+    plan = _plan(registry["ts_resample_gapfill"].fn(spark, SF_DIR))
+    assert "Generate" in plan and "sequence(h0" in plan, plan
+    assert "CartesianProduct" not in plan
