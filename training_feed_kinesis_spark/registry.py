@@ -52,6 +52,7 @@ _OPERATOR_MODULES = [
     "training_feed_kinesis_spark.operators.analytics",
     "training_feed_kinesis_spark.operators.pipeline_ops",
     "training_feed_kinesis_spark.operators.rollups",
+    "training_feed_kinesis_spark.operators.modern_sql",
     "training_feed_kinesis_spark.operators.sampling",
     "training_feed_kinesis_spark.streaming.queries",
 ]
