@@ -54,6 +54,7 @@ _OPERATOR_MODULES = [
     "training_feed_kinesis_spark.operators.rollups",
     "training_feed_kinesis_spark.operators.modern_sql",
     "training_feed_kinesis_spark.operators.sampling",
+    "training_feed_kinesis_spark.sources.pyds",
     "training_feed_kinesis_spark.streaming.queries",
 ]
 
