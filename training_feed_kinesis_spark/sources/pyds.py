@@ -159,3 +159,121 @@ def source_kinesis_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+# --- streaming variant: offset-managed replay (SimpleDataSourceStreamReader)
+
+if _PYDS_AVAILABLE:
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    def _envelope_rows(path: str):
+        """All events as Kinesis-envelope tuples, shard-routed and ordered
+        by (shard, event_id) with per-shard sequence numbers."""
+        import hashlib
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        t = t.set_column(
+            t.schema.get_field_index("ts"),
+            "ts",
+            pc.cast(t.column("ts"), pa.timestamp("us"), safe=False),
+        )
+        rows = t.to_pylist()
+        seq: dict[int, int] = {}
+        out = []
+        for r in sorted(rows, key=lambda r: r["event_id"]):
+            key = str(r["user_id"])
+            sh = _shard_of_hex(hashlib.md5(key.encode()).hexdigest()[0])
+            s = seq.get(sh, 0)
+            seq[sh] = s + 1
+            out.append(
+                (
+                    sh,
+                    s,
+                    key,
+                    r["event_id"],
+                    r["ts"],
+                    r["user_id"],
+                    r["event_type"],
+                    r["value"],
+                    r["props"],
+                )
+            )
+        return out
+
+    class KinesisReplayStreamReader(SimpleDataSourceStreamReader):
+        """Offset-managed replay: the offset is the count of records already
+        emitted; each poll emits everything newly available (here: the whole
+        remaining replay — one micro-batch per drain). A restarted query
+        resumes from the checkpointed offset and reads zero duplicates —
+        the sequence-number checkpoint contract of a Kinesis consumer."""
+
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def initialOffset(self):
+            return {"emitted": 0}
+
+        def read(self, start):
+            rows = _envelope_rows(self.path)
+            i = start["emitted"]
+            if i >= len(rows):
+                return (iter([]), start)
+            return (iter(rows[i:]), {"emitted": len(rows)})
+
+        def readBetweenOffsets(self, start, end):
+            rows = _envelope_rows(self.path)
+            return iter(rows[start["emitted"] : end["emitted"]])
+
+    class KinesisReplayStreamDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "kinesis_replay_stream"
+
+        def schema(self):
+            return _SCHEMA
+
+        def simpleStreamReader(self, schema):
+            return KinesisReplayStreamReader(self.options)
+
+
+@register(
+    "source_kinesis_pyds_stream",
+    "2.I streaming",
+    f"""
+    WITH sharded AS (
+      SELECT (strpos('0123456789abcdef',
+                     substr(md5(user_id::VARCHAR), 1, 1)) - 1) % {N_SHARDS}
+               AS shard_id,
+             event_type, value
+      FROM events)
+    SELECT shard_id, event_type, COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM sharded
+    GROUP BY shard_id, event_type
+    """,
+)
+def source_kinesis_pyds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING read through the custom Python data source: readStream →
+    per-shard aggregate → AvailableNow drain. The drained result must equal
+    the batch profile (exactly-once: offset checkpointing yields no loss and
+    no replay duplicates), which is precisely what the oracle asserts.
+    """
+    from ..streaming.replay import drain
+
+    spark.dataSource.register(KinesisReplayStreamDataSource)
+    stream = (
+        spark.readStream.format("kinesis_replay_stream")
+        .option("path", f"{sf_dir}/events.parquet")
+        .load()
+    )
+    return drain(
+        stream.groupBy("shard_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        ),
+        "complete",
+    )
