@@ -1,0 +1,120 @@
+"""Surface-completion extras: grouping flags, IGNORE NULLS, try_* arithmetic.
+
+Small but load-bearing corners of the declared families: GROUPING() flags
+(the only way to tell a real NULL group from a rollup subtotal),
+IGNORE NULLS window carry-forward (the standard gap-fill for sensor/event
+values), and the ANSI try_* arithmetic family (NULL-on-error semantics
+that stay portable across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import load_table
+
+CAT_AGG = "2.D aggregations"
+CAT_WIN = "2.E window functions"
+CAT_FN = "2.H scalar functions"
+
+
+@register(
+    "agg_grouping_flags",
+    CAT_AGG,
+    """
+    SELECT r_name, n_name,
+           GROUPING(r_name)::INT AS g_r, GROUPING(n_name)::INT AS g_n,
+           COUNT(*) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() flags on a rollup — disambiguates subtotal rows from
+    genuine NULL group values, which any BI layer over the rollup needs.
+    The flags are computed inside the same Expand pass; no extra shuffle.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("g_r"),
+            F.grouping("n_name").cast("int").alias("g_n"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "win_ignore_nulls",
+    CAT_WIN,
+    """
+    SELECT user_id, event_id,
+           LAST_VALUE(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS last_good_value
+    FROM events
+    """,
+)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS carry-forward: per user, the most recent non-error
+    value at each event — the standard last-observation-carried-forward
+    gap-fill. One window, full (ts, event_id) tiebreak so both engines
+    agree on ties; raw (unaggregated) doubles pass through bit-identical.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    good = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.last(good, ignorenulls=True).over(w).alias("last_good_value"),
+    )
+
+
+@register(
+    "fn_try_arith",
+    CAT_FN,
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(*) - COUNT(value / nullif(dayofmonth(ts) - 15, 0))
+             AS n_div_null,
+           ROUND(SUM(value / nullif(dayofmonth(ts) - 15, 0)), 4) AS sum_ratio,
+           SUM(CASE WHEN event_id % nullif(dayofmonth(ts) - 15, 0) IS NULL
+                    THEN 0 ELSE event_id % (dayofmonth(ts) - 15) END)::BIGINT
+             AS sum_mod
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI try_* arithmetic family: ``try_divide`` and ``try_mod`` return
+    NULL where strict evaluation would raise (division by zero) — the
+    portable spelling of error-tolerant math in a pipeline that must never
+    kill a 100 TB job on one bad row. The oracle restates the semantics
+    with nullif guards (DuckDB's strict ops error on /0, exactly the
+    failure mode try_* exists to absorb).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = F.dayofmonth("ts") - F.lit(15)
+    ratio = F.expr("try_divide(value, dayofmonth(ts) - 15)")
+    mod = F.expr("try_mod(event_id, dayofmonth(ts) - 15)")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count(ratio)).alias("n_div_null"),
+        F.round(F.sum(ratio), 4).alias("sum_ratio"),
+        F.sum(F.coalesce(mod, F.lit(0))).cast("bigint").alias("sum_mod"),
+    )
