@@ -238,3 +238,66 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("size_hint").cast("bigint").alias("total_size_hint"),
         )
     )
+
+
+def _byte_stats_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL numeric kernel (numpy, Arrow-batched): per-payload byte mean and
+    max. Unlike the stubbed codec decode, this computes actual values the
+    SQL oracle can re-derive from the hex spelling — the pattern for
+    validating any Python-side feature extractor."""
+    import numpy as np
+
+    for pdf in batches:
+        arrs = [np.frombuffer(b, dtype=np.uint8) for b in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "modality": pdf["modality"],
+                # sum/16 is a dyadic rational of an exact int — bit-identical
+                # to the oracle's list_sum(bytes)/16.0
+                "byte_mean": [float(a.sum()) / 16.0 for a in arrs],
+                "byte_max": [int(a.max()) for a in arrs],
+            }
+        )
+
+
+@register(
+    "multimodal_byte_stats",
+    CAT,
+    """
+    WITH b AS (
+      SELECT md5(text) AS h,
+             CASE doc_id % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'image'
+                             ELSE 'audio' END AS modality
+      FROM documents),
+    e AS (
+      SELECT modality,
+             list_transform(range(1, 17), i ->
+               (strpos('0123456789abcdef', substr(h, 2*i - 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(h, 2*i, 1)) - 1)) AS bytes
+      FROM b)
+    SELECT modality, COUNT(*) AS n,
+           ROUND(AVG(list_sum(bytes) / 16.0), 4) AS avg_byte_mean,
+           MAX(list_max(bytes))::INT AS max_byte
+    FROM e GROUP BY modality
+    """,
+)
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level payload statistics through the REAL Python kernel path:
+    mapInPandas + numpy over the binary column, aggregated per modality —
+    and still DuckDB-oracled, because the oracle recomputes the same bytes
+    from the hex spelling of the payload. This closes the loop the stubbed
+    codec ops can't: the Arrow→numpy→Arrow numeric path itself is
+    differential-tested, not just executed.
+
+    Scale: map-only over payload partitions (no payload shuffle); the
+    aggregate ships 3 groups × 2 doubles.
+    """
+    src = _with_payload(spark, sf_dir).select("modality", "payload")
+    feats = src.mapInPandas(
+        _byte_stats_batch, "modality string, byte_mean double, byte_max int"
+    )
+    return feats.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("byte_mean"), 4).alias("avg_byte_mean"),
+        F.max("byte_max").alias("max_byte"),
+    )
