@@ -401,3 +401,78 @@ def join_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = drain(joined.select("p_event", "c_event", "p_user", "p_ts", "c_ts"), "append")
     return res
+
+
+@register(
+    "stream_cdc_merge",
+    CAT,
+    """
+    WITH ranked AS (
+      SELECT user_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, ts AS last_ts, event_type AS last_type,
+           ROUND(value, 4) AS last_value
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert: each micro-batch MERGEs into a versioned
+    snapshot via foreachBatch — latest-wins per key under the (ts,
+    event_id) total order, tombstones (latest = 'error') retained in the
+    snapshot and dropped only at serve time (so an out-of-order older
+    change can never resurrect a deleted key mid-stream).
+
+    Because per-key argmax is associative, incremental merge over any batch
+    split equals the global batch compaction — which is exactly what the
+    oracle asserts (same SQL as ``cdc_latest_merge``). Versioned snapshot
+    dirs stand in for a table format's transactional commit; production
+    swaps the write for MERGE INTO on Delta/Iceberg, keyed by batchId for
+    replay idempotence.
+    """
+    from pyspark.sql.window import Window
+
+    stream = replay_stream(spark, sf_dir, "ordered")
+    root = scratch_dir("cdc_merge_")
+    state = {"v": 0}
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    cols = ["user_id", "ts", "event_id", "event_type", "value"]
+
+    def merge(batch_df, batch_id):
+        b = (
+            batch_df.select(*cols)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if state["v"]:
+            b = spark.read.parquet(f"{root}/v{state['v']}").unionByName(b)
+            b = (
+                b.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+        state["v"] += 1
+        b.write.mode("overwrite").parquet(f"{root}/v{state['v']}")
+
+    (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", scratch_dir("ckpt_cdc_"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(f"{root}/v{state['v']}")
+        .filter(F.col("event_type") != "error")
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.round("value", 4).alias("last_value"),
+        )
+    )
