@@ -118,3 +118,42 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(ratio), 4).alias("sum_ratio"),
         F.sum(F.coalesce(mod, F.lit(0))).cast("bigint").alias("sum_mod"),
     )
+
+
+@register(
+    "observe_metrics",
+    "2.A scans/sources/sinks",
+    """
+    SELECT COUNT(*) AS n_rows,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(MAX(l_extendedprice), 4) AS max_price
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    """,
+)
+def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight pipeline metrics via ``DataFrame.observe`` — the
+    production pattern for row-count / checksum telemetry that rides the
+    SAME job as the real work instead of a second scan. The observed
+    accumulator values (collected driver-side after the action, O(metrics)
+    bytes) are returned as a 1-row frame and oracled against a plain
+    aggregate — proving observe() sees every row exactly once.
+    """
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    obs = Observation("lineitem_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the real job
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_qty"], m["max_price"])],
+        "n_rows bigint, sum_qty double, max_price double",
+    )
