@@ -157,3 +157,54 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["sum_qty"], m["max_price"])],
         "n_rows bigint, sum_qty double, max_price double",
     )
+
+
+@register(
+    "agg_regression",
+    CAT_AGG,
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(regr_slope(value, hour(ts)), 4) AS slope,
+           ROUND(regr_intercept(value, hour(ts)), 4) AS intercept,
+           ROUND(regr_r2(value, hour(ts)), 4) AS r2
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (regr_slope / regr_intercept /
+    regr_r2): value-vs-hour-of-day trend per event type in one distributed
+    pass — the moment-sketch shape (sums of x, y, xy, x²) that partial
+    aggregation pushes map-side like any sum.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("regr_slope(value, hour(ts))"), 4).alias("slope"),
+        F.round(F.expr("regr_intercept(value, hour(ts))"), 4).alias("intercept"),
+        F.round(F.expr("regr_r2(value, hour(ts))"), 4).alias("r2"),
+    )
+
+
+@register("agg_sketch_merge", CAT_AGG)  # rows-only: HLL sketches are approx
+def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reaggregatable distinct-count sketches (Apache DataSketches HLL,
+    Spark 3.5+): per-day user sketches built once, then UNION-merged to a
+    monthly estimate WITHOUT touching raw data again — the property that
+    makes 100 TB rollup hierarchies cheap (store sketch bytes per grain,
+    merge upward; never re-scan). The exact-count companion
+    (`agg_count_distinct`) is the oracled ground truth; sketches are
+    approximate by design, hence rows-only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.dayofmonth("ts").alias("d")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+        .cast("bigint")
+        .alias("approx_monthly_users"),
+    )

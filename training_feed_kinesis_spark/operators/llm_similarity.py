@@ -382,3 +382,38 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("node").alias("vec_id"), F.col("label").alias("component"))
+
+
+@register(
+    "llm_dedup_apply",
+    "2.J llm-pipeline (dedup)",
+    f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    reach(node, label) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT CASE WHEN r.node = e.a THEN e.b ELSE e.a END, r.label
+      FROM reach r JOIN edges e ON r.node = e.a OR r.node = e.b
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+    sizes AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component)
+    SELECT csize, COUNT(*) AS n_clusters,
+           SUM(csize - 1)::BIGINT AS n_dropped
+    FROM sizes GROUP BY csize
+    """,
+)
+def llm_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step after cluster formation: elect the minimum-id member
+    of each component as the keeper and measure the dedup yield — cluster
+    size distribution plus rows dropped per size class (csize-1 per
+    cluster). Composes directly on ``llm_dedup_clusters``' label frame; at
+    scale this is two small aggregations over (node, component) — the
+    payloads themselves are then filtered by a semi join against keepers,
+    which never shuffles the corpus.
+    """
+    labels = llm_dedup_clusters(spark, sf_dir)
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    return sizes.groupBy("csize").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.col("csize") - 1).cast("bigint").alias("n_dropped"),
+    )
