@@ -8,7 +8,8 @@ sys.path.insert(0, "/root/repo")
 import duckdb
 from pyspark.sql import SparkSession
 
-SF = "/root/testdata/sf0.01"
+import os as _os
+SF = _os.environ.get("TFK_SIM_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def norm(v):

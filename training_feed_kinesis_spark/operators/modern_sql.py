@@ -169,3 +169,31 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_long").cast("bigint").alias("n_long"),
         )
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    CAT_SQL,
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0, `|>`): the linear FROM-first spelling of
+    scan → filter → aggregate. Parses to the identical logical plan as the
+    nested SELECT (the oracle states the classic form), so Catalyst
+    optimizations apply unchanged — syntax coverage, zero plan cost.
+    """
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |> AGGREGATE COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty
+           GROUP BY l_returnflag, l_linestatus
+        """
+    )
