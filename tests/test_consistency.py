@@ -228,3 +228,70 @@ def test_checkpoint_recovery_processes_each_file_once(spark):
     assert out.count() == n_total_events  # resume processed ONLY the new file
     # exactly once: no event_id appears twice across the two drains
     assert out.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_stream_cdc_merge_equals_batch_compaction(spark, registry):
+    """Incremental foreachBatch CDC merge over the replay ≡ one-shot batch
+    changelog compaction (per-key argmax is associative across any batch
+    split)."""
+    stream = registry["stream_cdc_merge"].fn(spark, SF_DIR)
+    batch = registry["cdc_latest_merge"].fn(spark, SF_DIR)
+    cols = ("user_id", "last_ts", "last_type", "last_value")
+    assert _rows(stream, *cols) == _rows(batch, *cols)
+
+
+def test_dedup_apply_census_consistent_with_clusters(spark, registry):
+    """The apply-step census must account for every vector exactly once:
+    Σ(csize · n_clusters) = corpus size, Σ n_dropped = corpus − keepers."""
+    from training_feed_kinesis_spark.tables import load_table
+
+    census = registry["llm_dedup_apply"].fn(spark, SF_DIR).collect()
+    clusters = registry["llm_dedup_clusters"].fn(spark, SF_DIR)
+    n_vecs = load_table(spark, SF_DIR, "embeddings").count()
+    n_components = clusters.select("component").distinct().count()
+    assert sum(r["csize"] * r["n_clusters"] for r in census) == n_vecs
+    assert sum(r["n_dropped"] for r in census) == n_vecs - n_components
+
+
+def test_gapfill_preserves_event_totals(spark, registry):
+    """Zero-filling must neither lose nor invent events: the gap-filled
+    series sums to the raw event count, and every user's series is a dense
+    hour grid (span hours == row count)."""
+    from pyspark.sql import functions as F
+
+    from training_feed_kinesis_spark.tables import load_table
+
+    grid = registry["ts_resample_gapfill"].fn(spark, SF_DIR)
+    total = grid.agg(F.sum("n_events")).collect()[0][0]
+    assert total == load_table(spark, SF_DIR, "events").count()
+    dense = (
+        grid.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            (
+                (F.unix_timestamp(F.max("h")) - F.unix_timestamp(F.min("h")))
+                / 3600 + 1
+            ).cast("long").alias("span_hours"),
+        )
+        .filter(F.col("rows") != F.col("span_hours"))
+        .count()
+    )
+    assert dense == 0
+
+
+def test_weighted_sample_prefers_long_docs(spark, registry):
+    """The n_chars-weighted sample must skew long: its mean length exceeds
+    the corpus mean (sanity on the -ln(u)/w key direction)."""
+    from pyspark.sql import functions as F
+
+    from training_feed_kinesis_spark.tables import load_table
+
+    sample_mean = (
+        registry["sample_weighted"].fn(spark, SF_DIR)
+        .agg(F.avg("n_chars")).collect()[0][0]
+    )
+    corpus_mean = (
+        load_table(spark, SF_DIR, "documents")
+        .agg(F.avg("n_chars")).collect()[0][0]
+    )
+    assert sample_mean > corpus_mean
