@@ -208,3 +208,47 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("approx_monthly_users"),
     )
+
+
+@register(
+    "fn_map_hof",
+    CAT_FN,
+    """
+    WITH m AS (
+      SELECT event_type,
+             json_extract_string(props, '$.k')::INT AS k_val,
+             length(props) AS len_val
+      FROM events)
+    SELECT event_type,
+           SUM(CASE WHEN (k_val * 2) % 4 = 0 THEN k_val * 2 ELSE 0 END
+               + CASE WHEN (len_val * 2) % 4 = 0 THEN len_val * 2 ELSE 0 END
+              )::BIGINT AS sum_kept
+    FROM m GROUP BY event_type
+    """,
+)
+def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions — build a map from the parsed payload
+    plus derived metadata, ``transform_values`` (double every value), then
+    ``map_filter`` (keep multiples of 4) and aggregate what survives. The
+    whole chain is JVM-side expression evaluation inside codegen; the
+    oracle restates the arithmetic on the unrolled entries (DuckDB's map
+    dialect differs, the semantics don't).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        "event_type",
+        F.expr(
+            "map_filter("
+            "  transform_values("
+            "    map_from_arrays(array('k', 'len'),"
+            "      array(CAST(get_json_object(props, '$.k') AS INT),"
+            "            length(props))),"
+            "    (k, v) -> v * 2),"
+            "  (k, v) -> v % 4 = 0)"
+        ).alias("kept"),
+    )
+    return m.groupBy("event_type").agg(
+        F.sum(
+            F.expr("aggregate(map_values(kept), 0, (a, b) -> a + b)")
+        ).cast("bigint").alias("sum_kept")
+    )
