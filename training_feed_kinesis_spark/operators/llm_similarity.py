@@ -357,7 +357,12 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     labels = em.select(F.col("vec_id").alias("node"), F.col("vec_id").alias("label"))
-    for _ in range(15):
+    # Runs TO CONVERGENCE (a fixed iteration cap silently under-merges
+    # long-chain components — observed at sf0.1). Each round combines
+    # neighbor min-label propagation with pointer doubling (adopt your
+    # label's own label), so rounds needed is O(log diameter), not
+    # O(diameter); the cap below is a runaway backstop, not a tuning knob.
+    for _ in range(64):
         msgs = (
             edges.join(labels, edges.a == labels.node)
             .select(F.col("b").alias("node"), "label")
@@ -366,10 +371,17 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.col("a").alias("node"), "label")
             )
         )
-        new_labels = (
+        propagated = (
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        parent = propagated.select(
+            F.col("node").alias("pn"), F.col("label").alias("pl")
+        )
+        new_labels = (
+            propagated.join(parent, propagated.label == F.col("pn"))
+            .select("node", F.col("pl").alias("label"))
             .localCheckpoint()
         )
         changed = (
@@ -381,6 +393,8 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:  # pragma: no cover - backstop only
+        raise RuntimeError("connected components did not converge in 64 rounds")
     return labels.select(F.col("node").alias("vec_id"), F.col("label").alias("component"))
 
 
