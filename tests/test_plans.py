@@ -211,3 +211,35 @@ def test_gapfill_generates_grid_not_cross_join(spark, registry):
     plan = _plan(registry["ts_resample_gapfill"].fn(spark, SF_DIR))
     assert "Generate" in plan and "sequence(h0" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+# Streaming / sink / iterative keys whose fn() executes work on call (drain,
+# write, driver loop) rather than returning a lazy plan — excluded from the
+# registry-wide plan sweep to keep it fast; their plan properties are
+# asserted by their own tests above and by the correctness suite.
+_PLAN_SWEEP_EXCLUDE = frozenset(
+    k
+    for k in (
+        "source_kinesis", "source_kinesis_pyds_stream", "stream_cdc_merge",
+        "sink_parquet", "sink_foreachbatch", "sink_partitioned",
+        "sink_compacted", "join_stream_static", "join_stream_stream",
+        "llm_dedup_clusters", "llm_dedup_apply", "stream_exactly_once",
+    )
+)
+
+
+def test_no_cartesian_product_anywhere(spark, registry):
+    """Registry-wide O(n²) guard: NO registered operator may plan a
+    CartesianProduct — the node Spark emits only for an unconstrained
+    fact×fact cross. (1-row scalar broadcasts plan as
+    BroadcastNestedLoopJoin, which is fine and not matched here.) A single
+    sweep catches a quadratic regression in ANY operator before it ships.
+    """
+    offenders = []
+    for key, spec in sorted(registry.items()):
+        if key in _PLAN_SWEEP_EXCLUDE or key.startswith("stream"):
+            continue
+        plan = _plan(spec.fn(spark, SF_DIR), "simple")
+        if "CartesianProduct" in plan:
+            offenders.append(key)
+    assert not offenders, f"CartesianProduct in: {offenders}"
