@@ -295,3 +295,12 @@ def test_weighted_sample_prefers_long_docs(spark, registry):
         .agg(F.avg("n_chars")).collect()[0][0]
     )
     assert sample_mean > corpus_mean
+
+
+def test_ann_recall_floor(spark, registry):
+    """The cosine-LSH candidate generator must retain ≥80% of exact top-k
+    neighbors at test scale — the quality gate for swapping the exact path
+    out at scale."""
+    row = registry["llm_ann_recall"].fn(spark, SF_DIR).collect()[0]
+    assert row["n_queries"] > 0
+    assert row["avg_recall"] >= 0.8, row

@@ -431,3 +431,68 @@ def llm_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum(F.col("csize") - 1).cast("bigint").alias("n_dropped"),
     )
+
+
+@register("llm_ann_recall", CAT)  # rows-only: measures an approx operator
+def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY measurement: recall@k of a cosine-LSH candidate set
+    against the exact cosine top-k ground truth — the number every
+    approximate index must report before it replaces the exact path
+    (speed without recall is silent corpus damage).
+
+    The standard reduction makes LSH and ground truth commensurable:
+    L2-NORMALIZE first, so euclidean distance is monotone in cosine
+    (d² = 2 − 2·cos) and a distance threshold of 1.35 covers the whole
+    top-k cosine band of this corpus. recall@k = |exact top-k pairs found
+    among candidates| / k, per query, averaged. Both sides run the
+    registered machinery (llm_sim_topk exact; BucketedRandomProjectionLSH
+    seeded like llm_sim_lsh), so the measurement reflects what ships. At
+    100 TB the exact side runs on a sampled probe set — exactly how
+    llm_sim_topk already bounds its probe side.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    exact = llm_sim_topk(spark, sf_dir).select("query_id", "neighbor_id")
+
+    unit = F.expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE) / "
+        "sqrt(aggregate(embedding, 0D, "
+        "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+    )
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(unit).alias("vec")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="hashes", bucketLength=1.0,
+        numHashTables=6, seed=42,
+    )
+    model = lsh.fit(em)
+    cand = (
+        model.approxSimilarityJoin(em, em, 1.35, distCol="dist")
+        .select(
+            F.col("datasetA.vec_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    hit = exact.join(cand, ["query_id", "neighbor_id"], "left_semi")
+    per_query = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hit.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")).alias(
+                "recall"
+            ),
+        )
+    )
+    return per_query.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("recall"), 4).alias("avg_recall"),
+    )
