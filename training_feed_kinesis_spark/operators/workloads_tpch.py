@@ -602,3 +602,121 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    CAT,
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, no join — the query
+    whose entire cost is how much the scan skips. All three predicates are
+    sargable and reach the parquet reader as PushedFilters (row-group
+    min/max skipping); the aggregate is a single partial+final sum.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & F.col("l_discount").between(0.03, 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q13_order_distribution",
+    CAT,
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer distribution by order count — LEFT JOIN
+    with the filter in the JOIN CONDITION (not WHERE: customers whose only
+    orders are urgent must survive with count 0), then a histogram of the
+    grouped counts. Two aggregations, each over the key it just produced,
+    so the second one is nearly free after the first's shuffle.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q20_stock_suppliers",
+    CAT,
+    """
+    SELECT s_name, ROUND(s_acctbal, 4) AS s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey
+      HAVING SUM(l_quantity) > 300)
+      AND s_nationkey IN (SELECT n_nationkey FROM nation
+                          WHERE n_name IN ('NATION_2', 'NATION_11'))
+    """,
+)
+def q20_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers of one product family who moved serious
+    volume in a year, in chosen nations — IN over an aggregated-HAVING
+    subquery (semi join against a grouped relation) chained with a dim
+    semi join. The volume threshold compares integer-valued double sums —
+    exact in IEEE regardless of summation order, so the boundary is
+    engine-stable.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    movers = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_suppkey")
+    )
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_2", "NATION_11")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .join(F.broadcast(movers), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 4).alias("s_acctbal"))
+    )
