@@ -270,3 +270,90 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "h", F.col("n").alias("n_events"))
     )
+
+
+@register(
+    "llm_bigram_pmi",
+    CAT_TEXT,
+    """
+    WITH tok AS (SELECT doc_id, {w} AS w FROM documents),
+    uni AS (
+      SELECT t, COUNT(*) AS c FROM (
+        SELECT unnest(w) AS t FROM tok) GROUP BY t),
+    n_uni AS (SELECT SUM(c)::DOUBLE AS n FROM uni),
+    bg AS (
+      SELECT t1, t2, COUNT(*) AS c12 FROM (
+        SELECT w[i] AS t1, w[i+1] AS t2
+        FROM tok, UNNEST(range(1, len(w))) AS r(i)
+        WHERE len(w) >= 2) GROUP BY t1, t2),
+    n_bg AS (SELECT SUM(c12)::DOUBLE AS nb FROM bg),
+    scored AS (
+      SELECT t1 || ' ' || t2 AS bigram, c12,
+             ROUND(ln((c12 / nb) / ((u1.c / n) * (u2.c / n))), 4) AS pmi
+      FROM bg, n_bg, n_uni
+      JOIN uni u1 ON t1 = u1.t
+      JOIN uni u2 ON t2 = u2.t
+      WHERE c12 >= 50)
+    SELECT bigram, c12, pmi
+    FROM scored
+    ORDER BY pmi DESC, bigram ASC
+    LIMIT 20
+    """.format(w=_W_SQL),
+)
+def llm_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 bigrams by pointwise mutual information
+    (PMI = ln P(xy) / P(x)P(y)) with a count floor — the statistic that
+    separates real phrases from frequency artifacts, used for tokenizer
+    merge candidates and boilerplate phrase lists.
+
+    Three aggregates over one tokenized relation (unigram counts, bigram
+    counts, totals); the unigram table is vocabulary-sized and broadcasts
+    onto the bigram stream; ranking is on the ROUNDED pmi with a bigram
+    tiebreak (SURVEY §5.3.5) via TakeOrderedAndProject.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.expr(_W).alias("w"))
+    uni = (
+        tok.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").cast("double").alias("n"))
+    bigrams = (
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), "
+        "i -> struct(element_at(w, i) AS t1, element_at(w, i+1) AS t2)) "
+        "ELSE array() END"
+    )
+    bg = (
+        tok.select(F.explode(F.expr(bigrams)).alias("p"))
+        .select("p.t1", "p.t2")
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= 50)
+    )
+    n_bg = (
+        tok.select(
+            F.greatest(F.expr("size(w) - 1"), F.lit(0)).alias("k")
+        ).agg(F.sum("k").cast("double").alias("nb"))
+    )
+    u1 = uni.select(F.col("t").alias("t1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("t").alias("t2"), F.col("c").alias("c2"))
+    return (
+        bg.join(F.broadcast(u1), "t1")
+        .join(F.broadcast(u2), "t2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bg))
+        .select(
+            F.concat_ws(" ", "t1", "t2").alias("bigram"),
+            "c12",
+            F.round(
+                F.log(
+                    (F.col("c12") / F.col("nb"))
+                    / ((F.col("c1") / F.col("n")) * (F.col("c2") / F.col("n")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
