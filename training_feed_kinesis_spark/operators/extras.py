@@ -252,3 +252,83 @@ def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("aggregate(map_values(kept), 0, (a, b) -> a + b)")
         ).cast("bigint").alias("sum_kept")
     )
+
+
+@register(
+    "fn_string_extended",
+    CAT_FN,
+    """
+    SELECT split_part(c_name, '#', 2) AS cust_no,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+           reverse(c_mktsegment) AS seg_rev,
+           repeat(left(c_mktsegment, 2), 2) AS seg_rep,
+           ascii(c_mktsegment) AS seg_ascii,
+           right(c_name, 3) AS name_tail,
+           replace(c_name, 'Customer', 'C') AS name_short
+    FROM customer
+    WHERE c_custkey < 100
+    """,
+)
+def fn_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string family: split_part / translate / reverse / repeat /
+    ascii / left / right / replace — the second tier of string surface
+    beyond `fn_string`, all JVM builtins inside codegen, dialect-identical
+    across engines on these inputs.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return c.select(
+        F.split_part("c_name", F.lit("#"), F.lit(2)).alias("cust_no"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_tr"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.repeat(F.left("c_mktsegment", F.lit(2)), 2).alias("seg_rep"),
+        F.ascii("c_mktsegment").alias("seg_ascii"),
+        F.right("c_name", F.lit(3)).alias("name_tail"),
+        F.replace("c_name", F.lit("Customer"), F.lit("C")).alias("name_short"),
+    )
+
+
+@register(
+    "orders_interarrival",
+    "2.M workloads",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderdate,
+             LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev_d
+      FROM orders),
+    gaps AS (
+      SELECT c_mktsegment,
+             date_diff('day', prev_d, o_orderdate) AS gap_days
+      FROM seq JOIN customer ON o_custkey = c_custkey
+      WHERE prev_d IS NOT NULL)
+    SELECT c_mktsegment, COUNT(*) AS n_gaps,
+           ROUND(AVG(gap_days), 4) AS avg_gap_days,
+           MAX(gap_days) AS max_gap_days
+    FROM gaps GROUP BY c_mktsegment
+    """,
+)
+def orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cadence analytics: inter-arrival days between consecutive
+    orders per customer (lag window, orderkey tiebreak), aggregated to
+    cadence statistics per market segment — the repeat-behavior workload a
+    feed processor derives for downstream models.
+
+    The lag window shuffles on o_custkey; the segment join rides broadcast
+    (customer is dimension-sized relative to orders); the aggregate is
+    partial+final.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.withColumn("prev_d", F.lag("o_orderdate").over(w)).filter(
+        F.col("prev_d").isNotNull()
+    )
+    gaps = seq.join(F.broadcast(c), seq.o_custkey == c.c_custkey).select(
+        "c_mktsegment",
+        F.datediff("o_orderdate", "prev_d").alias("gap_days"),
+    )
+    return gaps.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
+        F.max("gap_days").alias("max_gap_days"),
+    )
