@@ -363,3 +363,96 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+@register(
+    "customer_rfm",
+    CAT,
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS freq,
+             ROUND(SUM(o_totalprice), 4) AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey,
+             ntile(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY freq, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM rfm)
+    SELECT r_score, f_score, m_score, COUNT(*) AS n_customers
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary quintiles per customer,
+    reported as segment-cell sizes. Ranking keys are ROUNDED before ntile
+    (raw double sums order differently across engines at the ulp level —
+    SURVEY §5.3.1 applied to ORDER BY, not just output) with custkey
+    tiebreaks. Scale note: global ntile = single-partition window over one
+    row per CUSTOMER (already aggregated — fine far beyond 100 TB of
+    orders); past that, quantile edges come from approx_percentile.
+    """
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.round(F.sum("o_totalprice"), 4).alias("monetary"),
+    )
+    scored = rfm.select(
+        F.ntile(5).over(W.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(5).over(W.orderBy("freq", "o_custkey")).alias("f_score"),
+        F.ntile(5).over(W.orderBy("monetary", "o_custkey")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "events_markov",
+    CAT,
+    """
+    WITH seq AS (
+      SELECT event_type AS cur,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    trans AS (SELECT prev, cur, COUNT(*) AS c
+              FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur),
+    tot AS (SELECT prev, SUM(c)::DOUBLE AS t FROM trans GROUP BY prev)
+    SELECT trans.prev, cur, c, ROUND(c::DOUBLE / t, 4) AS p
+    FROM trans JOIN tot ON trans.prev = tot.prev
+    """,
+)
+def events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: the event-type transition matrix over
+    per-user sequences (lag window with full tiebreak) with row-normalized
+    probabilities — the sequence statistic behind next-action prediction
+    and anomaly scoring on the feed.
+
+    One shuffle on user_id for the lag; the 5×5 transition table and its
+    row totals are broadcast-sized from there.
+    """
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    trans = seq.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c"))
+    tot = trans.groupBy(F.col("prev").alias("tp")).agg(
+        F.sum("c").cast("double").alias("t")
+    )
+    return (
+        trans.join(F.broadcast(tot), trans.prev == F.col("tp"))
+        .select(
+            "prev", "cur", "c",
+            F.round(F.col("c").cast("double") / F.col("t"), 4).alias("p"),
+        )
+    )
