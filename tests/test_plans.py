@@ -243,3 +243,29 @@ def test_no_cartesian_product_anywhere(spark, registry):
         if "CartesianProduct" in plan:
             offenders.append(key)
     assert not offenders, f"CartesianProduct in: {offenders}"
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, registry):
+    # the 100 TB star-join pattern: a partitioned fact joined to a filtered
+    # dim on the partition column must prune partitions at RUNTIME from the
+    # dim's values (dynamicpruningexpression in PartitionFilters) — reading
+    # every partition and filtering post-join would scan the whole fact
+    import training_feed_kinesis_spark.operators.scans as scans
+    from pyspark.sql import functions as F
+
+    from training_feed_kinesis_spark.tables import load_table
+
+    out = scans.scratch_dir("dpp_probe_")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("click", 1), ("purchase", 2)], "etype string, w int"
+    )
+    j = (
+        fact.join(dim.filter(F.col("w") == 2), fact.event_type == F.col("etype"))
+        .groupBy("etype")
+        .count()
+    )
+    plan = _plan(j)
+    assert "dynamicpruningexpression" in plan, plan
