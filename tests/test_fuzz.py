@@ -187,3 +187,34 @@ def gen_window_query(seed: int) -> str:
 def test_fuzz_window_query(seed, spark_views, duck):
     sql = gen_window_query(seed)
     assert_matches_oracle(spark_views.sql(sql), duck, sql, float_tol=2e-4)
+
+
+# --- set-operation fuzzing -------------------------------------------------
+
+def gen_setop_query(seed: int) -> str:
+    """Random UNION [ALL] / INTERSECT / EXCEPT chain over two filtered
+    projections of the same table — same dual-dialect subset, same
+    discipline (no floats in the projected key set, so bag semantics hash
+    exactly)."""
+    rng = random.Random(seed)
+    table = rng.choice(["lineitem", "events"])
+    if table == "lineitem":
+        num_cols, str_cols = _LINEITEM_NUM, _LINEITEM_STR
+        proj = "l_returnflag, l_linestatus, CAST(l_quantity AS INT) AS q"
+    else:
+        num_cols, str_cols = _EVENTS_NUM, _EVENTS_STR
+        proj = "event_type, user_id % 7 AS bucket"
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    p1 = _predicate(rng, num_cols, str_cols)
+    p2 = _predicate(rng, num_cols, str_cols)
+    return (
+        f"SELECT {proj} FROM {table} WHERE {p1} "
+        f"{op} "
+        f"SELECT {proj} FROM {table} WHERE {p2}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_setop_query(seed, spark_views, duck):
+    sql = gen_setop_query(seed + 9000)
+    assert_matches_oracle(spark_views.sql(sql), duck, sql)

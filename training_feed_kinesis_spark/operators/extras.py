@@ -332,3 +332,47 @@ def orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
         F.max("gap_days").alias("max_gap_days"),
     )
+
+
+@register(
+    "win_ratio_to_report",
+    CAT_WIN,
+    """
+    WITH g AS (
+      SELECT l_returnflag, l_linestatus,
+             SUM(l_extendedprice) AS grp_rev
+      FROM lineitem GROUP BY l_returnflag, l_linestatus)
+    SELECT l_returnflag, l_linestatus,
+           ROUND(grp_rev, 4) AS group_rev,
+           ROUND(grp_rev / SUM(grp_rev) OVER (PARTITION BY l_returnflag), 4)
+             AS share_in_flag,
+           ROUND(grp_rev / SUM(grp_rev) OVER (), 4) AS share_total
+    FROM g
+    """,
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: a window over an AGGREGATE (share of each group
+    within its returnflag and of the grand total) — the two-level
+    percent-of-total every report needs, in one pass plus two
+    constant-width windows over the 6-row aggregate (the windows run over
+    GROUPS, not input rows — cost is output-sized at any data scale).
+    """
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_extendedprice").alias("grp_rev")
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("grp_rev", 4).alias("group_rev"),
+        F.round(
+            F.col("grp_rev")
+            / F.sum("grp_rev").over(W.partitionBy("l_returnflag")),
+            4,
+        ).alias("share_in_flag"),
+        F.round(
+            F.col("grp_rev") / F.sum("grp_rev").over(W.partitionBy()), 4
+        ).alias("share_total"),
+    )
