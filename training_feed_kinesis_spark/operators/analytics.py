@@ -357,3 +357,95 @@ def llm_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
         .limit(20)
     )
+
+
+@register(
+    "llm_curation_waterfall",
+    CAT_TEXT,
+    _SH8_SQL
+    + """,
+    contaminated AS (
+      SELECT DISTINCT a.doc_id
+      FROM sh a JOIN (SELECT DISTINCT s FROM sh WHERE is_test) b ON a.s = b.s
+      WHERE NOT a.is_test),
+    s0 AS (SELECT doc_id, lang, text,
+                  string_split(lower(text), ' ') AS w,
+                  substr(md5(doc_id::VARCHAR), 1, 2) < 'd0' AS is_train
+           FROM documents),
+    s1 AS (SELECT * FROM s0
+           WHERE len(w) >= 20
+             AND len(list_distinct(w))::DOUBLE / len(w) >= 0.3),
+    s2 AS (SELECT * FROM s1
+           WHERE doc_id IN (SELECT MIN(doc_id) FROM s1
+                            GROUP BY md5(lower(trim(text))))),
+    s3 AS (SELECT * FROM s2
+           WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    s4 AS (SELECT * FROM s3 WHERE is_train)
+    SELECT 'raw' AS stage, (SELECT COUNT(*) FROM s0) AS n_docs
+    UNION ALL SELECT 'quality_gate', (SELECT COUNT(*) FROM s1)
+    UNION ALL SELECT 'exact_dedup', (SELECT COUNT(*) FROM s2)
+    UNION ALL SELECT 'decontaminated', (SELECT COUNT(*) FROM s3)
+    UNION ALL SELECT 'train_split', (SELECT COUNT(*) FROM s4)
+    """,
+)
+def llm_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composite: a full training-corpus curation run —
+    quality gates (length + type-token ratio), exact dedup (first doc per
+    normalized-text hash), decontamination (drop train docs sharing an
+    8-shingle with the held-out split), train-split selection — reported
+    as the per-stage survivor waterfall every data curator reads first.
+
+    Each stage composes operators registered individually
+    (llm_quality_score / llm_dedup_exact / llm_contamination /
+    split_train_test patterns); the waterfall proves the COMPOSITION. At
+    100 TB each stage is a filter or semi/anti join keyed on doc hashes —
+    no stage shuffles the text payload except the shingle probe, and the
+    five counts come from one cached lineage.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s0 = d.select(
+        "doc_id",
+        "text",
+        F.expr(_W).alias("w"),
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "d0").alias(
+            "is_train"
+        ),
+    )
+    s1 = s0.filter(
+        (F.size("w") >= 20)
+        & (
+            F.size(F.array_distinct("w")).cast("double") / F.size("w")
+            >= 0.3
+        )
+    )
+    keepers = s1.groupBy(F.md5(F.lower(F.trim("text"))).alias("h")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    s2 = s1.join(
+        F.broadcast(keepers.select("keep_id")),
+        s1.doc_id == F.col("keep_id"),
+        "left_semi",
+    )
+    sh = _shingle8_rows(spark, sf_dir)
+    test_shingles = sh.filter(F.col("is_test")).select("s").distinct()
+    contaminated = (
+        sh.filter(~F.col("is_test"))
+        .join(test_shingles, "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    s3 = s2.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    s4 = s3.filter(F.col("is_train"))
+
+    def stage(name, df):
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage("raw", s0)
+        .unionByName(stage("quality_gate", s1))
+        .unionByName(stage("exact_dedup", s2))
+        .unionByName(stage("decontaminated", s3))
+        .unionByName(stage("train_split", s4))
+    )
