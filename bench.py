@@ -53,6 +53,8 @@ HEADLINE = [
     "llm_contamination",  # train→test 8-gram contamination probe
     "llm_unigram_logprob",    # unigram NLL quality scoring
     "ts_resample_gapfill",    # per-user hourly gap-filled resample
+    "llm_bigram_pmi",     # PMI collocation mining
+    "llm_curation_waterfall", # capstone: quality→dedup→decontam→split waterfall
     "stream_tumbling",    # streaming drain: windowed agg over event replay
 ]
 
