@@ -376,3 +376,33 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("grp_rev") / F.sum("grp_rev").over(W.partitionBy()), 4
         ).alias("share_total"),
     )
+
+
+@register(
+    "fn_encoding",
+    CAT_FN,
+    """
+    SELECT c_custkey,
+           to_base64(c_name::BLOB) AS b64,
+           decode(from_base64(to_base64(c_name::BLOB))) AS b64_rt,
+           hex(c_name) AS hx,
+           decode(unhex(hex(c_name))) AS hx_rt
+    FROM customer WHERE c_custkey < 50
+    """,
+)
+def fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encoding family: base64/unbase64 and hex/unhex with full
+    round-trips — the payload-safe transport spelling for binary columns
+    (multimodal payloads, checksums) through string-typed channels. Both
+    engines emit uppercase hex and padded base64, so the round-trip is
+    byte-exact and oracle-able.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 50)
+    name_bin = F.col("c_name").cast("binary")
+    return c.select(
+        "c_custkey",
+        F.base64(name_bin).alias("b64"),
+        F.unbase64(F.base64(name_bin)).cast("string").alias("b64_rt"),
+        F.hex("c_name").alias("hx"),
+        F.unhex(F.hex("c_name")).cast("string").alias("hx_rt"),
+    )
