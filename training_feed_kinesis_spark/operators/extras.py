@@ -406,3 +406,39 @@ def fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex("c_name").alias("hx"),
         F.unhex(F.hex("c_name")).cast("string").alias("hx_rt"),
     )
+
+
+@register(
+    "fn_interval_arith",
+    CAT_FN,
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+           strftime(o_orderdate + INTERVAL 45 DAY, '%Y-%m-%d') AS plus_45d,
+           date_diff('month', TIMESTAMP '1995-01-01', o_orderdate)::INT
+             AS months_since,
+           strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS qtr_start
+    FROM orders WHERE o_orderkey < 100
+    """,
+)
+def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic family: add_months / date_add / month-boundary
+    distance / quarter truncation, normalized to yyyy-MM-dd STRINGS on both engines
+    (Spark date functions return DATE, DuckDB interval addition keeps
+    TIMESTAMP, and pandas widens DATE to datetime64 — string formatting is
+    the one representation that survives every hop identically;
+    fractional months_between is deliberately avoided, its day-fraction
+    semantics differ across engines).
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus_3m"),
+        F.date_format(F.date_add("o_orderdate", 45), "yyyy-MM-dd").alias("plus_45d"),
+        (
+            (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+        ).cast("int").alias("months_since"),
+        F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd").alias(
+            "qtr_start"
+        ),
+    )
