@@ -304,3 +304,25 @@ def test_ann_recall_floor(spark, registry):
     row = registry["llm_ann_recall"].fn(spark, SF_DIR).collect()[0]
     assert row["n_queries"] > 0
     assert row["avg_recall"] >= 0.8, row
+
+
+def test_results_invariant_under_partitioning(spark, registry):
+    """Cluster-layout independence: the same query must produce identical
+    results with a different shuffle-partition count — the property that
+    makes every deterministic operator reproducible across cluster sizes
+    (md5 selection, rounded ranking keys, and total orders exist precisely
+    for this). Representative keys cover sampling, sketching, windowing,
+    and top-k."""
+    keys = ["sample_weighted", "llm_minhash_sig", "win_ranking", "topk_per_group"]
+    baseline = {
+        k: sorted(map(repr, registry[k].fn(spark, SF_DIR).collect()))
+        for k in keys
+    }
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        for k in keys:
+            again = sorted(map(repr, registry[k].fn(spark, SF_DIR).collect()))
+            assert again == baseline[k], f"{k} changed under repartitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
