@@ -442,3 +442,48 @@ def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qtr_start"
         ),
     )
+
+
+@register(
+    "udtf_polymorphic",
+    "2.K udf surface",
+    """
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents WHERE doc_id < 50)
+    SELECT doc_id, w[1] AS tok0, w[2] AS tok1, w[3] AS tok2
+    FROM t
+    """,
+)
+def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (static ``analyze``, Spark 3.5+): the output
+    schema is computed at plan time from a literal argument (k → k token
+    columns) — the table-function shape for wide feature extraction where
+    arity is a parameter, not a hardcoded schema. Correlated via LATERAL
+    per input row; the oracle restates the first-k extraction in SQL.
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class FirstTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument):
+            st = StructType()
+            for i in range(k.value):
+                st = st.add(f"tok{i}", StringType())
+            return AnalyzeResult(schema=st)
+
+        def eval(self, text: str, k: int):
+            toks = (text or "").lower().split(" ")[:k]
+            yield tuple(toks + [None] * (k - len(toks)))
+
+    spark.udtf.register("tfk_first_tokens", FirstTokens)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("udtf_poly_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, t.tok0, t.tok1, t.tok2
+        FROM udtf_poly_docs, LATERAL tfk_first_tokens(text, 3) t
+        """
+    )
