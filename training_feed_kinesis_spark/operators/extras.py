@@ -487,3 +487,32 @@ def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_poly_docs, LATERAL tfk_first_tokens(text, 3) t
         """
     )
+
+
+@register(
+    "fn_crypto_roundtrip",
+    CAT_FN,
+    """
+    SELECT c_custkey,
+           sha256(c_name) AS name_sha,
+           c_name AS decrypted
+    FROM customer WHERE c_custkey < 50
+    """,
+)
+def fn_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload crypto surface: AES-GCM encrypt→decrypt round-trip (the
+    at-rest envelope for sensitive feed fields) plus SHA-256 content
+    checksums. The ciphertext itself is nondeterministic (random GCM IV),
+    so the ORACLE asserts the two deterministic facts: decryption inverts
+    encryption exactly, and the checksum matches DuckDB's independent
+    SHA-256.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 50)
+    return c.select(
+        "c_custkey",
+        F.sha2(F.col("c_name"), 256).alias("name_sha"),
+        F.expr(
+            "CAST(aes_decrypt(aes_encrypt(c_name, '0123456789abcdef'), "
+            "'0123456789abcdef') AS STRING)"
+        ).alias("decrypted"),
+    )

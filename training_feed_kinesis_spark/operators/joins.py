@@ -531,3 +531,65 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 4).alias("total_qty"),
         )
     )
+
+
+@register(
+    "join_asof_forward",
+    CAT,
+    """
+    WITH clicks AS (SELECT user_id, event_id, ts FROM events
+                    WHERE event_type = 'click'),
+    purchases AS (SELECT user_id, ts FROM events
+                  WHERE event_type = 'purchase')
+    SELECT c.user_id, c.event_id,
+           p.ts AS next_purchase_ts,
+           date_diff('second', c.ts, p.ts)::BIGINT AS secs_to_purchase
+    FROM clicks c ASOF JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for every click, the nearest purchase AT OR
+    AFTER it by the same user — time-to-conversion, the mirror of the
+    backward as-of in `join_asof`. (Safe here because (user_id, ts) is
+    duplicate-free at every sf — verified — so the inclusive bound is
+    unambiguous.)
+
+    Spark has no native ASOF, and a range join would be a BNLJ — instead
+    one DESC-ordered window per user carries the most recent purchase
+    timestamp seen while scanning from latest to earliest: at each click
+    row that carried value IS the next purchase at-or-after it. One
+    shuffle on user_id, zero joins; inner-asof semantics via dropping
+    clicks with no later purchase.
+    """
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = ev.withColumn(
+        "next_purchase_ts",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("ts")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        carried.filter(
+            (F.col("event_type") == "click")
+            & F.col("next_purchase_ts").isNotNull()
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "next_purchase_ts",
+            (
+                F.unix_timestamp("next_purchase_ts") - F.unix_timestamp("ts")
+            ).alias("secs_to_purchase"),
+        )
+    )
