@@ -218,3 +218,39 @@ def gen_setop_query(seed: int) -> str:
 def test_fuzz_setop_query(seed, spark_views, duck):
     sql = gen_setop_query(seed + 9000)
     assert_matches_oracle(spark_views.sql(sql), duck, sql)
+
+
+# --- HAVING-clause fuzzing -------------------------------------------------
+
+def gen_having_query(seed: int) -> str:
+    """Aggregate + HAVING over the shared dialect subset: the post-aggregate
+    filter path (Catalyst plans it as Filter over Aggregate; DuckDB
+    likewise), fuzzed with count/sum thresholds."""
+    rng = random.Random(seed)
+    table = rng.choice(["lineitem", "events"])
+    if table == "lineitem":
+        num_cols, str_cols = _LINEITEM_NUM, _LINEITEM_STR
+        agg_col, key_pool = "l_quantity", ["l_returnflag", "l_linestatus"]
+    else:
+        num_cols, str_cols = _EVENTS_NUM, _EVENTS_STR
+        agg_col, key_pool = "value", ["event_type", "user_id"]
+    pred = _predicate(rng, num_cols, str_cols)
+    keys = ", ".join(rng.sample(key_pool, k=rng.randint(1, len(key_pool))))
+    hav = rng.choice(
+        [
+            f"COUNT(*) > {rng.randint(1, 40)}",
+            f"COUNT(*) BETWEEN {rng.randint(1, 5)} AND {rng.randint(20, 200)}",
+            # integer-valued double sums are exact in IEEE — boundary-safe
+            f"SUM(CAST({agg_col} AS INT)) > {rng.randint(10, 2000)}",
+        ]
+    )
+    return (
+        f"SELECT {keys}, COUNT(*) AS n, ROUND(SUM({agg_col}), 4) AS s "
+        f"FROM {table} WHERE {pred} GROUP BY {keys} HAVING {hav}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_having_query(seed, spark_views, duck):
+    sql = gen_having_query(seed + 17000)
+    assert_matches_oracle(spark_views.sql(sql), duck, sql, float_tol=2e-4)
