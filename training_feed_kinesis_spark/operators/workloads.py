@@ -456,3 +456,93 @@ def events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("c").cast("double") / F.col("t"), 4).alias("p"),
         )
     )
+
+
+@register(
+    "revenue_pareto",
+    CAT,
+    """
+    WITH cust AS (
+      SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS rev
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT rev, ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+      FROM cust)
+    SELECT decile, COUNT(*) AS n_customers,
+           ROUND(SUM(rev), 4) AS decile_rev,
+           ROUND(SUM(rev) / (SELECT SUM(rev) FROM cust), 4) AS rev_share
+    FROM ranked GROUP BY decile
+    """,
+)
+def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto) report: customers bucketed into
+    revenue deciles, each decile's share of total — the 80/20 check run on
+    any feed. Ranking key is the ROUNDED per-customer revenue with custkey
+    tiebreak (engine-stable); the grand total is a broadcast scalar; the
+    decile window runs over one row per customer (already aggregated).
+    """
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("rev")
+    )
+    total = cust.agg(F.sum("rev").alias("tot"))
+    ranked = cust.select(
+        "rev",
+        F.ntile(10)
+        .over(W.orderBy(F.col("rev").desc(), F.col("o_custkey")))
+        .alias("decile"),
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("rev"), 4).alias("decile_rev"),
+            F.sum("rev").alias("_raw"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            "decile_rev",
+            F.round(F.col("_raw") / F.col("tot"), 4).alias("rev_share"),
+        )
+    )
+
+
+@register(
+    "part_affinity",
+    CAT,
+    """
+    WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
+      FROM lines a JOIN lines b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey)
+    SELECT p1, p2, n_orders
+    FROM pairs
+    ORDER BY n_orders DESC, p1 ASC, p2 ASC
+    LIMIT 20
+    """,
+)
+def part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs co-occurring in the same order,
+    top-20 by support — the co-occurrence mining shape (self-equi-join on
+    the basket key). Fan-out is bounded by basket size squared (~16 pairs
+    per order), NOT corpus², because the join key is the orderkey: the
+    controlled version of the cross join the CartesianProduct guard
+    forbids. DISTINCT first so multi-line quantities don't inflate support.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.select("l_orderkey", "l_partkey").distinct()
+    a = lines.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
+    b = lines.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("p2"))
+    return (
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("p1").asc(), F.col("p2").asc())
+        .limit(20)
+    )
