@@ -301,3 +301,45 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("byte_mean"), 4).alias("avg_byte_mean"),
         F.max("byte_max").alias("max_byte"),
     )
+
+
+@register(
+    "source_binary_files",
+    "2.A scans/sources/sinks",
+    """
+    SELECT doc_id,
+           octet_length(unhex(md5(text))) AS n_bytes,
+           upper(md5(text)) AS payload_hex
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-file multimodal ingestion via the ``binaryFile`` source — the
+    path real image/audio corpora enter Spark as loose files: one row per
+    file with (path, length, content BinaryType). The op round-trips: 20
+    deterministic payloads are written as .bin files, read back through
+    binaryFile, and verified byte-exact by the oracle (hex(content) must
+    equal the payload's known hex).
+
+    Scale: binaryFile parallelizes by file; small-file corpora get packed
+    by maxPartitionBytes bin-packing, and production repacks loose files
+    into parquet BinaryType tables early (`sink_compacted`).
+    """
+    from .scans import scratch_dir
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    out = scratch_dir("binfiles_")
+    rows = d.select("doc_id", F.unhex(F.md5("text")).alias("payload")).collect()
+    import os
+
+    for r in rows:
+        with open(os.path.join(out, f"doc_{r['doc_id']:05d}.bin"), "wb") as f:
+            f.write(bytes(r["payload"]))
+    files = spark.read.format("binaryFile").load(f"{out}/*.bin")
+    return files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").cast("int").alias("n_bytes"),
+        F.hex("content").alias("payload_hex"),
+    )
