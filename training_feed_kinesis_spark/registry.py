@@ -55,6 +55,7 @@ _OPERATOR_MODULES = [
     "training_feed_kinesis_spark.operators.modern_sql",
     "training_feed_kinesis_spark.operators.extras",
     "training_feed_kinesis_spark.operators.sampling",
+    "training_feed_kinesis_spark.operators.surface2",
     "training_feed_kinesis_spark.sources.pyds",
     "training_feed_kinesis_spark.streaming.queries",
 ]
