@@ -1,0 +1,208 @@
+"""Structured-text scalar families: XML, CSV, key:value maps, URLs.
+
+Real training-feed payloads arrive in more formats than JSON (§2.H covers
+JSON/maps already): scraped pages carry XML/HTML fragments and URLs, log
+exports carry CSV lines and k:v strings. Spark parses all of these JVM-side
+(xpath_*, from_xml, from_csv, str_to_map, parse_url) inside whole-stage
+codegen — no Python in the loop. Each operator here synthesizes the wire
+format from table columns first, so the parse step is verifiable end-to-end
+against a DuckDB regexp/split oracle on the same rows.
+
+Reference parity note: /root/reference is an EMPTY checkout (SURVEY.md §0.1);
+capability surface reconstructed per SURVEY.md §2 and BASELINE.json:6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+CAT_FN = "2.H scalar functions"
+
+
+@register(
+    "fn_xml",
+    CAT_FN,
+    r"""
+    WITH wired AS (
+      SELECT doc_id,
+             '<doc id="' || doc_id || '"><lang>' || lang || '</lang><src>'
+               || source || '</src><len>' || n_chars || '</len></doc>' AS xml
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(xml, '<lang>([^<]*)</lang>', 1) AS lang,
+           regexp_extract(xml, '<src>([^<]*)</src>', 1) AS src,
+           regexp_extract(xml, '<len>([0-9]+)</len>', 1)::BIGINT AS n_chars,
+           regexp_extract(xml, 'id="([0-9]+)"', 1)::BIGINT AS attr_id
+    FROM wired
+    """,
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML fragment parsing: build the wire form, then recover every field
+    with xpath_* (scalar path extraction) and from_xml (typed struct parse,
+    Spark 4 built-in) — both JVM-side. The oracle re-extracts with POSIX
+    regexps, so the whole synthesize→parse round-trip is hash-checked.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wired = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<doc id="'),
+            F.col("doc_id"),
+            F.lit('"><lang>'),
+            F.col("lang"),
+            F.lit("</lang><src>"),
+            F.col("source"),
+            F.lit("</src><len>"),
+            F.col("n_chars"),
+            F.lit("</len></doc>"),
+        ).alias("xml"),
+    )
+    parsed = wired.select(
+        "doc_id",
+        F.expr("xpath_string(xml, '/doc/lang')").alias("lang"),
+        F.expr("from_xml(xml, 'src STRING, len BIGINT')").alias("s"),
+        F.expr("xpath_long(xml, '/doc/@id')").alias("attr_id"),
+    )
+    return parsed.select(
+        "doc_id",
+        "lang",
+        F.col("s.src").alias("src"),
+        F.col("s.len").alias("n_chars"),
+        "attr_id",
+    )
+
+
+@register(
+    "fn_csv",
+    CAT_FN,
+    """
+    WITH line AS (
+      SELECT doc_id, lang || ',' || source || ',' || n_chars AS csv
+      FROM documents
+    )
+    SELECT doc_id,
+           split_part(csv, ',', 1) AS lang,
+           split_part(csv, ',', 2) AS source,
+           split_part(csv, ',', 3)::BIGINT AS n_chars,
+           csv AS roundtrip
+    FROM line
+    """,
+)
+def fn_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV line codec: from_csv parses a typed struct out of a delimited
+    line; to_csv re-serializes the struct — the round-trip column proves
+    codec inversion on every row. Both directions are Catalyst expressions
+    (no file I/O, no Python); the oracle uses split_part on the same lines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    line = docs.select(
+        "doc_id",
+        F.concat_ws(",", "lang", "source", "n_chars").alias("csv"),
+    )
+    parsed = line.select(
+        "doc_id",
+        F.from_csv("csv", "lang STRING, source STRING, n_chars BIGINT").alias("s"),
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("s.lang").alias("lang"),
+        F.col("s.source").alias("source"),
+        F.col("s.n_chars").alias("n_chars"),
+        F.to_csv("s").alias("roundtrip"),
+    )
+
+
+@register(
+    "fn_str_to_map",
+    CAT_FN,
+    """
+    WITH kv AS (
+      SELECT doc_id,
+             'lang:' || lang || ',src:' || source || ',len:' || n_chars AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(s, 'lang:([^,]*)', 1) AS lang,
+           regexp_extract(s, 'src:([^,]*)', 1) AS src,
+           regexp_extract(s, 'len:([0-9]+)', 1)::BIGINT AS len,
+           3::INT AS n_keys
+    FROM kv
+    """,
+)
+def fn_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k:v string → MapType via str_to_map (the classic log-line attribute
+    bag), then typed element_at access and map cardinality. The oracle
+    recovers each key by regexp from the identical wire string.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    kv = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("lang:"),
+            F.col("lang"),
+            F.lit(",src:"),
+            F.col("source"),
+            F.lit(",len:"),
+            F.col("n_chars"),
+        ).alias("s"),
+    )
+    m = kv.select("doc_id", F.expr("str_to_map(s, ',', ':')").alias("m"))
+    return m.select(
+        "doc_id",
+        F.element_at("m", "lang").alias("lang"),
+        F.element_at("m", "src").alias("src"),
+        F.element_at("m", "len").cast("long").alias("len"),
+        F.size("m").alias("n_keys"),
+    )
+
+
+@register(
+    "fn_url",
+    CAT_FN,
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang || '&n=' || n_chars AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS qlang,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+    FROM u
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with parse_url (HOST / PATH / keyed QUERY /
+    PROTOCOL) — the provenance-extraction step of any web-scrape corpus
+    (crawl dedup by host, routing by path). The oracle re-derives each
+    component with anchored regexps over the same synthesized URLs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id"),
+            F.lit("?lang="),
+            F.col("lang"),
+            F.lit("&n="),
+            F.col("n_chars"),
+        ).alias("url"),
+    )
+    return u.select(
+        "doc_id",
+        F.expr("parse_url(url, 'HOST')").alias("host"),
+        F.expr("parse_url(url, 'PATH')").alias("path"),
+        F.expr("parse_url(url, 'QUERY', 'lang')").alias("qlang"),
+        F.expr("parse_url(url, 'PROTOCOL')").alias("protocol"),
+    )
