@@ -1,0 +1,229 @@
+"""Graph analytics over relational substrates: degree, triangles, PageRank.
+
+A training-feed corpus is full of implicit graphs (co-occurrence, linkage,
+session transition). These operators show the DataFrame-native spellings:
+
+  * Edge building is a bounded self-join (baskets cap the blow-up), with a
+    min-support filter so the edge set stays sparse at any scale — the same
+    discipline as ``part_affinity``.
+  * Triangle counting uses the oriented-edge trick (a<b<c): each triangle is
+    produced exactly once, and the wedge join's fan-out is bounded by the
+    support-thinned degree. All equi-joins on node keys ⇒ shuffle-partitioned
+    by node, no cartesian anywhere.
+  * PageRank runs as a driver-side loop of join+agg over an aggregated
+    transition graph whose size is the *domain* (event types), not the data —
+    the iterate-on-aggregates pattern: one pass over the fact table, then
+    iterations touch only domain-sized state. Dangling mass is impossible by
+    construction (every node observed as a transition source). The oracle
+    unrolls the same five iterations as chained CTEs, so even this iterative
+    algorithm is hash-checked against DuckDB.
+
+At 100 TB: edge construction is the only fact-scale stage (one shuffle by
+basket key, one by edge key); everything downstream operates on the sparse
+edge list. Companion of ``llm_dedup_clusters`` (connected components), which
+already runs pointer-doubling to convergence.
+
+Reference parity note: /root/reference is an EMPTY checkout (SURVEY.md §0.1);
+capability surface reconstructed per SURVEY.md §2 and BASELINE.json:6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+CAT = "2.L graph analytics"
+
+# Shared edge builder: undirected part co-occurrence edges with support >= 2.
+_EDGES_SQL = """
+    WITH pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+      SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING COUNT(*) >= 2
+    )
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+    return pairs.groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("w")).filter(
+        F.col("w") >= 2
+    )
+
+
+@register(
+    "graph_degree",
+    CAT,
+    _EDGES_SQL
+    + """
+    , deg AS (
+      SELECT node, COUNT(*)::BIGINT AS degree FROM (
+        SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges
+      ) GROUP BY node
+    )
+    SELECT degree, COUNT(*)::BIGINT AS n_parts
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph (support >= 2): how
+    connected each part is, histogrammed. Undirected degree = occurrences
+    on either edge endpoint; the unionByName avoids materializing a
+    symmetric edge list twice its size.
+    """
+    e = _edges(spark, sf_dir)
+    nodes = e.select(F.col("pa").alias("node")).unionByName(
+        e.select(F.col("pb").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+@register(
+    "graph_triangles",
+    CAT,
+    _EDGES_SQL
+    + """
+    SELECT COUNT(*)::BIGINT AS n_triangles,
+           (SELECT COUNT(*) FROM edges)::BIGINT AS n_edges
+    FROM edges e1
+    JOIN edges e2 ON e1.pb = e2.pa
+    JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census on the support-thinned co-purchase graph. Edges are
+    oriented (pa < pb), so the wedge join e1(a,b)⋈e2(b,c) plus closure
+    probe e3(a,c) counts each triangle exactly once. Every join is an
+    equi-join on node keys — shuffles partition by node, and the support
+    floor keeps wedge fan-out bounded (the standard scale guard; at
+    higher SF raise support or orient by degree).
+    """
+    e = _edges(spark, sf_dir).select("pa", "pb")
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return tri.crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+
+
+_PR_DAMP = 0.85
+_PR_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    """Unroll five weighted-PageRank iterations as chained CTEs."""
+    head = """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    edges AS (
+      SELECT prev_type AS src, event_type AS dst, COUNT(*)::DOUBLE AS w
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
+    ),
+    outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+    norm AS (
+      SELECT e.src, e.dst, e.w / o.ow AS p
+      FROM edges e JOIN outw o ON e.src = o.src
+    ),
+    nodes AS (SELECT DISTINCT dst AS node FROM edges
+              UNION SELECT DISTINCT src FROM edges),
+    nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+    pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)
+    """
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f""",
+    pr{i} AS (
+      SELECT n.node,
+             (1 - {_PR_DAMP}) / (SELECT n FROM nn)
+               + {_PR_DAMP} * COALESCE(SUM(p.pr * p.p), 0) AS pr
+      FROM nodes n
+      LEFT JOIN (SELECT nrm.dst, nrm.p, prv.pr
+                 FROM norm nrm JOIN pr{i - 1} prv ON nrm.src = prv.node) p
+        ON p.dst = n.node
+      GROUP BY n.node
+    )"""
+        )
+    tail = f"""
+    SELECT node AS event_type, ROUND(pr, 4) AS pagerank
+    FROM pr{_PR_ITERS}
+    """
+    return head + "".join(steps) + tail
+
+
+@register("graph_pagerank", CAT, _pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the event-type transition graph (damping
+    0.85, five iterations). The fact table is touched ONCE — the lag
+    window + groupBy collapses it to a domain×domain edge list — and the
+    iterations then join/agg only that tiny normalized graph, so iteration
+    cost is independent of data scale (iterate-on-aggregates). Every node
+    has out-edges by construction (it appears as a transition source), so
+    no dangling-mass term is needed. The oracle unrolls the identical five
+    iterations in SQL: a rare hash-checked iterative algorithm.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    edges = seq.groupBy(
+        F.col("prev_type").alias("src"), F.col("event_type").alias("dst")
+    ).agg(F.count(F.lit(1)).cast("double").alias("w"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    norm = edges.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("ow")).alias("p")
+    )
+    nodes = (
+        edges.select(F.col("dst").alias("node"))
+        .union(edges.select(F.col("src").alias("node")))
+        .distinct()
+    )
+    norm = norm.cache()
+    nodes = nodes.cache()
+    n = nodes.count()  # domain-sized (5); fixes the teleport term
+    pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    for _ in range(_PR_ITERS):
+        contrib = norm.join(pr, norm.src == pr.node).select(
+            F.col("dst"), (F.col("pr") * F.col("p")).alias("c")
+        )
+        pr = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .groupBy("node")
+            .agg(
+                (
+                    F.lit((1 - _PR_DAMP) / n)
+                    + F.lit(_PR_DAMP) * F.coalesce(F.sum("c"), F.lit(0.0))
+                ).alias("pr")
+            )
+        )
+    return pr.select(
+        F.col("node").alias("event_type"), F.round("pr", 4).alias("pagerank")
+    )
