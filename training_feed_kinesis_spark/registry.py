@@ -60,6 +60,7 @@ _OPERATOR_MODULES = [
     "training_feed_kinesis_spark.operators.graph",
     "training_feed_kinesis_spark.operators.timeseries2",
     "training_feed_kinesis_spark.operators.surface3",
+    "training_feed_kinesis_spark.operators.ml_relational",
     "training_feed_kinesis_spark.sources.pyds",
     "training_feed_kinesis_spark.streaming.queries",
 ]
