@@ -61,6 +61,7 @@ _OPERATOR_MODULES = [
     "training_feed_kinesis_spark.operators.timeseries2",
     "training_feed_kinesis_spark.operators.surface3",
     "training_feed_kinesis_spark.operators.ml_relational",
+    "training_feed_kinesis_spark.operators.quality_mining",
     "training_feed_kinesis_spark.sources.pyds",
     "training_feed_kinesis_spark.streaming.queries",
 ]
