@@ -55,6 +55,12 @@ HEADLINE = [
     "ts_resample_gapfill",    # per-user hourly gap-filled resample
     "llm_bigram_pmi",     # PMI collocation mining
     "llm_curation_waterfall", # capstone: quality→dedup→decontam→split waterfall
+    "ts_ewma",            # EWMA smoothing as ratio-of-weighted-window-sums
+    "rollup_rank_report", # rollup grains + rank-within-grain BI report
+    "graph_triangles",    # co-purchase triangle census (bounded wedge join)
+    "assoc_rules",        # association rules with confidence + lift
+    "ml_kmeans_step",     # K-means Lloyd iteration, broadcast centroids
+    "vec_pca_power",      # PCA power iteration (two matvecs per step)
     "stream_tumbling",    # streaming drain: windowed agg over event replay
 ]
 
