@@ -64,6 +64,7 @@ _OPERATOR_MODULES = [
     "training_feed_kinesis_spark.operators.quality_mining",
     "training_feed_kinesis_spark.operators.llm_text2",
     "training_feed_kinesis_spark.operators.fuzzy_attrib",
+    "training_feed_kinesis_spark.operators.engine_surface",
     "training_feed_kinesis_spark.sources.pyds",
     "training_feed_kinesis_spark.streaming.queries",
 ]
