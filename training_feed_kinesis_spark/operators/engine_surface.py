@@ -159,7 +159,7 @@ def sink_sorted_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT_SQL,
     """
     SELECT r_name, COUNT(*)::BIGINT AS n_orders,
-           ROUND(SUM(o_totalprice), 4) AS total
+           ROUND(SUM(o_totalprice), 2) AS total
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -203,7 +203,7 @@ def cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = spark.sql(
             """
             SELECT r_name, COUNT(*) AS n_orders,
-                   ROUND(SUM(o_totalprice), 4) AS total
+                   ROUND(SUM(o_totalprice), 2) AS total
             FROM cbo_region
             JOIN cbo_nation ON n_regionkey = r_regionkey
             JOIN cbo_customer ON c_nationkey = n_nationkey

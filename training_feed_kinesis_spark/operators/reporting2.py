@@ -1,0 +1,184 @@
+"""Reporting round 2: YoY comparisons, decayed CLV, deterministic sharding,
+collation-aware grouping.
+
+  * ``ts_yoy_same_quarter``: year-over-year comparison at the same fiscal
+    quarter — lag over the YEAR axis partitioned by quarter-of-year, the
+    seasonally-honest growth report (vs naive period-over-period). Window
+    runs over the quarter grain, not the fact table.
+  * ``customer_clv_decay``: recency-decayed customer lifetime value — each
+    order's contribution decays exp(-age/365) against the corpus's latest
+    order date (a broadcast scalar, never a driver collect). One scan, one
+    hash-agg.
+  * ``shard_assignment``: engine/cluster-independent shard routing by md5
+    prefix — the SAME rows land in the SAME shard on any engine, any
+    partition count, any day (contrast Spark's ``hash()``, which is not
+    portable). This is how a 100 TB corpus gets stable export shards.
+  * ``fn_collation_ci``: Spark 4 collation — grouping under UNICODE_CI
+    compares case-insensitively in the JVM (no lower() rewrite needed at
+    query sites); the oracle normalizes explicitly. Output labels are
+    case-normalized because a CI group's representative is unspecified.
+
+Reference parity note: /root/reference is an EMPTY checkout (SURVEY.md §0.1);
+capability surface reconstructed per SURVEY.md §2 and BASELINE.json:6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import load_table
+
+CAT_WORK = "2.L workloads"
+CAT_FN = "2.H scalar functions"
+
+
+@register(
+    "ts_yoy_same_quarter",
+    CAT_WORK,
+    """
+    WITH q AS (
+      SELECT EXTRACT(year FROM l_shipdate)::INT AS yr,
+             EXTRACT(quarter FROM l_shipdate)::INT AS qtr,
+             SUM(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT yr, qtr, ROUND(rev, 4) AS revenue,
+           ROUND(100.0 * (rev - lag(rev) OVER (PARTITION BY qtr ORDER BY yr))
+                 / lag(rev) OVER (PARTITION BY qtr ORDER BY yr), 4) AS yoy_pct
+    FROM q
+    """,
+)
+def ts_yoy_same_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth at matching quarters: Q3-1996 vs
+    Q3-1995, not vs Q2-1996 — the seasonality-honest comparison. One
+    fact-scale aggregation to the (year, quarter) grain, then a lag
+    window PARTITIONED BY quarter ORDER BY year over ~24 rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.groupBy(
+        F.year("l_shipdate").alias("yr"), F.quarter("l_shipdate").alias("qtr")
+    ).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    w = Window.partitionBy("qtr").orderBy("yr")
+    prev = F.lag("rev").over(w)
+    return q.select(
+        "yr",
+        "qtr",
+        F.round("rev", 4).alias("revenue"),
+        F.round(F.lit(100.0) * (F.col("rev") - prev) / prev, 4).alias("yoy_pct"),
+    )
+
+
+@register(
+    "customer_clv_decay",
+    CAT_WORK,
+    """
+    WITH mx AS (SELECT MAX(o_orderdate) AS md FROM orders)
+    SELECT o_custkey AS custkey,
+           COUNT(*)::BIGINT AS n_orders,
+           ROUND(SUM(o_totalprice
+                     * exp(-date_diff('day', o_orderdate,
+                                      (SELECT md FROM mx)) / 365.0)), 4)
+             AS clv
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def customer_clv_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed customer lifetime value: order value × exp(-age
+    in years), aged against the corpus's latest order date. The anchor
+    date is an aggregate joined back as a broadcast scalar (no driver
+    round-trip), then CLV is one hash-agg over the fact table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("md"))
+    return (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(
+                    F.col("o_totalprice")
+                    * F.exp(-F.datediff(F.col("md"), F.col("o_orderdate")) / 365.0)
+                ),
+                4,
+            ).alias("clv"),
+        )
+    )
+
+
+@register(
+    "shard_assignment",
+    CAT_WORK,
+    """
+    SELECT substr(md5(c_custkey::VARCHAR), 1, 1) AS shard,
+           COUNT(*)::BIGINT AS n_customers,
+           MIN(c_custkey)::BIGINT AS min_key,
+           MAX(c_custkey)::BIGINT AS max_key,
+           ROUND(SUM(c_acctbal), 4) AS shard_balance
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-way shard routing by md5 prefix: the same customer
+    routes to the same shard on ANY engine, partition count, or rerun —
+    the portable alternative to engine-specific ``hash()`` for stable
+    export/bucketing layouts. The census (count, key range, balance per
+    shard) doubles as a uniformity check on the routing.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1).alias(
+                "shard"
+            ),
+            "c_custkey",
+            "c_acctbal",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+            F.round(F.sum("c_acctbal"), 4).alias("shard_balance"),
+        )
+    )
+
+
+@register(
+    "fn_collation_ci",
+    CAT_FN,
+    """
+    WITH mixed AS (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+                  ELSE lower(p_type) END AS t
+      FROM part
+    )
+    SELECT lower(t) AS ptype, COUNT(*)::BIGINT AS n
+    FROM mixed
+    GROUP BY lower(t)
+    """,
+)
+def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via Spark 4 collations: the column is
+    collated UNICODE_CI and grouped directly — comparison semantics live
+    in the type, not in lower() rewrites sprinkled over the query. Output
+    labels are explicitly case-normalized (a CI group's representative is
+    unspecified); the oracle groups on lower() classically.
+    """
+    p = load_table(spark, sf_dir, "part")
+    mixed = p.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_type"))
+        .otherwise(F.lower("p_type"))
+        .alias("t")
+    )
+    ci = mixed.select(F.expr("collate(t, 'UNICODE_CI')").alias("tc"))
+    return ci.groupBy("tc").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lower(F.col("tc").cast("string")).alias("ptype"), "n"
+    )
