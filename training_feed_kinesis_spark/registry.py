@@ -67,6 +67,7 @@ _OPERATOR_MODULES = [
     "training_feed_kinesis_spark.operators.engine_surface",
     "training_feed_kinesis_spark.operators.pii_activity",
     "training_feed_kinesis_spark.operators.reporting2",
+    "training_feed_kinesis_spark.operators.misc_fns",
     "training_feed_kinesis_spark.sources.pyds",
     "training_feed_kinesis_spark.streaming.queries",
 ]
