@@ -326,3 +326,69 @@ def test_results_invariant_under_partitioning(spark, registry):
             assert again == baseline[k], f"{k} changed under repartitioning"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_pagerank_mass_conservation(spark, registry):
+    """PageRank is a probability distribution: ranks are positive and sum
+    to 1 (within rounding of the published 4dp values)."""
+    rows = registry["graph_pagerank"].fn(spark, SF_DIR).collect()
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - 1.0) < 1e-2, total
+    assert all(r.pagerank > 0 for r in rows)
+
+
+def test_kmeans_membership_accounting(spark, registry):
+    """Every embedding lands in exactly one cluster: membership counts sum
+    to the table's row count and dispersion bounds are ordered."""
+    from training_feed_kinesis_spark.tables import load_table
+
+    rows = registry["ml_kmeans_step"].fn(spark, SF_DIR).collect()
+    n_total = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n_total
+    assert all(r.mean_d2 <= r.max_d2 for r in rows)
+
+
+def test_dau_never_exceeds_wau(spark, registry):
+    """A day's actives are a subset of its trailing week's actives."""
+    rows = registry["events_dau_wau"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.dau <= r.wau
+        assert 0 < r.stickiness <= 1.0
+
+
+def test_bitmap_distinct_equals_direct_count_distinct(spark, registry):
+    """Bucket-sharded bitmap cardinalities must equal a plain
+    count-distinct over the same grouping — exactness, not approximation."""
+    from pyspark.sql import functions as F
+    from training_feed_kinesis_spark.tables import load_table
+
+    got = _rows(registry["agg_bitmap"].fn(spark, SF_DIR), "event_type", "exact_users")
+    direct = _rows(
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_users")),
+        "event_type",
+        "exact_users",
+    )
+    assert got == direct
+
+
+def test_assoc_rules_are_symmetric_and_bounded(spark, registry):
+    """Directed rules come in mirrored pairs with the same support, and
+    confidence is a conditional probability (0, 1]."""
+    rows = registry["assoc_rules"].fn(spark, SF_DIR).collect()
+    assert rows
+    support = {(r.antecedent, r.consequent): r.pair_count for r in rows}
+    for (a, b), s in support.items():
+        assert support.get((b, a)) == s
+    assert all(0 < r.confidence <= 1.0 for r in rows)
+
+
+def test_ohlc_bounds_ordered(spark, registry):
+    """Candle invariant: low <= open, close <= high on every candle."""
+    rows = registry["ts_ohlc"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
