@@ -68,6 +68,8 @@ _OPERATOR_MODULES = [
     "training_feed_kinesis_spark.operators.pii_activity",
     "training_feed_kinesis_spark.operators.reporting2",
     "training_feed_kinesis_spark.operators.misc_fns",
+    "training_feed_kinesis_spark.operators.drift_stats",
+    "training_feed_kinesis_spark.operators.feed_packing",
     "training_feed_kinesis_spark.sources.pyds",
     "training_feed_kinesis_spark.streaming.queries",
 ]
