@@ -311,3 +311,41 @@ def scan_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("row_index").alias("last_row"),
         )
     )
+
+
+@register(
+    "scan_pruned_partitions",
+    CAT,
+    """
+    SELECT event_type, user_id, COUNT(*)::BIGINT AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    GROUP BY event_type, user_id
+    """,
+)
+def scan_pruned_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-side partition pruning: write the per-(event_type, user_id)
+    rollup Hive-partitioned by event_type, then read it back filtered to 2
+    of 5 partition values. The filter matches only directory names — the
+    other partitions' files are never opened (`.explain` shows the IN
+    filter under PartitionFilters with 2 selected partitions). At 100 TB
+    this is the difference between scanning 40 TB and scanning 16 TB for
+    the same query; the complementary write side is `sink_partitioned`.
+    """
+    out = scratch_dir("parquet_prune_")
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    agg.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    return back.select(
+        F.col("event_type").cast("string").alias("event_type"),
+        "user_id",
+        "n",
+        "total_value",
+    )
