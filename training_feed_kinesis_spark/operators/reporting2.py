@@ -182,3 +182,71 @@ def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ci.groupBy("tc").agg(F.count(F.lit(1)).alias("n")).select(
         F.lower(F.col("tc").cast("string")).alias("ptype"), "n"
     )
+
+
+@register(
+    "orders_backlog_aging",
+    CAT_WORK,
+    """
+    WITH anchor AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+    open_o AS (
+      SELECT date_diff('day', o_orderdate, mx) AS age_d, o_totalprice
+      FROM orders CROSS JOIN anchor WHERE o_orderstatus = 'O'
+    ),
+    b AS (
+      SELECT CASE WHEN age_d < 30 THEN '0-29'
+                  WHEN age_d < 90 THEN '30-89'
+                  WHEN age_d < 180 THEN '90-179'
+                  WHEN age_d < 365 THEN '180-364'
+                  ELSE '365+' END AS age_bucket,
+             o_totalprice
+      FROM open_o
+    ),
+    g AS (
+      SELECT age_bucket, COUNT(*)::BIGINT AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS total_value
+      FROM b GROUP BY age_bucket
+    ),
+    t AS (SELECT SUM(n_orders) AS nt FROM g)
+    SELECT age_bucket, n_orders, total_value,
+           (n_orders * 20000 + nt) // (2 * nt) / 10000.0 AS pct_orders
+    FROM g CROSS JOIN t
+    """,
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging: age every still-open order against the
+    newest order date (broadcast scalar anchor — no wall clock, so the
+    report is reproducible on any engine/day), bucket into standard aging
+    bands, report count / value / share per band. One scan + dust-sized
+    rollup; the share uses exact-integer 4dp rounding.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    open_o = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(anchor))
+        .select(F.datediff("mx", "o_orderdate").alias("age_d"), "o_totalprice")
+    )
+    b = open_o.select(
+        F.expr(
+            "CASE WHEN age_d < 30 THEN '0-29'"
+            " WHEN age_d < 90 THEN '30-89'"
+            " WHEN age_d < 180 THEN '90-179'"
+            " WHEN age_d < 365 THEN '180-364'"
+            " ELSE '365+' END"
+        ).alias("age_bucket"),
+        "o_totalprice",
+    )
+    g = b.groupBy("age_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+    )
+    t = g.agg(F.sum("n_orders").alias("nt"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "age_bucket",
+        "n_orders",
+        "total_value",
+        F.expr(
+            "cast((n_orders * 20000 + nt) div (2 * nt) as double) / 10000.0"
+        ).alias("pct_orders"),
+    )
