@@ -392,3 +392,91 @@ def test_ohlc_bounds_ordered(spark, registry):
     for r in rows:
         assert r.low <= r.open <= r.high
         assert r.low <= r.close <= r.high
+
+
+def test_auc_bounded_and_confusion_consistent(spark, registry):
+    """AUC ∈ [0,1]; confusion-matrix cells partition the example count
+    used by the AUC query (same base relation, same label)."""
+    auc = registry["ml_auc_rank"].fn(spark, SF_DIR).collect()[0]
+    assert 0.0 <= auc["auc"] <= 1.0
+    cm = registry["ml_confusion"].fn(spark, SF_DIR).collect()[0]
+    assert cm["tp"] + cm["fn"] == auc["n_pos"]
+    assert cm["fp"] + cm["tn"] == auc["n_neg"]
+
+
+def test_calibration_deciles_partition_examples(spark, registry):
+    """Calibration deciles cover every scored example exactly once and
+    positives sum to the AUC query's positive count."""
+    rows = registry["ml_calibration_lift"].fn(spark, SF_DIR).collect()
+    auc = registry["ml_auc_rank"].fn(spark, SF_DIR).collect()[0]
+    assert sum(r["n"] for r in rows) == auc["n_pos"] + auc["n_neg"]
+    assert sum(r["pos"] for r in rows) == auc["n_pos"]
+    assert sorted(r["decile"] for r in rows) == list(range(1, 11))
+
+
+def test_tree_split_gain_nonnegative(spark, registry):
+    """Gini gain of any binary split is >= 0 (impurity never increases),
+    and left-side counts are bounded by the split totals."""
+    for r in registry["ml_tree_split"].fn(spark, SF_DIR).collect():
+        assert r["gini_gain"] >= 0.0
+        assert 0 <= r["pl"] <= r["nl"]
+
+
+def test_feature_ig_bounded_by_label_entropy(spark, registry):
+    """Information gain is bounded by H(label) <= 1 bit for a binary
+    label, and is non-negative."""
+    for r in registry["ml_feature_ig"].fn(spark, SF_DIR).collect():
+        assert -1e-9 <= r["info_gain"] <= 1.0
+
+
+def test_grid_knn_is_locally_optimal(spark, registry):
+    """Each reported neighbor is at least as close as any OTHER point in
+    the same cell as the query point (same-cell candidates are always in
+    the 3x3 probe set)."""
+    rows = registry["geo_grid_knn"].fn(spark, SF_DIR).collect()
+    pts = {r["c_custkey"]: (r["gx"], r["gy"]) for r in rows}
+    cell = {k: (x // 64, y // 64) for k, (x, y) in pts.items()}
+    nn = {r["c_custkey"]: r["nn_d2"] for r in rows}
+    for k, (x, y) in pts.items():
+        for j, (xj, yj) in pts.items():
+            if j != k and cell[j] == cell[k]:
+                d2 = (x - xj) ** 2 + (y - yj) ** 2
+                assert nn[k] <= d2
+
+
+def test_seq_match_users_subset_of_purchasers(spark, registry):
+    """Users with a completed view->click->purchase chain must be a
+    subset of users who purchased at all."""
+    from training_feed_kinesis_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    chains = registry["events_seq_match"].fn(spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    purchasers = {
+        r["user_id"]
+        for r in ev.filter(F.col("event_type") == "purchase")
+        .select("user_id").distinct().collect()
+    }
+    for r in chains.collect():
+        assert r["user_id"] in purchasers
+
+
+def test_page_hinkley_drawup_nonnegative(spark, registry):
+    """The PH drawup statistic (rise above running min) is >= 0 by
+    construction, and alarm implies drawup > lambda."""
+    for r in registry["ts_page_hinkley"].fn(spark, SF_DIR).collect():
+        assert r["drawup"] >= 0.0
+        if r["alarm"]:
+            assert r["drawup"] > 50.0
+
+
+def test_zorder_tiles_partition_points(spark, registry):
+    """Z-curve tiles hold every customer exactly once and tile z-ranges
+    never overlap (min_z/max_z are nested inside disjoint 16384 blocks)."""
+    from training_feed_kinesis_spark.tables import load_table
+
+    rows = registry["fn_zorder_tile"].fn(spark, SF_DIR).collect()
+    n_cust = load_table(spark, SF_DIR, "customer").count()
+    assert sum(r["n"] for r in rows) == n_cust
+    for r in rows:
+        assert r["tile"] * 16384 <= r["min_z"] <= r["max_z"] < (r["tile"] + 1) * 16384

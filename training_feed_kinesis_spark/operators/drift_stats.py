@@ -260,3 +260,58 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("cnt", "l3"), 4).alias("r3"),
         F.count(F.lit(1)).alias("n_days"),
     )
+
+
+@register(
+    "ts_page_hinkley",
+    CAT_TS,
+    """
+    WITH day AS (
+      SELECT ts::DATE AS d, ROUND(SUM(value), 4) AS x
+      FROM events GROUP BY ts::DATE
+    ),
+    m AS (SELECT AVG(x) AS mu FROM day),
+    ph AS (
+      SELECT d, x,
+             SUM(x - mu) OVER (ORDER BY d) AS ph_t
+      FROM day CROSS JOIN m
+    ),
+    dd AS (
+      SELECT d, x, ph_t,
+             ph_t - MIN(ph_t) OVER (ORDER BY d) AS drawup
+      FROM ph
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           ROUND(ph_t, 4) AS ph,
+           ROUND(drawup, 4) AS drawup,
+           ROUND(drawup, 4) > 50.0 AS alarm
+    FROM dd
+    """,
+)
+def ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward-change detection on the daily revenue series:
+    cumulative deviation from the series mean, alarmed when the rise above
+    the running minimum exceeds a fixed lambda (50.0). Both running
+    aggregates are windows over the |days|-row pre-aggregated series —
+    strictly sequenced by date, so both engines fold the identical rounded
+    inputs in the identical order. The raw stream never reaches the
+    window: at 100 TB the day rollup is the only full-data pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.round(F.sum("value"), 4).alias("x")
+    )
+    m = day.agg(F.avg("x").alias("mu"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    ph = day.crossJoin(F.broadcast(m)).select(
+        "d", "x", F.sum(F.col("x") - F.col("mu")).over(w).alias("ph_t")
+    )
+    dd = ph.select(
+        "d", "x", "ph_t", (F.col("ph_t") - F.min("ph_t").over(w)).alias("drawup")
+    )
+    return dd.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round("ph_t", 4).alias("ph"),
+        F.round("drawup", 4).alias("drawup"),
+        (F.round("drawup", 4) > 50.0).alias("alarm"),
+    )

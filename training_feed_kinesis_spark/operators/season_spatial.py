@@ -250,3 +250,56 @@ def geo_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.bk").alias("nn_key"),
         F.col("m.d2").alias("nn_d2"),
     )
+
+
+_Z_SPARK = (
+    "aggregate(sequence(0, 9), 0L, (acc, i) -> acc"
+    " + shiftleft(shiftright(gx, i) & 1, 2 * i)"
+    " + shiftleft(shiftright(gy, i) & 1, 2 * i + 1))"
+)
+_Z_DUCK = (
+    "list_sum(list_transform(range(0, 10), i ->"
+    " (((gx >> i) & 1) << (2 * i)) + (((gy >> i) & 1) << (2 * i + 1))))"
+)
+
+
+@register(
+    "fn_zorder_tile",
+    CAT_GEO,
+    f"""
+    WITH p AS (
+      SELECT c_custkey,
+             {_coord_duck(1)}::BIGINT AS gx,
+             {_coord_duck(4)}::BIGINT AS gy
+      FROM customer
+    ),
+    z AS (SELECT c_custkey, gx, gy, {_Z_DUCK}::BIGINT AS zval FROM p)
+    SELECT (zval // 16384)::BIGINT AS tile,
+           COUNT(*)::BIGINT AS n,
+           MIN(zval)::BIGINT AS min_z, MAX(zval)::BIGINT AS max_z,
+           MIN(gx)::BIGINT AS min_gx, MAX(gx)::BIGINT AS max_gx
+    FROM z GROUP BY zval // 16384
+    """,
+)
+def fn_zorder_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve as a multidimensional clustering key: bit-
+    interleave the two 10-bit grid coordinates into a 20-bit z-value, then
+    census the 64 curve tiles (z div 16384). Sorting/partitioning data by
+    zval is the standard way to make BOTH gx-range and gy-range predicates
+    prune row groups in one layout (the 2-D generalization of
+    sink_sorted_zonemap); each tile's min/max shows the locality the curve
+    buys. Pure integer bit math — exact on every engine.
+    """
+    p = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(_coord_spark(1)).cast("bigint").alias("gx"),
+        F.expr(_coord_spark(4)).cast("bigint").alias("gy"),
+    )
+    z = p.select("c_custkey", "gx", "gy", F.expr(_Z_SPARK).cast("bigint").alias("zval"))
+    return z.groupBy(F.expr("zval div 16384").cast("bigint").alias("tile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("zval").cast("bigint").alias("min_z"),
+        F.max("zval").cast("bigint").alias("max_z"),
+        F.min("gx").cast("bigint").alias("min_gx"),
+        F.max("gx").cast("bigint").alias("max_gx"),
+    )
