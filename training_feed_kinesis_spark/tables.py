@@ -42,9 +42,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table, applying required session confs + load-time fixes."""
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos → micros, integer division (exact DuckDB parity; SURVEY §1.4.2)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # parquet timestamp[ns] + nanosAsLong → LongType nanos; convert with
+            # integer division (exact DuckDB parity; SURVEY §1.4.2)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # parquet timestamp[us] (isAdjustedToUTC=false) → TIMESTAMP_NTZ.
+            # Event time must be session-tz TimestampType: watermarks reject
+            # NTZ ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]). Session tz is pinned
+            # UTC, so the cast is wall-clock-preserving and DuckDB parity holds.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
