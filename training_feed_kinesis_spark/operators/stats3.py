@@ -1,0 +1,440 @@
+"""Third statistics/ML wave: classification, inference tests, concentration
+and robust-trend analytics.
+
+  * ``ml_knn_classify``: k-nearest-neighbor majority-vote label prediction
+    over the embedding corpus — the eval loop for any embedding model.
+  * ``stat_ttest_welch``: Welch's unequal-variance t-test between two event
+    cohorts (click vs purchase spend) with Welch–Satterthwaite dof.
+  * ``events_hour_heatmap``: ISO-weekday × hour traffic heatmap with share
+    of total — the load-profile matrix behind capacity planning.
+  * ``revenue_abc_class``: ABC (80/15/5) inventory classification of parts
+    by revenue using exact integer-cents cumulative shares.
+  * ``ts_theil_sen``: Theil–Sen robust trend (median of pairwise slopes)
+    over the monthly revenue series — outlier-immune, unlike OLS.
+  * ``customer_gini``: Gini coefficient of customer revenue concentration
+    via the exact rank formula on integer cents.
+
+Cross-engine determinism notes (SURVEY.md §5.3): anywhere a DOUBLE would
+order rows or cross a threshold, the value is first collapsed to integer
+cents (exact in both engines) or rounded to 4dp; pairwise slopes are pure
+per-row IEEE ops on already-rounded inputs (bit-identical cross-engine).
+
+Reference parity note: /root/reference is an EMPTY checkout (SURVEY.md §0.1);
+capability surface reconstructed per SURVEY.md §2 and BASELINE.json:6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import load_table, parallelize
+
+CAT_ML = "2.L ML-relational"
+CAT_QM = "2.L quality & mining"
+CAT_TS = "2.L time-series analytics"
+CAT_REP = "2.L reporting"
+
+KNN_K = 5
+KNN_PROBES = 40  # vec_id < 40 are the held-out queries; the rest vote
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "0D, (acc, v) -> acc + v)"
+)
+_NORM_SQL = "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+_DOT_SQL = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@register(
+    "ml_knn_classify",
+    CAT_ML,
+    f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS query_id, a.label AS true_label,
+             b.vec_id AS neighbor_id, b.label AS neighbor_label,
+             ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                   / ({_NORM_SQL.format(v='a.embedding')}
+                      * {_NORM_SQL.format(v='b.embedding')}), 4) AS cosine
+      FROM embeddings a JOIN embeddings b ON b.vec_id >= {KNN_PROBES}
+      WHERE a.vec_id < {KNN_PROBES}
+    ),
+    knn AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        FROM pairs) WHERE rn <= {KNN_K}
+    ),
+    votes AS (
+      SELECT query_id, true_label, neighbor_label,
+             COUNT(*)::BIGINT AS n_votes
+      FROM knn GROUP BY 1, 2, 3
+    )
+    SELECT query_id, true_label, neighbor_label AS pred_label, n_votes,
+           CASE WHEN neighbor_label = true_label THEN 1 ELSE 0 END AS correct
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY n_votes DESC, neighbor_label ASC) AS vr
+      FROM votes) WHERE vr = 1
+    """,
+)
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote classifier: held-out probes (vec_id < 40) vs the
+    voting corpus, k=5 cosine neighbors, majority label with deterministic
+    (count DESC, label ASC) tie-break.
+
+    Physical shape mirrors llm_sim_topk: the probe side broadcasts, the
+    corpus side is scanned once map-only (norms precomputed per side), and
+    only the tiny top-k + vote tables shuffle. Cosine is rounded to 4dp
+    BEFORE ranking so neighbor order is reproducible cross-engine. At 100 TB
+    this is the linear-scan kNN eval; swap the candidate generator for
+    llm_sim_lsh when the probe batch itself is huge.
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.expr(f"aggregate({c}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    )
+    probes = (
+        em.filter(F.col("vec_id") < KNN_PROBES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("true_label"),
+            F.col("embedding").alias("q_emb"),
+        )
+        .withColumn("q_norm", norm("q_emb"))
+    )
+    corpus = (
+        parallelize(em.filter(F.col("vec_id") >= KNN_PROBES))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            F.col("embedding").alias("c_emb"),
+        )
+        .withColumn("c_norm", norm("c_emb"))
+    )
+    dot = F.expr(_DOT.format(a="q_emb", b="c_emb"))
+    pairs = F.broadcast(probes).crossJoin(corpus).select(
+        "query_id",
+        "true_label",
+        "neighbor_id",
+        "neighbor_label",
+        F.round(dot / (F.col("q_norm") * F.col("c_norm")), 4).alias("cosine"),
+    )
+    w_knn = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    knn = pairs.withColumn("rn", F.row_number().over(w_knn)).filter(
+        F.col("rn") <= KNN_K
+    )
+    votes = knn.groupBy("query_id", "true_label", "neighbor_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w_vote = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("neighbor_label").asc()
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(w_vote))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("neighbor_label").alias("pred_label"),
+            "n_votes",
+            F.when(F.col("neighbor_label") == F.col("true_label"), 1)
+            .otherwise(0)
+            .alias("correct"),
+        )
+    )
+
+
+@register(
+    "stat_ttest_welch",
+    CAT_QM,
+    """
+    WITH s AS (
+      SELECT
+        COUNT(*) FILTER (WHERE event_type = 'click')::BIGINT AS n1,
+        COUNT(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS n2,
+        AVG(value) FILTER (WHERE event_type = 'click') AS m1,
+        AVG(value) FILTER (WHERE event_type = 'purchase') AS m2,
+        VAR_SAMP(value) FILTER (WHERE event_type = 'click') AS v1,
+        VAR_SAMP(value) FILTER (WHERE event_type = 'purchase') AS v2
+      FROM events
+    )
+    SELECT n1 AS n_click, n2 AS n_purchase,
+           ROUND(m1, 4) AS mean_click, ROUND(m2, 4) AS mean_purchase,
+           ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 4) AS t_stat,
+           ROUND(POWER(v1 / n1 + v2 / n2, 2)
+                 / (POWER(v1 / n1, 2) / (n1 - 1)
+                    + POWER(v2 / n2, 2) / (n2 - 1)), 4) AS dof
+    FROM s
+    """,
+)
+def stat_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test: does click spend differ from
+    purchase spend? One conditional-aggregate pass produces both cohorts'
+    moments; t and the Welch–Satterthwaite dof are scalar arithmetic on the
+    aggregate row. Rounded at 4dp (variance accumulation order differs
+    across engines in the last ulp).
+
+    Scale: a single map-side-combinable scan regardless of event volume —
+    the entire test is O(1) state per partition.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    click = F.col("event_type") == "click"
+    purch = F.col("event_type") == "purchase"
+    s = ev.agg(
+        F.count(F.when(click, 1)).alias("n1"),
+        F.count(F.when(purch, 1)).alias("n2"),
+        F.avg(F.when(click, F.col("value"))).alias("m1"),
+        F.avg(F.when(purch, F.col("value"))).alias("m2"),
+        F.variance(F.when(click, F.col("value"))).alias("v1"),
+        F.variance(F.when(purch, F.col("value"))).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return s.select(
+        F.col("n1").alias("n_click"),
+        F.col("n2").alias("n_purchase"),
+        F.round("m1", 4).alias("mean_click"),
+        F.round("m2", 4).alias("mean_purchase"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+            ),
+            4,
+        ).alias("dof"),
+    )
+
+
+@register(
+    "events_hour_heatmap",
+    CAT_REP,
+    """
+    WITH c AS (
+      SELECT isodow(ts)::INT AS dow, hour(ts)::INT AS hr,
+             COUNT(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT dow, hr, n,
+           ROUND(n::DOUBLE / SUM(n) OVER (), 4) AS share
+    FROM c
+    """,
+)
+def events_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-weekday × hour-of-day traffic heatmap with share of total.
+    Encoded as isodow (1=Mon..7=Sun) — Spark's ``weekday`` (0=Mon) + 1 —
+    because Spark's ``dayofweek`` and DuckDB's ``dayofweek`` disagree on
+    Sunday. Share denominator is an exact integer window sum.
+
+    Scale: counts are map-side combinable; the window runs over ≤168 cells.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        (F.weekday("ts") + 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return c.select(
+        "dow",
+        "hr",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(Window.partitionBy()), 4
+        ).alias("share"),
+    )
+
+
+@register(
+    "revenue_abc_class",
+    CAT_REP,
+    """
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100, 0)
+                  AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT l_partkey, rev_cents,
+             SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum_cents,
+             SUM(rev_cents) OVER () AS tot_cents
+      FROM per_part
+    ),
+    classed AS (
+      SELECT CASE WHEN cum_cents * 5 <= tot_cents * 4 THEN 'A'
+                  WHEN cum_cents * 20 <= tot_cents * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev_cents, tot_cents
+      FROM ranked
+    )
+    SELECT abc_class, COUNT(*)::BIGINT AS n_parts,
+           ROUND(SUM(rev_cents) / 100.0, 2) AS revenue,
+           ROUND(SUM(rev_cents)::DOUBLE / MAX(tot_cents), 4) AS rev_share
+    FROM classed GROUP BY 1
+    """,
+)
+def revenue_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts sorted by revenue, class A = the
+    prefix holding ≤80% of cumulative revenue, B ≤95%, C the tail. All
+    threshold comparisons run on exact integer cents (cum*5 ≤ tot*4 is
+    0.80 without ever touching a float), so the class boundary cannot flip
+    on cross-engine summation order.
+
+    Scale: per-part revenue is one shuffled aggregate; the running sum is a
+    single global-ordered window over |parts| rows — at 100 TB, parts is
+    the small side (items, not transactions), so the single-partition
+    window is fine; if it weren't, two-pass cumulative sum over range
+    partitions replaces it.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100, 0)
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    w_cum = (
+        Window.orderBy(F.col("rev_cents").desc(), F.col("l_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per_part.select(
+        "l_partkey",
+        "rev_cents",
+        F.sum("rev_cents").over(w_cum).alias("cum_cents"),
+        F.sum("rev_cents").over(Window.partitionBy()).alias("tot_cents"),
+    )
+    classed = ranked.select(
+        F.when(F.col("cum_cents") * 5 <= F.col("tot_cents") * 4, "A")
+        .when(F.col("cum_cents") * 20 <= F.col("tot_cents") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev_cents",
+        "tot_cents",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("rev_cents") / 100.0, 2).alias("revenue"),
+        F.round(
+            F.sum("rev_cents").cast("double") / F.max("tot_cents"), 4
+        ).alias("rev_share"),
+    )
+
+
+@register(
+    "ts_theil_sen",
+    CAT_TS,
+    """
+    WITH monthly AS (
+      SELECT (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS mi,
+             ROUND(SUM(o_totalprice), 4) AS y
+      FROM orders GROUP BY 1
+    ),
+    slopes AS (
+      SELECT (b.y - a.y) / (b.mi - a.mi) AS slope
+      FROM monthly a JOIN monthly b ON a.mi < b.mi
+    ),
+    med AS (
+      SELECT ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY slope), 4)
+               AS slope
+      FROM slopes
+    )
+    SELECT (SELECT COUNT(*)::BIGINT FROM monthly) AS n_months,
+           slope,
+           ROUND((SELECT percentile_cont(0.5)
+                    WITHIN GROUP (ORDER BY y - med.slope * mi)
+                  FROM monthly), 4) AS intercept
+    FROM med
+    """,
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimator over the monthly revenue series:
+    slope = median of all pairwise slopes, intercept = median(y − slope·x).
+    A single wild month cannot move it — unlike the OLS fit in
+    llm_zipf_slope/agg_regression. Monthly points are rounded before
+    pairing, so every pairwise slope is bit-identical cross-engine.
+
+    Scale: the series is an aggregate (months, not transactions) — the
+    O(m²) pair join is over ~80 rows no matter how big the fact table is.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    monthly = od.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("mi")
+    ).agg(F.round(F.sum("o_totalprice"), 4).alias("y"))
+    a = monthly.alias("a")
+    b = monthly.alias("b")
+    slopes = a.join(b, F.col("a.mi") < F.col("b.mi")).select(
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.mi") - F.col("a.mi"))).alias(
+            "slope"
+        )
+    )
+    med = slopes.agg(
+        F.round(F.expr("percentile(slope, 0.5)"), 4).alias("slope")
+    )
+    n = monthly.agg(F.count(F.lit(1)).alias("n_months"))
+    resid = (
+        monthly.crossJoin(F.broadcast(med))
+        .select((F.col("y") - F.col("slope") * F.col("mi")).alias("r"))
+        .agg(F.round(F.expr("percentile(r, 0.5)"), 4).alias("intercept"))
+    )
+    return n.crossJoin(med).crossJoin(resid)
+
+
+@register(
+    "customer_gini",
+    CAT_QM,
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT rev_cents,
+             ROW_NUMBER() OVER (ORDER BY rev_cents ASC, o_custkey ASC) AS i
+      FROM per_cust
+    )
+    SELECT COUNT(*)::BIGINT AS n_customers,
+           ROUND(2.0 * SUM(i * rev_cents) / (COUNT(*) * SUM(rev_cents))
+                 - (COUNT(*) + 1.0) / COUNT(*), 4) AS gini
+    FROM ranked
+    """,
+)
+def customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration via the exact
+    rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted
+    integer-cents revenue. Both Σ terms are exact BIGINT sums — the only
+    float op is the final division, so the statistic is deterministic to
+    the last bit before its 4dp round.
+
+    Scale: same posture as revenue_abc_class — the ranked window runs over
+    customers (the aggregated side), not orders.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    per_cust = od.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice") * 100, 0).cast("bigint").alias("rev_cents")
+    )
+    ranked = per_cust.select(
+        "rev_cents",
+        F.row_number()
+        .over(Window.orderBy(F.col("rev_cents").asc(), F.col("o_custkey").asc()))
+        .alias("i"),
+    )
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.alias("n_customers"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("rev_cents")) / (n * F.sum("rev_cents"))
+            - (n + 1.0) / n,
+            4,
+        ).alias("gini"),
+    )
