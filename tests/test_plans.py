@@ -269,3 +269,31 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, registry):
     )
     plan = _plan(j)
     assert "dynamicpruningexpression" in plan, plan
+
+
+def test_join_dpp_partitioned_prunes_at_runtime(spark, registry):
+    # the registered DPP operator must actually plan the runtime prune on
+    # its partitioned fact scan (2 of ~7 shipyear partitions selected)
+    plan = _plan(registry["join_dpp_partitioned"].fn(spark, SF_DIR))
+    assert "dynamicpruningexpression" in plan, plan
+
+
+def test_join_bloom_filter_injects_runtime_filter(spark):
+    # with broadcast off, the selective dim side must build a Bloom sketch
+    # that pre-filters the fact scan before the shuffle (might_contain on
+    # the join key); without it the full fact table crosses the wire
+    from training_feed_kinesis_spark.operators.engine_surface2 import bloom_join
+
+    try:
+        plan = _plan(bloom_join(spark, SF_DIR))
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "10GB",
+        )
+    assert "might_contain" in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan

@@ -1,0 +1,273 @@
+"""Second engine-surface wave: the two runtime-filter optimizations that
+decide scan volume at 100 TB, plus corpus novelty and lead-lag analytics.
+
+  * ``join_dpp_partitioned``: DYNAMIC partition pruning — the dim-side
+    filter prunes fact partitions at runtime through the join subquery
+    (static pruning's counterpart: scan_pruned_partitions).
+  * ``join_bloom_filter``: runtime Bloom-filter injection — the selective
+    dim side builds a Bloom sketch that pre-filters the fact scan before
+    the shuffle join (the 100 TB shuffle-volume killer for non-partition
+    join keys).
+  * ``llm_ngram_novelty``: per-document novelty rate — the fraction of a
+    doc's 3-gram shingles first introduced by that doc (corpus ordered by
+    doc_id). Low novelty ⇒ boilerplate/near-dup; the incremental-crawl
+    dedup signal.
+  * ``ts_cross_correlation``: lead-lag Pearson correlation between the
+    hourly click and purchase series at lags −3..+3 hours — does one
+    series predict the other?
+
+Reference parity note: /root/reference is an EMPTY checkout (SURVEY.md §0.1);
+capability surface reconstructed per SURVEY.md §2 and BASELINE.json:6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+from .llm_dedup import _SHINGLE_ROWS_SQL, _shingle_rows
+from .scans import scratch_dir
+
+CAT_JOIN = "2.C joins"
+CAT_LLM = "2.J llm-pipeline"
+CAT_TS = "2.L time-series analytics"
+
+
+@register(
+    "join_dpp_partitioned",
+    CAT_JOIN,
+    """
+    WITH fact AS (
+      SELECT year(l_shipdate)::INT AS shipyear, l_returnflag,
+             l_extendedprice * (1 - l_discount) AS rev
+      FROM lineitem
+    ),
+    dim AS (
+      SELECT DISTINCT year(o_orderdate)::BIGINT AS yr FROM orders
+      WHERE year(o_orderdate) BETWEEN 1996 AND 1997
+    )
+    SELECT shipyear, l_returnflag, COUNT(*)::BIGINT AS n,
+           ROUND(SUM(rev), 4) AS revenue
+    FROM fact JOIN dim ON fact.shipyear = dim.yr
+    GROUP BY shipyear, l_returnflag
+    """,
+)
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: lineitem written Hive-partitioned by ship
+    year, then joined to a dim whose filter (2 of ~7 years) is only known
+    through the join — no static predicate touches the fact table. Catalyst
+    injects ``dynamicpruningexpression(shipyear IN dynamicpruning#N)`` into
+    the fact scan's PartitionFilters (plan-asserted in tests/test_plans.py):
+    the dim side evaluates first and only the matching fact partitions are
+    ever opened. At 100 TB this is THE mechanism that makes date-partitioned
+    fact × filtered-dim star joins scan-bounded; static pruning
+    (scan_pruned_partitions) cannot see through a join.
+    """
+    out = scratch_dir("dpp_fact_")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").cast("int").alias("shipyear"),
+        "l_returnflag",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    li.write.mode("overwrite").partitionBy("shipyear").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.year("o_orderdate").cast("bigint").alias("yr"))
+        .filter(F.col("yr").between(1996, 1997))
+        .distinct()
+    )
+    return (
+        fact.join(dim, fact.shipyear == dim.yr)
+        .groupBy("shipyear", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("rev"), 4).alias("revenue"),
+        )
+        .select(
+            F.col("shipyear").cast("int").alias("shipyear"),
+            "l_returnflag",
+            "n",
+            "revenue",
+        )
+    )
+
+
+def bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-materialized Bloom-filtered join (shared with the plan test).
+
+    Confs must be live at PLAN time: broadcast disabled (Bloom injection is
+    skipped when the creation side would broadcast — the sketch would be
+    pointless) and the application-side scan threshold lowered so the local
+    test datasets qualify (the 10 GB default is sized for real clusters).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    # AFTER load_table: configure() resets the broadcast threshold
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "1b",
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_bloom_filter",
+    CAT_JOIN,
+    """
+    SELECT o_orderpriority, l_returnflag, COUNT(*)::BIGINT AS n,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority, l_returnflag
+    """,
+)
+def join_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join: the selective orders side builds a Bloom
+    sketch (ObjectHashAggregate subquery) and the lineitem scan is
+    pre-filtered with ``might_contain(sketch, xxhash64(l_orderkey))``
+    BEFORE the shuffle — only ~1/5 of fact rows cross the wire into the
+    sort-merge join. This is the non-partitioned complement of DPP: when
+    the join key isn't the partition key, the Bloom sketch is what keeps a
+    100 TB shuffle proportional to the match set, not the table.
+
+    The join materializes to scratch under the forced-shuffle confs, which
+    are then restored — the registered result is the read-back, so the
+    session-wide conf changes never leak into other operators.
+    """
+    joined = bloom_join(spark, sf_dir)
+    out = scratch_dir("bloom_join_")
+    try:
+        joined.write.mode("overwrite").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "10GB",
+        )
+    return spark.read.parquet(out)
+
+
+@register(
+    "llm_ngram_novelty",
+    CAT_LLM,
+    f"""
+    WITH sh AS ({_SHINGLE_ROWS_SQL}),
+    owner AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh),
+    per_doc AS (
+      SELECT s.doc_id,
+             COUNT(*)::BIGINT AS n_shingles,
+             COUNT(*) FILTER (WHERE o.first_doc = s.doc_id)::BIGINT AS n_novel
+      FROM sh s JOIN owner o ON s.sh = o.sh
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_shingles, n_novel,
+           ROUND(n_novel::DOUBLE / n_shingles, 4) AS novelty
+    FROM per_doc
+    """,
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty rate: the fraction of a doc's distinct 3-gram
+    shingles whose first corpus occurrence (min doc_id) is this doc. A
+    crawl-ordered corpus scores late near-dups and boilerplate low — the
+    streaming-friendly dedup signal (each new batch only needs the
+    accumulated shingle→first_doc map, a groupBy-min that's incrementally
+    mergeable, unlike pairwise Jaccard).
+
+    Scale: two shuffles on the shingle key (owner min + join back), both
+    map-side combinable; no pairwise blowup anywhere.
+    """
+    sh = _shingle_rows(spark, sf_dir)
+    owner = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(owner, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.round(F.col("n_novel").cast("double") / F.col("n_shingles"), 4).alias(
+            "novelty"
+        ),
+    )
+
+
+@register(
+    "ts_cross_correlation",
+    CAT_TS,
+    """
+    WITH x AS (
+      SELECT epoch(date_trunc('hour', ts))::BIGINT AS h,
+             COUNT(*)::BIGINT AS xn
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    y AS (
+      SELECT epoch(date_trunc('hour', ts))::BIGINT AS h,
+             COUNT(*)::BIGINT AS yn
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    lags AS (SELECT range::BIGINT AS lag_hours FROM range(-3, 4))
+    SELECT lag_hours, COUNT(*)::BIGINT AS n_pairs,
+           ROUND(corr(x.xn, y.yn), 4) AS xcorr
+    FROM lags, x JOIN y ON y.h = x.h + lag_hours * 3600
+    GROUP BY lag_hours
+    """,
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation: Pearson corr between hourly click volume
+    at t and purchase volume at t+lag, for lags −3..+3 h. A peak at a
+    positive lag means clicks lead purchases by that long — the
+    campaign-attribution / staffing-forecast primitive. Inner-joined hours
+    only (both series present), so every (lag, pair) set is identical
+    cross-engine; corr is rounded 4dp (summation order).
+
+    Scale: the series are pre-aggregated per hour (map-side combinable);
+    the 7-lag equi-join runs on |hours| rows, not |events|.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("h")
+    x = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(hour)
+        .agg(F.count(F.lit(1)).alias("xn"))
+    )
+    y = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(hour)
+        .agg(F.count(F.lit(1)).alias("yn"))
+    )
+    lags = spark.range(-3, 4).select(F.col("id").alias("lag_hours"))
+    return (
+        F.broadcast(lags)
+        .crossJoin(x)
+        .join(
+            y.withColumnRenamed("h", "yh"),
+            F.col("yh") == F.col("h") + F.col("lag_hours") * 3600,
+        )
+        .groupBy("lag_hours")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("xn", "yn"), 4).alias("xcorr"),
+        )
+    )

@@ -51,11 +51,9 @@ _DOT_SQL = (
 )
 
 
-@register(
-    "ml_knn_classify",
-    CAT_ML,
-    f"""
-    WITH pairs AS (
+# shared kNN candidate CTE (probes vs voting corpus, rounded-cosine top-k)
+_KNN_CTES = f"""
+    pairs AS (
       SELECT a.vec_id AS query_id, a.label AS true_label,
              b.vec_id AS neighbor_id, b.label AS neighbor_label,
              ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
@@ -69,32 +67,15 @@ _DOT_SQL = (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                   ORDER BY cosine DESC, neighbor_id ASC) AS rn
         FROM pairs) WHERE rn <= {KNN_K}
-    ),
-    votes AS (
-      SELECT query_id, true_label, neighbor_label,
-             COUNT(*)::BIGINT AS n_votes
-      FROM knn GROUP BY 1, 2, 3
-    )
-    SELECT query_id, true_label, neighbor_label AS pred_label, n_votes,
-           CASE WHEN neighbor_label = true_label THEN 1 ELSE 0 END AS correct
-    FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                ORDER BY n_votes DESC, neighbor_label ASC) AS vr
-      FROM votes) WHERE vr = 1
-    """,
-)
-def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN majority-vote classifier: held-out probes (vec_id < 40) vs the
-    voting corpus, k=5 cosine neighbors, majority label with deterministic
-    (count DESC, label ASC) tie-break.
+    )"""
 
-    Physical shape mirrors llm_sim_topk: the probe side broadcasts, the
-    corpus side is scanned once map-only (norms precomputed per side), and
-    only the tiny top-k + vote tables shuffle. Cosine is rounded to 4dp
-    BEFORE ranking so neighbor order is reproducible cross-engine. At 100 TB
-    this is the linear-scan kNN eval; swap the candidate generator for
-    llm_sim_lsh when the probe batch itself is huge.
-    """
+
+def _knn_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine neighbors of each probe among the voting corpus:
+    (query_id, true_label, neighbor_id, neighbor_label, cosine, rn≤k).
+    Probe side broadcasts; corpus side scans map-only with per-side
+    precomputed norms; cosine rounds to 4dp BEFORE ranking so neighbor
+    order is reproducible cross-engine (same pattern as llm_sim_topk)."""
     em = load_table(spark, sf_dir, "embeddings")
     norm = lambda c: F.sqrt(  # noqa: E731
         F.expr(f"aggregate({c}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
@@ -128,9 +109,42 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_knn = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
-    knn = pairs.withColumn("rn", F.row_number().over(w_knn)).filter(
+    return pairs.withColumn("rn", F.row_number().over(w_knn)).filter(
         F.col("rn") <= KNN_K
     )
+
+
+@register(
+    "ml_knn_classify",
+    CAT_ML,
+    f"""
+    WITH {_KNN_CTES},
+    votes AS (
+      SELECT query_id, true_label, neighbor_label,
+             COUNT(*)::BIGINT AS n_votes
+      FROM knn GROUP BY 1, 2, 3
+    )
+    SELECT query_id, true_label, neighbor_label AS pred_label, n_votes,
+           CASE WHEN neighbor_label = true_label THEN 1 ELSE 0 END AS correct
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY n_votes DESC, neighbor_label ASC) AS vr
+      FROM votes) WHERE vr = 1
+    """,
+)
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote classifier: held-out probes (vec_id < 40) vs the
+    voting corpus, k=5 cosine neighbors, majority label with deterministic
+    (count DESC, label ASC) tie-break.
+
+    Physical shape mirrors llm_sim_topk: the probe side broadcasts, the
+    corpus side is scanned once map-only (norms precomputed per side), and
+    only the tiny top-k + vote tables shuffle. Cosine is rounded to 4dp
+    BEFORE ranking so neighbor order is reproducible cross-engine. At 100 TB
+    this is the linear-scan kNN eval; swap the candidate generator for
+    llm_sim_lsh when the probe batch itself is huge.
+    """
+    knn = _knn_neighbors(spark, sf_dir)
     votes = knn.groupBy("query_id", "true_label", "neighbor_label").agg(
         F.count(F.lit(1)).alias("n_votes")
     )
@@ -149,6 +163,45 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .alias("correct"),
         )
+    )
+
+
+@register(
+    "ml_precision_at_k",
+    CAT_ML,
+    f"""
+    WITH {_KNN_CTES},
+    per_query AS (
+      SELECT query_id, true_label,
+             COUNT(*) FILTER (WHERE neighbor_label = true_label)::DOUBLE
+               / {KNN_K} AS prec
+      FROM knn GROUP BY 1, 2
+    )
+    SELECT true_label, COUNT(*)::BIGINT AS n_queries,
+           ROUND(AVG(prec), 4) AS precision_at_k
+    FROM per_query GROUP BY true_label
+    """,
+)
+def ml_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality metric over the same kNN candidates as
+    ml_knn_classify: per-probe precision@5 (share of top-5 neighbors whose
+    label matches the probe's), averaged per true label. Per-query values
+    are exact multiples of 1/k, so only the final mean needs the 4dp round.
+
+    Scale: identical physical shape to the classifier — the metric is one
+    extra tiny aggregate over the top-k table.
+    """
+    knn = _knn_neighbors(spark, sf_dir)
+    per_query = knn.groupBy("query_id", "true_label").agg(
+        (
+            F.count(F.when(F.col("neighbor_label") == F.col("true_label"), 1))
+            .cast("double")
+            / KNN_K
+        ).alias("prec")
+    )
+    return per_query.groupBy("true_label").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("prec"), 4).alias("precision_at_k"),
     )
 
 
