@@ -79,6 +79,7 @@ _OPERATOR_MODULES = [
     "training_feed_kinesis_spark.operators.stats3",
     "training_feed_kinesis_spark.operators.engine_surface2",
     "training_feed_kinesis_spark.operators.ml_pipeline2",
+    "training_feed_kinesis_spark.operators.quality_graph2",
     "training_feed_kinesis_spark.sources.pyds",
     "training_feed_kinesis_spark.streaming.queries",
 ]
