@@ -297,3 +297,19 @@ def test_join_bloom_filter_injects_runtime_filter(spark):
         )
     assert "might_contain" in plan, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_scan_cache_reuse_hits_memory_cache(spark):
+    # both rollups must read the cached intermediate (InMemoryRelation),
+    # not rescan parquet — the iterative-workload reuse primitive
+    from training_feed_kinesis_spark.operators.surface4 import cached_rollups
+
+    base, unioned = cached_rollups(spark, SF_DIR)
+    try:
+        plan = _plan(unioned)
+        # both union branches must read through the cache (the parquet scan
+        # appearing under InMemoryRelation in the printout is the cache-FILL
+        # plan, displayed once per reference — not an extra execution)
+        assert plan.count("InMemoryTableScan") >= 2, plan
+    finally:
+        base.unpersist()
