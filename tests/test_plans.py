@@ -313,3 +313,75 @@ def test_scan_cache_reuse_hits_memory_cache(spark):
         assert plan.count("InMemoryTableScan") >= 2, plan
     finally:
         base.unpersist()
+
+
+def test_asof_join_is_joinless_linear_scan(spark, registry):
+    """Round-2 fix: the as-of join must NOT be spelled as a range join +
+    window dedup (quadratic per key on a hot user). The window-carry
+    spelling has zero join operators — one shuffle on user_id, one sort,
+    one window. Both directions."""
+    for key in ("join_asof", "join_asof_forward"):
+        plan = _plan(registry[key].fn(spark, SF_DIR))
+        assert "Join" not in plan, f"{key} plan contains a join:\n{plan}"
+        assert "Window" in plan
+
+
+def test_asof_join_hot_key_no_quadratic_blowup(spark):
+    """Skew probe: one user with a huge click history must stay linear.
+    Synthesizes 200k clicks + 200 purchases for a single hot user, runs the
+    same window-carry spelling, and cross-checks every result against a
+    pandas-computed as-of answer. The quadratic spelling would materialize
+    4×10^7 intermediate rows here; the linear one handles it in-memory in
+    seconds."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    n_clicks, n_purch = 200_000, 200
+    clicks = spark.range(n_clicks).select(
+        (F.col("id") + 1_000_000).alias("event_id"),
+        F.lit(7).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 7).alias("ts"),
+    )
+    purchases = spark.range(n_purch).select(
+        (F.col("id") + 9_000_000).alias("event_id"),
+        F.lit(7).alias("user_id"),
+        F.lit("purchase").alias("event_type"),
+        F.timestamp_seconds(F.lit(1704067203) + F.col("id") * 6991).alias("ts"),
+    )
+    ev = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_type").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    res = (
+        ev.withColumn(
+            "click_ts",
+            F.last(
+                F.when(F.col("event_type") == "click", F.col("ts")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts", "click_ts")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(res) == n_purch
+    # pandas oracle: merge_asof on the same data
+    cpd = pd.DataFrame(
+        {"click_ts": pd.to_datetime(1704067200 + 7 * pd.RangeIndex(n_clicks), unit="s")}
+    )
+    ppd = pd.DataFrame(
+        {
+            "event_id": 9_000_000 + pd.RangeIndex(n_purch),
+            "ts": pd.to_datetime(1704067203 + 6991 * pd.RangeIndex(n_purch), unit="s"),
+        }
+    )
+    expected = pd.merge_asof(
+        ppd, cpd.assign(ts=cpd.click_ts), on="ts", direction="backward"
+    )
+    assert (res["click_ts"].values == expected["click_ts"].values).all()

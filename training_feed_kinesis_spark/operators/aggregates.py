@@ -422,7 +422,7 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            bool_and(value >= 0)                  AS all_nonneg,
            bool_or(event_type = 'error')         AS any_error,
-           count_if(event_type = 'purchase')     AS n_purchases
+           CAST(count_if(event_type = 'purchase') AS BIGINT) AS n_purchases
     FROM events GROUP BY user_id
     """,
 )

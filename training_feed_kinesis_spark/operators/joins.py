@@ -251,29 +251,40 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each purchase, the latest click at or before it.
 
-    Spark has no native ASOF JOIN; the idiomatic spelling is equi-join on the
-    entity key + range predicate, then keep the max-timestamp match per probe
-    row via a window. The equi key (user_id) carries the shuffle, so this
-    scales as a normal key join; the window dedup is per-probe-row.
-    100 TB note: if one user's click history is huge, bound the range
-    (e.g. `c.ts >= p.ts - INTERVAL 7 DAYS`) to cap the pre-dedup blowup —
-    the unbounded form is quadratic per key in the worst case (SURVEY §4.2).
+    Spark has no native ASOF JOIN. The naive spelling (equi-join on user_id
+    + `p.ts >= c.ts` range predicate, then window-dedup to the max match)
+    materializes purchases×clicks per user BEFORE the dedup — quadratic per
+    key in the worst case, and the first query to die on one hot key at
+    100× scale (round-1 verdict). This spelling instead carries state
+    through a single ordered window scan: union clicks+purchases on the
+    shared (user_id, ts) order, and at each purchase row read the most
+    recent click timestamp seen so far via `last(..., ignorenulls)` over an
+    unbounded-preceding ROWS frame. One shuffle on user_id, zero joins,
+    O(events-per-user) per key — a hot user costs one big sort partition
+    (linear, spillable), never a quadratic intermediate. Same pattern as
+    `join_asof_forward` (DESC mirror). Tie semantics: (user_id, ts) is
+    duplicate-free at every sf (verified), and a click at exactly p.ts
+    sorts before the purchase via the event_type tiebreak ('click' <
+    'purchase'), preserving the inclusive `p.ts >= c.ts` bound; LEFT
+    semantics fall out of ignorenulls (no prior click ⇒ NULL click_ts).
     """
-    ev = load_table(spark, sf_dir, "events")
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
     )
-    c = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_type").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    joined = p.join(
-        c, (p.user_id == c.c_user_id) & (p.ts >= c.click_ts), "left"
+    carried = ev.withColumn(
+        "click_ts",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("ts")),
+            ignorenulls=True,
+        ).over(w),
     )
-    w = Window.partitionBy("event_id").orderBy(F.desc_nulls_last("click_ts"))
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "click_ts")
+    return carried.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "click_ts"
     )
 
 

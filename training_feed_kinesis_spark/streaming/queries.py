@@ -367,13 +367,30 @@ def join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain(agg, "complete")
 
 
-@register("join_stream_stream", "2.C joins")  # rows-only: tail-of-stream matches
+@register(
+    "join_stream_stream",
+    "2.C joins",
+    """
+    SELECT p.event_id AS p_event, c.event_id AS c_event,
+           p.user_id AS p_user, p.ts AS p_ts, c.ts AS c_ts
+    FROM events p JOIN events c ON p.user_id = c.user_id
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+    """,
+)
 def join_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: purchases ⋈ clicks by the same user
     within the preceding 30 minutes, both sides watermarked (bounds the
     buffered state to the interval + watermark — mandatory, SURVEY §4.3).
-    Rows-only: matches whose completion depends on watermark progression at
-    the stream tail are inherently arrival-order-dependent."""
+
+    Drained-equals-batch oracle (same discipline as stream_cdc_merge): for
+    an INNER stream-stream join, append mode emits a match in the
+    micro-batch where it is found — emission never waits on the watermark
+    (only state EVICTION does). Under ordered replay the watermark trails
+    the batch boundary by the 1-hour delay, so a click is evicted only
+    after every purchase that could still match it (≤ 30 min later) has
+    been processed: no match is ever lost to eviction, and the drained
+    result equals the batch interval join the oracle runs."""
     stream = replay_stream(spark, sf_dir, "ordered", sentinel=True)
     p = (
         stream.filter(F.col("event_type") == "purchase")
