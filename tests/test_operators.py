@@ -44,3 +44,54 @@ def test_contract_shape():
     o = e.oracle_sql()
     assert set(o) <= set(q), "oracle keys must be a subset of query keys"
     assert len(q) > 0
+
+
+def test_approx_distinct_bounded_error(spark):
+    """HLL++ has no cross-engine oracle (rows-only for the driver), but its
+    accuracy is testable in-engine: at rsd=0.01 the estimate must land
+    within 5% (5 sigma) of the exact distinct count per group."""
+    from pyspark.sql import functions as F
+
+    from training_feed_kinesis_spark.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    both = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    assert len(both) > 0
+    for r in both:
+        assert abs(r["approx"] - r["exact"]) <= max(0.05 * r["exact"], 1), (
+            f"{r['event_type']}: approx {r['approx']} vs exact {r['exact']}"
+        )
+
+
+def test_approx_quantile_within_exact_bracket(spark):
+    """approx_percentile(accuracy=1000) guarantees rank error ≤ 1/1000.
+    Assert each approx quantile lies within the exact [q-1%, q+1%] rank
+    bracket computed by the oracled exact percentile beside it."""
+    from pyspark.sql import functions as F
+
+    from training_feed_kinesis_spark.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("approx_percentile(value, 0.5, 1000)").alias("a50"),
+            F.expr("approx_percentile(value, 0.95, 1000)").alias("a95"),
+            F.expr("percentile(value, 0.49)").alias("lo50"),
+            F.expr("percentile(value, 0.51)").alias("hi50"),
+            F.expr("percentile(value, 0.94)").alias("lo95"),
+            F.expr("percentile(value, 0.96)").alias("hi95"),
+        )
+        .collect()
+    )
+    assert len(rows) > 0
+    for r in rows:
+        assert r["lo50"] <= r["a50"] <= r["hi50"], f"{r['event_type']} p50: {r}"
+        assert r["lo95"] <= r["a95"] <= r["hi95"], f"{r['event_type']} p95: {r}"

@@ -284,19 +284,13 @@ def test_join_bloom_filter_injects_runtime_filter(spark):
     # the join key); without it the full fact table crosses the wire
     from training_feed_kinesis_spark.operators.engine_surface2 import bloom_join
 
-    try:
-        plan = _plan(bloom_join(spark, SF_DIR))
-    finally:
-        spark.conf.set(
-            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
-        )
-        spark.conf.set(
-            "spark.sql.optimizer.runtime.bloomFilter."
-            "applicationSideScanSizeThreshold",
-            "10GB",
-        )
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    with bloom_join(spark, SF_DIR) as df:
+        plan = _plan(df)
     assert "might_contain" in plan, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    # the context manager must restore whatever value the session had
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
 
 
 def test_scan_cache_reuse_hits_memory_cache(spark):

@@ -22,13 +22,16 @@ capability surface reconstructed per SURVEY.md §2 and BASELINE.json:6.
 
 from __future__ import annotations
 
+import contextlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
 from .llm_dedup import _SHINGLE_ROWS_SQL, _shingle_rows
-from .scans import scratch_dir
+from .scans import SCRATCH, scratch_dir
 
 CAT_JOIN = "2.C joins"
 CAT_LLM = "2.J llm-pipeline"
@@ -65,13 +68,20 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact × filtered-dim star joins scan-bounded; static pruning
     (scan_pruned_partitions) cannot see through a join.
     """
-    out = scratch_dir("dpp_fact_")
+    # Deterministic per-sf scratch path, reused across invocations (a
+    # mkdtemp per call would accumulate full fact copies under .scratch/);
+    # the _READY marker guards against a partial dir from a crashed writer.
+    sf_tag = sf_dir.strip("/").split("/")[-1].replace(".", "_")
+    out = os.path.join(SCRATCH, f"dpp_fact_{sf_tag}")
     li = load_table(spark, sf_dir, "lineitem").select(
         F.year("l_shipdate").cast("int").alias("shipyear"),
         "l_returnflag",
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
     )
-    li.write.mode("overwrite").partitionBy("shipyear").parquet(out)
+    if not os.path.isfile(os.path.join(out, "_READY")):
+        li.write.mode("overwrite").partitionBy("shipyear").parquet(out)
+        with open(os.path.join(out, "_READY"), "w") as f:
+            f.write("ok")
     fact = spark.read.parquet(out)
     dim = (
         load_table(spark, sf_dir, "orders")
@@ -95,34 +105,57 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The un-materialized Bloom-filtered join (shared with the plan test).
+# Confs that force the Bloom-filter injection path: broadcast disabled
+# (injection is skipped when the creation side would broadcast — the sketch
+# would be pointless) and the application-side scan threshold lowered so the
+# local test datasets qualify (the 10 GB default is sized for real clusters).
+_BLOOM_FORCE_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1b",
+}
 
-    Confs must be live at PLAN time: broadcast disabled (Bloom injection is
-    skipped when the creation side would broadcast — the sketch would be
-    pointless) and the application-side scan threshold lowered so the local
-    test datasets qualify (the 10 GB default is sized for real clusters).
-    """
+
+@contextlib.contextmanager
+def bloom_join(spark: SparkSession, sf_dir: str):
+    """Context manager yielding the un-materialized Bloom-filtered join
+    (shared between the registered operator and the plan test).
+
+    The forcing confs must be live at PLAN time, so callers plan/execute
+    the yielded DataFrame inside the ``with`` block. Session conf values
+    are CAPTURED on entry and restored verbatim on exit — never reset to
+    hardcoded assumptions — so a foreign driver session with non-default
+    values is left exactly as found (round-1 advice). Tables load before
+    the mutation because ``load_table``'s ``configure()`` re-applies the
+    engine's broadcast threshold."""
     li = load_table(spark, sf_dir, "lineitem")
     od = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
-    # AFTER load_table: configure() resets the broadcast threshold
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-        "1b",
-    )
-    return (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .groupBy("o_orderpriority", "l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue"),
+    saved: dict[str, str | None] = {}
+    for k, v in _BLOOM_FORCE_CONFS.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority", "l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                ).alias("revenue"),
+            )
         )
-    )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                with contextlib.suppress(Exception):
+                    spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 @register(
@@ -145,20 +178,14 @@ def join_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join key isn't the partition key, the Bloom sketch is what keeps a
     100 TB shuffle proportional to the match set, not the table.
 
-    The join materializes to scratch under the forced-shuffle confs, which
-    are then restored — the registered result is the read-back, so the
-    session-wide conf changes never leak into other operators.
+    The join materializes to scratch inside the ``bloom_join`` conf
+    context, which restores the captured session values on exit — the
+    registered result is the read-back, so the session-wide conf changes
+    never leak into other operators.
     """
-    joined = bloom_join(spark, sf_dir)
     out = scratch_dir("bloom_join_")
-    try:
+    with bloom_join(spark, sf_dir) as joined:
         joined.write.mode("overwrite").parquet(out)
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        spark.conf.set(
-            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-            "10GB",
-        )
     return spark.read.parquet(out)
 
 

@@ -46,8 +46,7 @@ TOP_PAIRS = 10
     ),
     pairs AS (
       SELECT substring(tok, i, 2) AS pair, cnt, tok
-      FROM words, (SELECT unnest(range(1, 64)) AS i)
-      WHERE i <= len(tok) - 1
+      FROM (SELECT tok, cnt, unnest(range(1, len(tok))) AS i FROM words)
     ),
     census AS (
       SELECT pair, SUM(cnt)::BIGINT AS total_count,

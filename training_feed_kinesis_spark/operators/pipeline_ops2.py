@@ -28,7 +28,6 @@ from ..tables import load_table
 from .llm_dedup import (
     _SHINGLE_ROWS_SQL,
     _band_sigs,
-    _minhash_sigs,
     _shingle_counts,
     _shingle_rows,
     BAND_SIZE,

@@ -188,7 +188,7 @@ def win_frame_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_link_predict",
     CAT_GRAPH,
-    """
+    f"""
     WITH pairs AS (
       SELECT a.l_partkey AS pa, b.l_partkey AS pb
       FROM lineitem a JOIN lineitem b
@@ -220,7 +220,7 @@ def win_frame_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(common::DOUBLE / (deg_a + deg_b - common), 4) AS jaccard
     FROM cand
     ORDER BY common::DOUBLE / (deg_a + deg_b - common) DESC, na ASC, nb ASC
-    LIMIT 20
+    LIMIT {TOP_LINKS}
     """,
 )
 def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
