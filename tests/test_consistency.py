@@ -480,3 +480,66 @@ def test_zorder_tiles_partition_points(spark, registry):
     assert sum(r["n"] for r in rows) == n_cust
     for r in rows:
         assert r["tile"] * 16384 <= r["min_z"] <= r["max_z"] < (r["tile"] + 1) * 16384
+
+
+def test_watermark_bounds_state_growth_under_out_of_order_replay(spark):
+    """State-size discipline: under heavy out-of-order arrival (shuffled
+    replay — every file spans the whole time range) a watermarked tumbling
+    aggregation must (a) evict closed windows, keeping final state rows far
+    below the total window count × arrival disorder, and (b) record
+    watermark-dropped rows rather than buffering them forever. This is the
+    guarantee that makes streaming state survivable at 100 TB: state is
+    bounded by the watermark horizon, not by stream length. Runs under the
+    RocksDB provider — the production large-state backend."""
+    from pyspark.sql import functions as F
+
+    from training_feed_kinesis_spark.operators.scans import scratch_dir
+    from training_feed_kinesis_spark.streaming.replay import replay_stream
+
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(conf, None)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        conf,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = replay_stream(spark, SF_DIR, "shuffled")
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("tfk_state_growth")
+            .outputMode("append")
+            .option("checkpointLocation", scratch_dir("state_growth_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev_provider)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    assert progresses, "no stateful progress recorded"
+    # the event corpus spans ~30 days ⇒ ~720 hourly windows; with a 2-hour
+    # watermark over 4 shuffled files the watermark only advances between
+    # batches, so live state may hold up to ~one batch's window span, but
+    # NEVER the whole stream's windows times re-opened late state
+    last = progresses[-1]["stateOperators"][0]
+    n_windows = 24 * 31
+    assert 0 < last["numRowsTotal"] <= n_windows, last
+    # shuffled arrival MUST have produced late rows that the watermark
+    # dropped instead of buffering (that drop is the state bound)
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in progresses
+    )
+    assert dropped > 0, progresses

@@ -242,7 +242,14 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     slower warm and 4× slower cold at sf0.1). Banding parameters (4×2)
     put the S-curve threshold around jaccard≈0.5 — tune per corpus.
     Deterministic md5 minhashing ⇒ full SQL oracle, not rows-only."""
-    bands = _band_sigs(spark, sf_dir)
+    # both self-join legs consume the band signatures, and both verify legs
+    # consume the shingle arrays — cache each AND materialize eagerly
+    # (concurrent stages of one job race to fill a cold cache and duplicate
+    # the map work) so the sketch computation over the corpus runs exactly
+    # once. At real scale the same principle holds: materialize sketches
+    # to storage, then join.
+    bands = _band_sigs(spark, sf_dir).cache()
+    bands.count()
     a = bands.select(F.col("doc_id").alias("a_id"), "band", "band_sig")
     b = bands.select(F.col("doc_id").alias("b_id"), "band", "band_sig")
     cands = (
@@ -254,7 +261,8 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallelize(load_table(spark, sf_dir, "documents"))
     arrs = d.select("doc_id", F.expr(_TOK).alias("toks")).select(
         "doc_id", F.expr(_SHINGLES).alias("shs")
-    )
+    ).cache()
+    arrs.count()
     aa = arrs.select(F.col("doc_id").alias("a_id"), F.col("shs").alias("sha"))
     bb = arrs.select(F.col("doc_id").alias("b_id"), F.col("shs").alias("shb"))
     inter = F.size(F.array_intersect("sha", "shb"))

@@ -173,34 +173,40 @@ def _pca_oracle() -> str:
 @register("vec_pca_power", CAT, _pca_oracle())
 def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant principal direction of the embedding corpus by three power
-    iterations — WITHOUT materializing the 64×64 Gram matrix: each step is
-    two matvecs over the exploded (row, dim, value) relation (join on dim,
-    agg by row; join on row, agg by dim). Iteration state is a 64-row
-    vector; data-scale work is two shuffles per step, both partitioned by
-    bounded keys. The oracle unrolls identical algebra in CTEs.
+    iterations over the 64×64 Gram matrix, computed in ONE distributed
+    pass.
+
+    At D=64 the Gram matrix is 32 KB — O(D²) state, independent of row
+    count — so the 100 TB shape is a tree-aggregate: each Arrow batch
+    contributes a numpy ``XᵀX`` partial (vectorized, no per-row Python),
+    partials are summed, and the three power steps run on the driver
+    against the tiny matrix (Xᵀ(Xv) = Gv, identical algebra to the
+    oracle's unrolled CTEs). One job, zero joins, zero shuffles of
+    data-scale relations — versus the round-1 spelling's two shuffles per
+    step and compounding broadcast lineage. Per-batch partials collect as
+    one 4096-double row per Arrow batch (≈ one per partition): at 1000
+    executors that is a few MB of iteration state, not data movement.
     """
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
-    x = emb.select(
-        F.col("vec_id").alias("r"), F.posexplode("embedding").alias("i0", "xv")
-    ).select("r", (F.col("i0") + 1).alias("i"), F.col("xv").cast("double").alias("v"))
-    x = x.cache()
-    v = spark.range(1, _DIM + 1).select(
-        F.col("id").cast("int").alias("i"),
-        F.lit(1.0 / _DIM ** 0.5).alias("val"),
-    )
+
+    def gram_partials(batches):
+        for pdf in batches:
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            if len(x):
+                yield pd.DataFrame({"g": [(x.T @ x).ravel().tolist()]})
+
+    parts = emb.select("embedding").mapInPandas(gram_partials, "g array<double>")
+    gram = np.zeros(_DIM * _DIM, dtype=np.float64)
+    for row in parts.collect():
+        gram += np.asarray(row["g"], dtype=np.float64)
+    gram = gram.reshape(_DIM, _DIM)
+    v = np.full(_DIM, 1.0 / _DIM**0.5)
     for _ in range(3):
-        y = (
-            x.join(F.broadcast(v), "i")
-            .groupBy("r")
-            .agg(F.sum(F.col("v") * F.col("val")).alias("yv"))
-        )
-        z = (
-            x.join(F.broadcast(y), "r")
-            .groupBy("i")
-            .agg(F.sum(F.col("v") * F.col("yv")).alias("zv"))
-        )
-        norm = z.agg(F.sqrt(F.sum(F.col("zv") * F.col("zv"))).alias("nrm"))
-        v = z.crossJoin(F.broadcast(norm)).select(
-            "i", (F.col("zv") / F.col("nrm")).alias("val")
-        )
-    return v.select(F.col("i").alias("dim"), F.round("val", 4).alias("component"))
+        z = gram @ v
+        v = z / float(np.sqrt((z * z).sum()))
+    return spark.createDataFrame(
+        [(i + 1, float(c)) for i, c in enumerate(v)], "dim INT, component DOUBLE"
+    ).select("dim", F.round("component", 4).alias("component"))

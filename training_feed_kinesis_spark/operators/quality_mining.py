@@ -139,13 +139,19 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle after the pair aggregation.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = items.agg(
-        F.count_distinct("l_orderkey").cast("long").alias("n")
-    )
+    # items feeds four consumers (basket count, item supports, both join
+    # legs) and pair feeds both rule directions — cache each so the
+    # distinct / self-join+agg run once, not per consumer
+    items = li.select("l_orderkey", "l_partkey").distinct().cache()
+    # basket count to the driver (one scalar) — this also materializes the
+    # items cache, so supports and both self-join legs below read one copy
+    n_orders = items.select("l_orderkey").distinct().count()
     item_supp = items.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("supp")
     )
+    # NOTE: not the graph family's _edges — support here counts DISTINCT
+    # (order, part) baskets, and the fixture does contain duplicate
+    # lineitem pairs, so the two differ
     a = items.alias("a")
     b = items.alias("b")
     pair = (
@@ -160,13 +166,24 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("supp"))
         .filter(F.col("supp") >= 2)
     )
+    # both directed rules via a per-row explode (single consumer of the
+    # pair aggregation) instead of a self-union, which would re-run the
+    # basket self-join once per branch
     rules = pair.select(
-        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "supp"
-    ).unionByName(
-        pair.select(
-            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "supp"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("antecedent"),
+                    F.col("pb").alias("consequent"),
+                ),
+                F.struct(
+                    F.col("pb").alias("antecedent"),
+                    F.col("pa").alias("consequent"),
+                ),
+            )
+        ).alias("r"),
+        "supp",
+    ).select("r.antecedent", "r.consequent", "supp")
     ia = item_supp.select(
         F.col("l_partkey").alias("antecedent"), F.col("supp").alias("supp_a")
     )
@@ -176,7 +193,7 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rules.join(F.broadcast(ia), "antecedent")
         .join(F.broadcast(ic), "consequent")
-        .crossJoin(F.broadcast(n_orders))
+        .withColumn("n", F.lit(n_orders).cast("long"))
         .select(
             "antecedent",
             "consequent",

@@ -73,6 +73,22 @@ def build_session(app_name: str = "training-feed-kinesis-spark") -> SparkSession
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
+    # Streaming state store backend. The default HDFSBackedStateStoreProvider
+    # keeps every state row on the executor heap — fine for the bounded
+    # watermarked state these tests carry, but at 100 TB key cardinality the
+    # RocksDB provider is the production posture: state lives off-heap /
+    # on-disk with incremental (changelog) checkpointing, so state size is
+    # bounded by local disk, not executor memory. Opt-in via env because the
+    # provider class is a per-query-start conf and tests exercise both.
+    if os.environ.get("TFK_ROCKSDB_STATE", "").lower() in ("1", "true", "yes"):
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        ).config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     for conf in (_CORRECTNESS_CONFS, _PERF_CONFS):
         for k, v in conf.items():
             builder = builder.config(k, v)

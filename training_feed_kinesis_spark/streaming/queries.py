@@ -14,8 +14,24 @@ state) are rows-only.
 
 State & scale posture: every stateful operator here carries a watermark
 (state eviction bound — SURVEY §4.3); at 100 TB/day the state store backend
-is RocksDB (conf switch), watermark delay is the SLA for out-of-orderness,
+is RocksDB (``TFK_ROCKSDB_STATE=1`` in session.py — off-heap/on-disk state
+with changelog checkpointing; parity + growth-bound tests in
+tests/test_consistency.py), watermark delay is the SLA for out-of-orderness,
 and keyed state shuffles on the group key exactly like a batch groupBy.
+
+Watermark-horizon state size per stateful query (what an executor holds):
+  * tumbling/sliding windows — #keys × windows inside (watermark delay +
+    window length); sliding multiplies by window/slide overlap factor.
+  * session windows — #active sessions whose gap hasn't closed past the
+    watermark; worst case #keys with dribbling activity.
+  * dropDuplicates[WithinWatermark] — #distinct event ids inside the
+    watermark horizon (the unbounded batch dedup key set never accrues).
+  * stream-stream interval join — both sides buffer (join interval +
+    watermark delay) of rows per key; eviction is watermark-driven, so the
+    watermark is the memory contract, not an optimization.
+  * applyInPandasWithState / transformWithState — whatever the user state
+    schema holds per key, plus timer state; bounded only if the operator
+    sets timeouts — ours do.
 """
 
 from __future__ import annotations
