@@ -64,13 +64,23 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+    # Pair generation spelled as groupBy(order)+collect_list then a
+    # row-local array-combinations explode, NOT a lineitem self-join: one
+    # shuffle (keyed by order) instead of two sorted join legs, and the
+    # fan-out is bounded by basket width (<= 7 lineitems/order in this
+    # schema), so the explode is O(w^2) per row with tiny w — the same
+    # multiset of (pa, pb) pairs the oracle's self-join produces,
+    # duplicates included (collect_list, not collect_set, on purpose).
+    baskets = li.groupBy("l_orderkey").agg(F.collect_list("l_partkey").alias("ps"))
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, x ->"
+                " transform(filter(ps, y -> y > x),"
+                " y -> struct(x AS pa, y AS pb))))"
+            )
+        ).alias("e")
+    ).select("e.pa", "e.pb")
     edges = (
         pairs.groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("w"))

@@ -332,38 +332,38 @@ def llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     length ≥ w+k-1 yields a shared fingerprint — substring-level plagiarism/
     overlap detection, complementing token-set (fingerprint/minhash) dedup.
 
-    Plan shape: positions explode map-side; the window min runs per-doc
-    (partitioned window, no global sort); distinct collapses map-side first.
-    At 100 TB the fingerprint set (~n_chars/w per doc) joins against an
-    index relation on fp — same bucket-join shape as LSH bands."""
+    Plan shape: entirely row-local — the gram-hash array is built once per
+    document, each window minimum is an ``array_min(slice(...))`` over it,
+    and ``array_distinct`` dedups before the explode, so the operator runs
+    with ZERO shuffle (no partitioned window sort; doc_id is in the output
+    key, so per-doc distinct IS the global distinct). At 100 TB the
+    fingerprint set (~n_chars/w per doc) joins against an index relation
+    on fp — same bucket-join shape as LSH bands."""
     d = parallelize(load_table(spark, sf_dir, "documents"))
-    # posexplode the gram-array EXPRESSION (inline generator — see
-    # _shingle_rows) so exploded rows carry one 8-char gram, never the text
-    grams = (
+    # slice() clips at the array end, so trailing windows shorter than W
+    # take the min of the remaining grams — same semantics as a
+    # rowsBetween(currentRow, W-1) window frame near the partition edge.
+    fps = (
         d.filter(F.length("text") >= KGRAM)
         .select("doc_id", F.lower("text").alias("lt"))
         .select(
             "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, length(lt) - {KGRAM} + 1), "
-                    f"i -> substring(lt, i, {KGRAM}))"
-                )
-            ).alias("pos", "gram"),
+            F.expr(
+                f"transform(sequence(1, length(lt) - {KGRAM} + 1), "
+                f"i -> substring(md5(substring(lt, i, {KGRAM})), 1, 8))"
+            ).alias("ghs"),
         )
-        .select("doc_id", "pos", F.substring(F.md5("gram"), 1, 8).alias("gh"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(1, size(ghs)), "
+                    f"j -> array_min(slice(ghs, j, {WINNOW_W}))))"
+                )
+            ).alias("fp"),
+        )
     )
-    from pyspark.sql.window import Window
-
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, WINNOW_W - 1)
-    )
-    return (
-        grams.select("doc_id", F.min("gh").over(w).alias("fp"))
-        .distinct()
-    )
+    return fps
 
 
 _SIMHASH_SQL = f"""

@@ -139,30 +139,38 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle after the pair aggregation.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    # items feeds four consumers (basket count, item supports, both join
-    # legs) and pair feeds both rule directions — cache each so the
-    # distinct / self-join+agg run once, not per consumer
-    items = li.select("l_orderkey", "l_partkey").distinct().cache()
-    # basket count to the driver (one scalar) — this also materializes the
-    # items cache, so supports and both self-join legs below read one copy
-    n_orders = items.select("l_orderkey").distinct().count()
-    item_supp = items.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("supp")
-    )
+    # One shuffle builds per-order baskets; supports, the basket count and
+    # the pair list are all derived from that cached frame. collect_set
+    # (not list) = the DISTINCT (order, part) semantics of the oracle's
+    # `items` CTE; pair generation is then a row-local array-combinations
+    # explode bounded by basket width — no basket self-join at all.
     # NOTE: not the graph family's _edges — support here counts DISTINCT
     # (order, part) baskets, and the fixture does contain duplicate
     # lineitem pairs, so the two differ
-    a = items.alias("a")
-    b = items.alias("b")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .cache()
+    )
+    # basket count to the driver (one scalar) — this also materializes the
+    # baskets cache, so supports and the pair explode below read one copy
+    n_orders = baskets.count()
+    item_supp = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("supp"))
+    )
     pair = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x ->"
+                    " transform(filter(ps, y -> y > x),"
+                    " y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("e")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        .groupBy(F.col("e.pa").alias("pa"), F.col("e.pb").alias("pb"))
         .agg(F.count(F.lit(1)).cast("long").alias("supp"))
         .filter(F.col("supp") >= 2)
     )
