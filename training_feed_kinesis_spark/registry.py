@@ -82,6 +82,7 @@ _OPERATOR_MODULES = [
     "training_feed_kinesis_spark.operators.quality_graph2",
     "training_feed_kinesis_spark.operators.pipeline_ops2",
     "training_feed_kinesis_spark.operators.surface4",
+    "training_feed_kinesis_spark.operators.sketches_curation",
     "training_feed_kinesis_spark.sources.pyds",
     "training_feed_kinesis_spark.streaming.queries",
 ]
