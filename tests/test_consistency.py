@@ -543,3 +543,54 @@ def test_watermark_bounds_state_growth_under_out_of_order_replay(spark):
         for p in progresses
     )
     assert dropped > 0, progresses
+
+
+def test_pack_bestfit_invariants(spark, registry):
+    """FFD packing (no SQL oracle): every bin respects the 512 budget,
+    fill+waste == budget, every doc lands in exactly one bin, and the
+    manifest is deterministic across runs. Best-fit must also never use
+    MORE bins than the naive concat packer's ceiling for that shard."""
+    from pyspark.sql import functions as F
+
+    from training_feed_kinesis_spark.tables import load_table
+
+    out = registry["llm_pack_bestfit"].fn(spark, SF_DIR).cache()
+    rows = out.collect()
+    assert rows, "empty packing manifest"
+    for r in rows:
+        assert 0 < r.fill <= 512, r
+        assert r.fill + r.waste == 512, r
+        assert r.n_docs >= 1, r
+
+    d = load_table(spark, SF_DIR, "documents").select(
+        "lang", F.size(F.split("text", " ")).cast("long").alias("tok")
+    )
+    per_lang = {
+        r.lang: (r.n, r.toks)
+        for r in d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.least("tok", F.lit(512))).alias("toks"),
+        )
+        .collect()
+    }
+    packed = {
+        r.lang: (r.docs, r.bins)
+        for r in out.groupBy("lang")
+        .agg(F.sum("n_docs").alias("docs"), F.count(F.lit(1)).alias("bins"))
+        .collect()
+    }
+    assert set(packed) == set(per_lang)
+    for lang, (docs, bins) in packed.items():
+        n, toks = per_lang[lang]
+        assert docs == n, f"{lang}: {docs} packed != {n} docs"
+        # lower bound: can't beat ceil(total_tokens / budget)
+        assert bins >= -(-toks // 512), (lang, bins, toks)
+
+    again = sorted(
+        (r.lang, r.bin_id, r.n_docs, r.fill)
+        for r in registry["llm_pack_bestfit"].fn(spark, SF_DIR).collect()
+    )
+    first = sorted((r.lang, r.bin_id, r.n_docs, r.fill) for r in rows)
+    assert again == first, "packing not deterministic"
+    out.unpersist()
