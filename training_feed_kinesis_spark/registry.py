@@ -86,6 +86,7 @@ _OPERATOR_MODULES = [
     "training_feed_kinesis_spark.operators.curation_wave5",
     "training_feed_kinesis_spark.operators.scale_ops",
     "training_feed_kinesis_spark.operators.surface_wave7",
+    "training_feed_kinesis_spark.operators.training_feed8",
     "training_feed_kinesis_spark.sources.pyds",
     "training_feed_kinesis_spark.streaming.queries",
 ]
