@@ -1,0 +1,135 @@
+"""Skew / hot-key stress tests for the scale-critical operators.
+
+Synthetic worst-case fixtures (written to scratch, never touching
+/root/testdata): a heavily duplicated document cluster for the LSH dedup
+path, and a hot user for the point-in-time feature window. Each test
+asserts the SHAPE guarantee the operator's docstring claims — bounded
+candidates, linear (not quadratic) hot-key behavior — plus exact results
+cross-checked against an independent computation.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from training_feed_kinesis_spark.operators.scans import SCRATCH
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from training_feed_kinesis_spark.registry import load_all
+
+    return load_all()
+
+
+@pytest.fixture(scope="module")
+def dup_corpus_dir(spark):
+    """120 docs: 50 verbatim copies of one 40-token text + 70 distinct
+    texts (deterministic token soup). Written as documents.parquet so
+    operators load it through the normal path."""
+    out = os.path.join(SCRATCH, "stress_dup_corpus")
+    dup_text = " ".join(f"tok{i % 13}w{i}" for i in range(40))
+    rows = [(i, dup_text, "en", "srcA", len(dup_text)) for i in range(50)]
+    for i in range(50, 120):
+        txt = " ".join(f"u{i}t{j}x{(i * 7 + j) % 31}" for j in range(40))
+        rows.append((i, txt, "en", "srcB", len(txt)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    return out
+
+
+def test_lsh_dedup_hot_cluster_bounded(spark, dup_corpus_dir, registry):
+    """A 50-copy duplicate cluster must yield exactly C(50,2) verified
+    pairs at jaccard 1.0, and the LSH candidate set must stay close to
+    that floor — no candidate blowup from unrelated docs (the bounded-
+    candidates claim in llm_dedup_near's docstring)."""
+    from training_feed_kinesis_spark.operators.llm_dedup import _band_sigs
+
+    pairs = registry["llm_dedup_near"].fn(spark, dup_corpus_dir)
+    dup_pairs = pairs.filter(F.col("a_id") < 50).collect()
+    assert len(dup_pairs) == 50 * 49 // 2
+    assert all(abs(r.jaccard - 1.0) < 1e-9 for r in dup_pairs)
+
+    bands = _band_sigs(spark, dup_corpus_dir)
+    a = bands.select(F.col("doc_id").alias("a_id"), "band", "band_sig")
+    b = bands.select(F.col("doc_id").alias("b_id"), "band", "band_sig")
+    n_cands = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+        .count()
+    )
+    floor = 50 * 49 // 2
+    n_docs = 120
+    all_pairs = n_docs * (n_docs - 1) // 2
+    # candidates = the true cluster + at most 5% accidental collisions
+    assert floor <= n_cands <= floor + 0.05 * all_pairs, n_cands
+
+
+def test_pit_snapshot_hot_user_linear(spark):
+    """One user with 5000 interleaved events: the RANGE-frame spelling
+    must produce exact trailing counts (cross-checked against a pandas
+    rolling computation) — the window is one sorted pass per user, never
+    a per-label range join, so a hot key costs O(n log n)."""
+    import pandas as pd
+
+    from training_feed_kinesis_spark.operators.scale_ops import (
+        feature_pit_snapshot,
+        _PIT_WINDOW_S,
+    )
+
+    from datetime import datetime, timezone
+
+    n = 5000
+    base = 1_700_000_000
+    rows = [
+        (
+            i,
+            datetime.fromtimestamp(base + i * 400, tz=timezone.utc).replace(
+                tzinfo=None
+            ),
+            7,
+            "purchase" if i % 10 == 0 else "click",
+            float(i % 5),
+            "{}",
+        )
+        for i in range(n)
+    ]
+    out = os.path.join(SCRATCH, "stress_hot_user")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
+    )
+
+    got = {
+        r.event_id: (r.clicks_7d, round(r.click_value_7d, 4))
+        for r in feature_pit_snapshot(spark, out).collect()
+    }
+    assert len(got) == n // 10
+
+    # independent pandas check: trailing [-7d, -1s] click count per purchase
+    pdf = pd.DataFrame(
+        {"event_id": range(n), "sec": [base + i * 400 for i in range(n)]}
+    )
+    pdf["is_click"] = [i % 10 != 0 for i in range(n)]
+    pdf["val"] = [float(i % 5) for i in range(n)]
+    secs = pdf["sec"].to_numpy()
+    for eid in list(got)[:50]:  # spot-check 50 labels
+        s = secs[eid]
+        mask = (
+            (secs >= s - _PIT_WINDOW_S)
+            & (secs <= s - 1)
+            & pdf["is_click"].to_numpy()
+        )
+        assert got[eid][0] == int(mask.sum())
+        assert got[eid][1] == round(float(pdf["val"].to_numpy()[mask].sum()), 4)
