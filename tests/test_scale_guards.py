@@ -133,3 +133,63 @@ def test_pit_snapshot_hot_user_linear(spark):
         )
         assert got[eid][0] == int(mask.sum())
         assert got[eid][1] == round(float(pdf["val"].to_numpy()[mask].sum()), 4)
+
+
+def test_trigger_incremental_processes_only_new_files(spark):
+    """Two AvailableNow runs over a growing source with one checkpoint:
+    run 1's sink holds exactly the first files' rows; run 2 adds exactly
+    the remaining rows (offset log skips committed files)."""
+    import shutil
+
+    from training_feed_kinesis_spark.operators.scans import scratch_dir
+    from training_feed_kinesis_spark.streaming.replay import (
+        _prepare,
+        _stamp_mtimes,
+    )
+    from training_feed_kinesis_spark.tables import load_table
+
+    sf = os.environ.get("TFK_TEST_SF_DIR", "/root/testdata/sf0.001")
+    src_all = _prepare(spark, sf, "ordered")
+    parts = sorted(
+        f for f in os.listdir(src_all)
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
+    work, sink, ckpt = (
+        scratch_dir("t_incr_src_"),
+        scratch_dir("t_incr_sink_"),
+        scratch_dir("t_incr_ckpt_"),
+    )
+    schema = load_table(spark, sf, "events").schema
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(work)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def rows_in(paths):
+        return sum(
+            spark.read.parquet(os.path.join(src_all, p)).count() for p in paths
+        )
+
+    for f_ in parts[:2]:
+        shutil.copy(os.path.join(src_all, f_), os.path.join(work, f_))
+    _stamp_mtimes(work)
+    run_once()
+    n_run1 = spark.read.parquet(sink).count()
+    assert n_run1 == rows_in(parts[:2])
+
+    for f_ in parts[2:]:
+        shutil.copy(os.path.join(src_all, f_), os.path.join(work, f_))
+    _stamp_mtimes(work)
+    run_once()
+    n_total = spark.read.parquet(sink).count()
+    assert n_total == rows_in(parts)
+    assert n_total - n_run1 == rows_in(parts[2:])
