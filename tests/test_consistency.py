@@ -594,3 +594,30 @@ def test_pack_bestfit_invariants(spark, registry):
     first = sorted((r.lang, r.bin_id, r.n_docs, r.fill) for r in rows)
     assert again == first, "packing not deterministic"
     out.unpersist()
+
+
+def test_compression_ratio_matches_plain_python(spark, registry):
+    """The pandas-UDF zlib ratio (rows-only for the driver) recomputed in
+    plain Python over the raw parquet must agree per language slice."""
+    import zlib
+
+    import duckdb
+    from pyspark.sql import functions as F  # noqa: F401
+
+    got = {
+        r.lang: (r.n_docs, r.avg_ratio)
+        for r in registry["llm_compression_ratio"].fn(spark, SF_DIR).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT lang, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    agg: dict = {}
+    for lang, text in rows:
+        b = text.encode("utf-8")
+        r = len(zlib.compress(b, 6)) / max(len(b), 1)
+        n, s = agg.get(lang, (0, 0.0))
+        agg[lang] = (n + 1, s + r)
+    assert set(got) == set(agg)
+    for lang, (n, s) in agg.items():
+        assert got[lang][0] == n
+        assert abs(got[lang][1] - round(s / n, 4)) <= 1e-4, lang
