@@ -386,3 +386,32 @@ def test_asof_join_hot_key_no_quadratic_blowup(spark):
         ppd, cpd.assign(ts=cpd.click_ts), on="ts", direction="backward"
     )
     assert (res["click_ts"].values == expected["click_ts"].values).all()
+
+
+def test_scan_agg_pushdown_reaches_footer(spark):
+    """With the V2 reader + aggregatePushDown on, the plain MIN/MAX/COUNT
+    probe must compile to a footer read: PushedAggregation in the scan."""
+    import io
+    import contextlib
+
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_DIR
+
+    prev_agg = spark.conf.get("spark.sql.parquet.aggregatePushDown", "false")
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    spark.conf.set("spark.sql.parquet.aggregatePushDown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        df = li.agg(
+            F.count(F.lit(1)).alias("n"), F.min("l_quantity").alias("m")
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(True)
+        assert "PushedAggregation" in buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushDown", prev_agg)
+        if prev_v1 is not None:
+            spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)

@@ -95,6 +95,7 @@ _OPERATOR_MODULES = [
     "training_feed_kinesis_spark.operators.ops_wave14",
     "training_feed_kinesis_spark.operators.ops_wave15",
     "training_feed_kinesis_spark.operators.ops_wave16",
+    "training_feed_kinesis_spark.operators.ops_wave17",
     "training_feed_kinesis_spark.sources.pyds",
     "training_feed_kinesis_spark.streaming.queries",
 ]
