@@ -415,3 +415,5 @@ def test_scan_agg_pushdown_reaches_footer(spark):
         spark.conf.set("spark.sql.parquet.aggregatePushDown", prev_agg)
         if prev_v1 is not None:
             spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+        else:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")

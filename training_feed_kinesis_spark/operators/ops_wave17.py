@@ -72,8 +72,13 @@ def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         spark.conf.set("spark.sql.parquet.aggregatePushDown", prev_agg)
+        # conf.get returns None when the conf was never explicitly set —
+        # restore means UNSET then, not set-to-None (a leaked "" keeps the
+        # whole session on the V2 reader, where _metadata is unsupported)
         if prev_v1 is not None:
             spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+        else:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
 
 
 @register(
