@@ -541,3 +541,73 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("total_value"),
     )
     return drain(agg, "complete")
+
+
+@register(
+    "join_stream_stream_outer",
+    "2.C joins",
+    """
+    SELECT p.event_id AS p_event, c.event_id AS c_event,
+           p.user_id AS p_user, p.ts AS p_ts, c.ts AS c_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+    """,
+)
+def join_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the hardest streaming
+    emission semantics: matches emit when found (like the inner join),
+    but an UNMATCHED purchase emits its null-extended row only once the
+    watermark proves no future click can still fall in its 30-minute
+    interval. The far-future sentinel row drives the watermark past
+    every real event before AvailableNow terminates, so all unmatched
+    rows flush and the drained result equals the batch left join the
+    oracle runs (sentinel filtered back out by user_id >= 0).
+
+    State/scale: identical bound to the inner spelling — both sides
+    buffer interval+watermark; the outer variant additionally tracks
+    which buffered left rows matched, same O(window) footprint.
+
+    The sentinel must pass BOTH side filters (`user_id < 0` escape
+    hatch): each side's watermark is computed from rows surviving its
+    own filter, and the global watermark is their minimum — a sentinel
+    swallowed by either filter stalls eviction and the last unmatched
+    purchases never flush (observed: exactly the final purchase row
+    missing)."""
+    stream = replay_stream(spark, sf_dir, "ordered", sentinel=True)
+    p = (
+        stream.filter(
+            (F.col("event_type") == "purchase") | (F.col("user_id") < 0)
+        )
+        .select(
+            F.col("event_id").alias("p_event"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    c = (
+        stream.filter(
+            (F.col("event_type") == "click") | (F.col("user_id") < 0)
+        )
+        .select(
+            F.col("event_id").alias("c_event"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            "p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"
+        ),
+        "leftOuter",
+    )
+    res = drain(
+        joined.select("p_event", "c_event", "p_user", "p_ts", "c_ts"), "append"
+    )
+    return res.filter(F.col("p_user") >= 0).select(
+        "p_event", "c_event", "p_user", "p_ts", "c_ts"
+    )
