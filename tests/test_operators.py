@@ -95,3 +95,20 @@ def test_approx_quantile_within_exact_bracket(spark):
     for r in rows:
         assert r["lo50"] <= r["a50"] <= r["hi50"], f"{r['event_type']} p50: {r}"
         assert r["lo95"] <= r["a95"] <= r["hi95"], f"{r['event_type']} p95: {r}"
+
+
+def test_theta_setops_bounded_error(spark):
+    """Theta sketch set-operation estimates must land within 5% of the
+    exact distinct counts at this sketch size / cardinality."""
+    from training_feed_kinesis_spark.registry import load_all
+
+    reg = load_all()
+    r = reg["agg_theta_setops"].fn(spark, SF_DIR).collect()[0]
+    for est, exact in [
+        (r.est_purchasers, r.n_purchasers),
+        (r.est_clickers, r.n_clickers),
+        (r.est_union, r.n_union),
+        (r.est_intersection, r.n_intersection),
+        (r.est_difference, r.n_difference),
+    ]:
+        assert exact == 0 or abs(est - exact) / exact <= 0.05, (est, exact)
