@@ -104,6 +104,7 @@ _OPERATOR_MODULES = [
     "training_feed_kinesis_spark.operators.ops_wave23",
     "training_feed_kinesis_spark.operators.ops_wave24",
     "training_feed_kinesis_spark.operators.ops_wave25",
+    "training_feed_kinesis_spark.operators.ops_wave26",
     "training_feed_kinesis_spark.sources.pyds",
     "training_feed_kinesis_spark.streaming.queries",
 ]
