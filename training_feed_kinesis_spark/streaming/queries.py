@@ -611,3 +611,111 @@ def join_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.filter(F.col("p_user") >= 0).select(
         "p_event", "c_event", "p_user", "p_ts", "c_ts"
     )
+
+
+@register(
+    "stream_stateful_timeout",
+    CAT,
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts)                          AS session_start,
+           MAX(ts) + INTERVAL '30 minutes'  AS session_end,
+           COUNT(*)                         AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def stream_stateful_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom sessionization with EVENT-TIME TIMERS: applyInPandasWithState
+    keeps one open session per user and registers an event-time timeout at
+    last_event + 30 minutes — when the watermark passes it, the state
+    times out and the session emits (the timer-driven flush that
+    session_window does internally, exercised through the arbitrary-state
+    API). Intra-batch session breaks emit immediately; only the open tail
+    lives in state, so state is O(users), not O(events). The far-future
+    sentinel drives the final watermark so every real session's timer
+    fires before AvailableNow terminates.
+
+    Drained result ≡ the batch lag-gap-cumsum sessionization — the same
+    oracle as stream_session/batch_sessionize, which is the point: three
+    independent spellings (batch window, session_window, stateful timers)
+    must agree."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    GAP_US = 30 * 60 * 1_000_000  # state keeps microseconds (full ts precision)
+
+    def sessionize(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us + GAP_US, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        rows = []
+        ts_us = []
+        for pdf in pdfs:
+            ts_us.extend((pdf["ts"].astype("int64") // 1_000).tolist())
+        ts_us.sort()
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = None, None, 0
+        for t in ts_us:
+            if start_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > GAP_US:
+                rows.append((key[0], start_us, last_us + GAP_US, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
+        state.update((start_us, last_us, n))
+        # the timer API is millisecond-resolution; round UP so the timeout
+        # never fires before the exact microsecond session end
+        state.setTimeoutTimestamp((last_us + GAP_US + 999) // 1000)
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in rows],
+                    "session_start": [
+                        pd.Timestamp(r[1], unit="us") for r in rows
+                    ],
+                    "session_end": [pd.Timestamp(r[2], unit="us") for r in rows],
+                    "n_events": [r[3] for r in rows],
+                }
+            )
+
+    stream = replay_stream(spark, sf_dir, "ordered", sentinel=True)
+    out = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize,
+            outputStructType="user_id long, session_start timestamp, "
+            "session_end timestamp, n_events long",
+            stateStructType="start_us long, last_us long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    res = drain(out, "append")
+    return res.filter(F.col("user_id") >= 0).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
