@@ -106,6 +106,7 @@ _OPERATOR_MODULES = [
     "training_feed_kinesis_spark.operators.ops_wave25",
     "training_feed_kinesis_spark.operators.ops_wave26",
     "training_feed_kinesis_spark.operators.ops_wave28",
+    "training_feed_kinesis_spark.operators.ops_wave29",
     "training_feed_kinesis_spark.sources.pyds",
     "training_feed_kinesis_spark.streaming.queries",
 ]
