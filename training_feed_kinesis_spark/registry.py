@@ -110,6 +110,7 @@ _OPERATOR_MODULES = [
     "training_feed_kinesis_spark.operators.ops_wave30",
     "training_feed_kinesis_spark.operators.ops_wave31",
     "training_feed_kinesis_spark.operators.ops_wave32",
+    "training_feed_kinesis_spark.operators.ops_wave33",
     "training_feed_kinesis_spark.sources.pyds",
     "training_feed_kinesis_spark.streaming.queries",
 ]
