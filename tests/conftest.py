@@ -75,13 +75,40 @@ def _canonical_rows(pdf):
     return cols, sorted(rows, key=repr)
 
 
+def _num_class(v):
+    """bool < int < float are distinct REPRESENTATION classes: the driver's
+    hash serializes ``True``/``4``/``4.0`` differently even though Python
+    compares them equal. Three driver fails (agg_boolean r1; fn_math,
+    llm_lang_profile r2) were numerically-identical values hidden by the
+    old lenient ``==`` here — this comparator is now representation-strict."""
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, int):
+        return "int"
+    return None
+
+
+def _cell_eq_strict(a, e, float_tol=0.0):
+    if isinstance(a, tuple) and isinstance(e, tuple):
+        return len(a) == len(e) and all(
+            _cell_eq_strict(x, y, float_tol) for x, y in zip(a, e)
+        )
+    if _num_class(a) != _num_class(e):
+        return False
+    if float_tol and isinstance(a, float) and isinstance(e, float):
+        return abs(a - e) <= float_tol
+    return a == e
+
+
 def assert_matches_oracle(spark_df, duck_con, sql: str, float_tol: float = 0.0):
-    """``float_tol=0`` replicates the driver's exact rounded-hash check
-    (registered queries must pass that). Fuzzed queries pass a small
-    tolerance instead: a sum landing exactly on a ROUND(x,4) boundary can
-    legitimately round differently across engines (different reduction
-    order), which is a rounding artifact, not an engine bug."""
-    """Driver-equivalent differential check (order-insensitive)."""
+    """Driver-equivalent differential check (order-insensitive,
+    representation-strict). ``float_tol=0`` replicates the driver's exact
+    rounded-hash check (registered queries must pass that). Fuzzed queries
+    pass a small tolerance instead: a sum landing exactly on a ROUND(x,4)
+    boundary can legitimately round differently across engines (different
+    reduction order), which is a rounding artifact, not an engine bug."""
     actual = spark_df.toPandas()
     expected = duck_con.execute(sql).fetchdf()
     assert sorted(actual.columns) == sorted(expected.columns), (
@@ -94,17 +121,10 @@ def assert_matches_oracle(spark_df, duck_con, sql: str, float_tol: float = 0.0):
     a_cols, a_rows = _canonical_rows(actual)
     e_cols, e_rows = _canonical_rows(expected)
 
-    def _cell_eq(a, e):
-        if float_tol and isinstance(a, float) and isinstance(e, float):
-            return abs(a - e) <= float_tol
-        return a == e
-
     mismatches = [
         (i, a, e)
         for i, (a, e) in enumerate(zip(a_rows, e_rows))
-        if not (
-            len(a) == len(e) and all(_cell_eq(x, y) for x, y in zip(a, e))
-        )
+        if not _cell_eq_strict(a, e, float_tol)
     ]
     assert not mismatches, (
         f"value mismatch ({len(mismatches)}/{len(a_rows)} rows); first 3: "

@@ -112,3 +112,16 @@ def test_theta_setops_bounded_error(spark):
         (r.est_difference, r.n_difference),
     ]:
         assert exact == 0 or abs(est - exact) / exact <= 0.05, (est, exact)
+
+
+def test_winnow_long_branch_equivalence(spark, duck, monkeypatch):
+    """llm_winnow gates on doc length: ≤64Ki chars row-local, longer via
+    streaming posexplode+window. Force EVERY doc through the long branch
+    and it must still match the oracle exactly — proving the two branches
+    are semantically identical (the r2 advisor's memory-bound fix cannot
+    change results)."""
+    from training_feed_kinesis_spark.operators import llm_dedup
+
+    monkeypatch.setattr(llm_dedup, "_WINNOW_ROWLOCAL_MAX", 0)
+    spec = _REGISTRY["llm_winnow"]
+    assert_matches_oracle(spec.fn(spark, SF_DIR), duck, spec.oracle)

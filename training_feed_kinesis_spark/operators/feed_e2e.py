@@ -107,7 +107,7 @@ _U_SQL = (
                // {_SHARD_TOK} AS shard_id
       FROM s4
     )
-    SELECT shard_id, COUNT(*)::BIGINT AS n_docs,
+    SELECT CAST(shard_id AS BIGINT) AS shard_id, COUNT(*)::BIGINT AS n_docs,
            SUM(n_tok)::BIGINT AS shard_tokens,
            COUNT(DISTINCT lang)::BIGINT AS n_langs,
            MIN(doc_id)::BIGINT AS first_doc,
@@ -150,13 +150,15 @@ def llm_feed_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("w") >= 20)
         & (F.size(F.array_distinct("w")).cast("double") / F.size("w") >= 0.3)
     )
-    keepers = s1.groupBy(F.md5(F.lower(F.trim("text"))).alias("h")).agg(
-        F.min("doc_id").alias("keep_id")
-    )
-    s2 = s1.join(
-        F.broadcast(keepers.select(F.col("keep_id").alias("doc_id"))),
-        "doc_id",
-        "left_semi",
+    # Keeper election in-window (min doc_id over the content hash) — the
+    # same spelling llm_curation_waterfall uses. One hash-keyed shuffle and
+    # NO corpus-sized broadcast (a keeper-set broadcast has one row per
+    # distinct surviving text and OOMs the driver at corpus scale).
+    wk = Window.partitionBy(F.md5(F.lower(F.trim("text"))))
+    s2 = (
+        s1.withColumn("keep_id", F.min("doc_id").over(wk))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .drop("keep_id")
     )
     sh = s0.select(
         "doc_id", "is_train", F.explode(F.expr(_SHINGLES8)).alias("s")
@@ -168,9 +170,12 @@ def llm_feed_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
+    # Shuffle anti-join on doc_id — contaminated is corpus-bounded, so it
+    # must NOT be broadcast; AQE will still pick broadcast when it is
+    # actually small at runtime.
     s3 = (
         s2.filter(F.col("is_train"))
-        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "lang", F.size("w").cast("long").alias("n_tok"))
     )
     counts = s3.groupBy("lang").agg(F.count(F.lit(1)).cast("double").alias("n"))

@@ -128,8 +128,8 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey, l_linenumber,
            ROUND(l_extendedprice, 1)                       AS price_r1,
-           FLOOR(l_quantity)                               AS qty_floor,
-           CEIL(l_discount * 100)                          AS disc_pct_ceil,
+           CAST(FLOOR(l_quantity) AS BIGINT)               AS qty_floor,
+           CAST(CEIL(l_discount * 100) AS BIGINT)          AS disc_pct_ceil,
            ABS(l_discount - 0.05)                          AS disc_dev,
            ROUND(POW(l_quantity, 2), 4)                    AS qty_sq,
            ROUND(LN(l_extendedprice), 4)                   AS price_ln,

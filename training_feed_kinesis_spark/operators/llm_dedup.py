@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load_table, parallelize
@@ -300,6 +301,10 @@ def _band_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KGRAM = 8        # winnowing: character k-gram length
 WINNOW_W = 16    # window of consecutive k-gram hashes; min per window kept
+# Above this many chars the row-local gram-array spelling would buffer
+# O(doc_length) hash strings in one row; longer docs take the streaming
+# posexplode+window branch instead (ADVICE r2: bound per-row memory).
+_WINNOW_ROWLOCAL_MAX = 65536
 
 
 @register(
@@ -308,7 +313,7 @@ WINNOW_W = 16    # window of consecutive k-gram hashes; min per window kept
     f"""
     WITH positions AS (
       SELECT doc_id, lower(text) AS lt,
-             unnest(range(1, length(text) - {KGRAM} + 2)) AS pos
+             unnest(range(1, length(lower(text)) - {KGRAM} + 2)) AS pos
       FROM documents WHERE length(text) >= {KGRAM}
     ),
     grams AS (
@@ -332,21 +337,33 @@ def llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     length ≥ w+k-1 yields a shared fingerprint — substring-level plagiarism/
     overlap detection, complementing token-set (fingerprint/minhash) dedup.
 
-    Plan shape: entirely row-local — the gram-hash array is built once per
-    document, each window minimum is an ``array_min(slice(...))`` over it,
-    and ``array_distinct`` dedups before the explode, so the operator runs
-    with ZERO shuffle (no partitioned window sort; doc_id is in the output
-    key, so per-doc distinct IS the global distinct). At 100 TB the
-    fingerprint set (~n_chars/w per doc) joins against an index relation
-    on fp — same bucket-join shape as LSH bands."""
+    Plan shape, gated on document length (both branches share semantics,
+    positions generated over ``length(lt)`` exactly like the oracle):
+
+    * docs ≤ _WINNOW_ROWLOCAL_MAX (64 Ki) chars — entirely row-local: the
+      gram-hash array is built once per document, each window minimum is an
+      ``array_min(slice(...))`` over it, and ``array_distinct`` dedups
+      before the explode → ZERO shuffle. Per-row memory is bounded by
+      ~2×64 Ki gram hashes (tens of bytes each), i.e. a few MB worst-case
+      per row, which is why the gate exists.
+    * longer docs — streaming posexplode + partitioned window frame +
+      distinct: O(1) state per gram during scan, one (doc_id,pos,gh)
+      shuffle whose rows never carry the text. A multi-MB document never
+      materializes an O(doc_length) array in one row buffer.
+
+    At 100 TB the fingerprint set (~n_chars/w per doc) joins against an
+    index relation on fp — same bucket-join shape as LSH bands."""
     d = parallelize(load_table(spark, sf_dir, "documents"))
+    base = d.filter(F.length("text") >= KGRAM).select(
+        "doc_id", F.lower("text").alias("lt")
+    )
+    short = base.filter(F.length("lt") <= _WINNOW_ROWLOCAL_MAX)
+    long_ = base.filter(F.length("lt") > _WINNOW_ROWLOCAL_MAX)
     # slice() clips at the array end, so trailing windows shorter than W
     # take the min of the remaining grams — same semantics as a
     # rowsBetween(currentRow, W-1) window frame near the partition edge.
-    fps = (
-        d.filter(F.length("text") >= KGRAM)
-        .select("doc_id", F.lower("text").alias("lt"))
-        .select(
+    fps_short = (
+        short.select(
             "doc_id",
             F.expr(
                 f"transform(sequence(1, length(lt) - {KGRAM} + 1), "
@@ -363,7 +380,29 @@ def llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp"),
         )
     )
-    return fps
+    grams_long = long_.select(
+        "doc_id",
+        "lt",
+        F.explode(
+            F.sequence(F.lit(1), F.length("lt") - KGRAM + 1)
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.substring(
+            F.md5(F.expr(f"substring(lt, pos, {KGRAM})")), 1, 8
+        ).alias("gh"),
+    )
+    w_win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    fps_long = (
+        grams_long.select("doc_id", F.min("gh").over(w_win).alias("fp"))
+        .distinct()
+    )
+    return fps_short.unionByName(fps_long)
 
 
 _SIMHASH_SQL = f"""

@@ -152,7 +152,7 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, source,
            COUNT(*)                                    AS n_docs,
            ROUND(AVG(n_chars), 4)                      AS avg_chars,
-           SUM(len({_TOKENS_SQL}))                     AS total_tokens,
+           CAST(SUM(len({_TOKENS_SQL})) AS BIGINT)     AS total_tokens,
            MIN(doc_id)                                 AS first_doc
     FROM documents GROUP BY lang, source
     """,

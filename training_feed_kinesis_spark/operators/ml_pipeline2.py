@@ -166,12 +166,12 @@ def ml_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
       SELECT score,
-             SUM(p) OVER (ORDER BY score DESC
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND CURRENT ROW) AS cum_tp,
-             SUM(n - p) OVER (ORDER BY score DESC
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND CURRENT ROW) AS cum_fp,
+             CAST(SUM(p) OVER (ORDER BY score DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum_tp,
+             CAST(SUM(n - p) OVER (ORDER BY score DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS cum_fp,
              SUM(p) OVER () AS total_pos
       FROM g
     )

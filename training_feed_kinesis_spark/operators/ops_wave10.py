@@ -44,7 +44,7 @@ _EPOCHS = 2
                                      AND 1 PRECEDING) AS off
       FROM documents
     )
-    SELECT COALESCE(off, 0) // {_SHARD_BYTES} AS shard_id,
+    SELECT CAST(COALESCE(off, 0) // {_SHARD_BYTES} AS BIGINT) AS shard_id,
            COUNT(*)::BIGINT AS n_items,
            SUM(n_chars)::BIGINT AS shard_bytes,
            SUM(CASE WHEN modality = 'image' THEN 1 ELSE 0 END)::BIGINT

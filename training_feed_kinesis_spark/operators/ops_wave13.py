@@ -65,7 +65,7 @@ _TOPN = 20
     )
     SELECT doc_id, ROUND(score, 4) AS bm25
     FROM scored
-    ORDER BY score DESC, doc_id ASC
+    ORDER BY ROUND(score, 4) DESC, doc_id ASC
     LIMIT {_TOPN}
     """,
 )
@@ -103,7 +103,9 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_docs))
         .groupBy("doc_id")
         .agg(F.sum(term).alias("score"))
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        # order by the EMITTED 4-dp precision (ADVICE r2): a one-ulp libm
+        # difference at the rank-_TOPN boundary must not flip the selection.
+        .orderBy(F.round("score", 4).desc(), F.col("doc_id").asc())
         .limit(_TOPN)
         .select("doc_id", F.round("score", 4).alias("bm25"))
     )

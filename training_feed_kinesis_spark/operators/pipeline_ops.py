@@ -134,8 +134,8 @@ def cdc_latest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     islands AS (
       SELECT user_id, ts, event_type,
-             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS UNBOUNDED PRECEDING) AS island
+             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
       FROM marked)
     SELECT user_id, event_type AS state, island,
            MIN(ts) AS valid_from, MAX(ts) AS last_seen,

@@ -129,36 +129,48 @@ def register(key: str, category: str, oracle: str | None = None):
 
 
 # The driver's correctness gate samples the FIRST 50 registered keys each
-# round. Round 1 verified the scans/filters/joins/aggs block; this round the
-# sample window is given to every SURVEY §2-declared key with no driver
-# verdict yet (windows, sorts, set ops, scalar fns, streaming, llm, udf)
-# plus the two keys changed this round (agg_boolean oracle cast, join_asof
-# respelling) for re-verification. Exactly 50 keys.
+# round. Rounds 1+2 together verified all 81 SURVEY §2-declared keys; round
+# 3 rotates the window to (a) the keys CHANGED this round (the two r2
+# hash-fail oracle casts, the four latent casts the new type-parity lint
+# surfaced, the llm_winnow/bm25/bpe respellings, the feed_e2e de-broadcast)
+# for re-verification, then (b) the §2.L wave-9…33 block — the youngest
+# oracles with zero driver exposure. Rows-only-by-design keys are excluded
+# (their slot is better spent on hash-checkable keys). Entries past 50 are
+# front-of-line for round 4.
 _PRIORITY_KEYS = [
-    # 2.E window functions
-    "win_ranking", "win_lag_lead", "win_frame_rows", "win_frame_range",
-    "win_value", "topk_per_group",
-    # 2.F sorts / limits
-    "sort_multikey", "limit_topk",
-    # 2.G set operations
-    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
-    # 2.H scalar functions
-    "fn_string", "fn_regex", "fn_string_dist", "fn_date", "fn_math",
-    "fn_array", "fn_array_hof", "fn_map", "fn_json", "fn_conditional",
-    # 2.I streaming (+ streaming-adjacent 2.A/2.C keys)
-    "stream_tumbling", "stream_sliding", "stream_session",
-    "stream_watermark_late", "stream_dedup", "stream_stateful",
-    "stream_output_modes", "stream_exactly_once",
-    "source_kinesis", "sink_foreachbatch",
-    "join_stream_static", "join_stream_stream",
-    # 2.J llm pipeline
-    "llm_dedup_exact", "llm_dedup_near", "llm_sim_topk", "llm_embed_stats",
-    "llm_text_tokens", "llm_tfidf", "llm_lang_profile", "llm_multimodal",
-    "llm_quality_score", "llm_lang_id",
-    # 2.K udf surface
-    "udf_python", "udf_pandas_scalar", "udf_pandas_agg", "udf_grouped_map",
-    # changed this round — re-verify
-    "agg_boolean", "join_asof",
+    # changed this round — re-verify (r2 fails + lint-surfaced casts +
+    # respellings)
+    "fn_math", "llm_lang_profile",
+    "scd2_intervals", "ml_pr_curve", "multimodal_shard_pack",
+    "llm_feed_build_e2e",
+    "llm_winnow", "llm_bm25_topk", "llm_bpe_merge_step",
+    # §2.L waves 9-33, never driver-sampled, oracled
+    "join_stream_scd2", "dq_partition_sentry",
+    "llm_epoch_shuffle",
+    "stream_trigger_incremental", "sample_stratified_neyman",
+    "llm_dedup_paragraph", "llm_dedup_incremental",
+    "events_survival_km",
+    "vec_jl_projection", "events_uplift_ab",
+    "llm_mixture_temperature", "llm_dedup_exact_best",
+    "events_seq_train_pairs", "sql_named_window",
+    "scan_agg_pushdown", "llm_doclen_hill",
+    "dp_noisy_counts", "llm_data_card",
+    "vec_cosine_hist", "llm_dedup_threshold_sweep", "events_time_split",
+    "llm_judge_kappa", "llm_best_of_n",
+    "agg_approx_topk",
+    "agg_countmin_width_sweep", "llm_winnow_pairs",
+    "llm_bigram_interp_nll", "sample_user_cap",
+    "llm_quality_ensemble", "join_asof_tolerance",
+    "multimodal_phash_pairs", "ts_snaive_backtest",
+    "sink_manifest_atomic_swap", "scan_ignore_corrupt_files",
+    "llm_dataset_diff", "llm_token_budget_planner",
+    "events_stratified_ate", "llm_mixture_seed_stability",
+    "graph_kcore", "agg_decimal_exact",
+    "llm_template_detect",
+    # --- 50-key window boundary; below = round-4 front-of-line ---
+    "stream_progress_metrics",
+    "retention_decay_fit", "llm_quality_length_confound",
+    "llm_hard_negatives", "llm_span_corruption",
 ]
 
 
