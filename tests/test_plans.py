@@ -417,3 +417,27 @@ def test_scan_agg_pushdown_reaches_footer(spark):
             spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
         else:
             spark.conf.unset("spark.sql.sources.useV1SourceList")
+
+
+def test_frame_sample_is_map_only(spark, registry):
+    """multimodal_frame_sample plans zero shuffles: metadata synthesis +
+    bounded explode must stay map-side (the whole point of
+    sampling-before-decode at 100 TB)."""
+    plan = _plan(registry["multimodal_frame_sample"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+
+
+def test_ivf_assignment_broadcasts_centroids(spark, registry):
+    """Coarse-quantizer assignment must broadcast the centroid side — a
+    shuffled join here would move the corpus embeddings per centroid."""
+    plan = _plan(registry["llm_ivf_build_manifest"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_pair_join_shuffles_by_cell(spark, registry):
+    """The within-cell pair join must be an equi-join on cell_id (hash or
+    sort-merge — n² bounded per cell), never a cartesian product."""
+    plan = _plan(registry["llm_semdedup_cell"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
