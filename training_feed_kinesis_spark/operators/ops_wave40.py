@@ -74,7 +74,7 @@ def llm_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     j_at_half = F.pow(
         1.0 - F.pow(F.lit(0.5), 1.0 / F.col("b")), 1.0 / F.col("r")
     )
-    return cfg.crossJoin(grid).select(
+    return cfg.crossJoin(F.broadcast(grid)).select(
         F.col("b").alias("bands"),
         F.col("r").alias("rows_per_band"),
         "jpct",
