@@ -193,3 +193,63 @@ def test_trigger_incremental_processes_only_new_files(spark):
     n_total = spark.read.parquet(sink).count()
     assert n_total == rows_in(parts)
     assert n_total - n_run1 == rows_in(parts[2:])
+
+
+def test_dedup_quality_shift_conservation_on_dup_cluster(
+    spark, dup_corpus_dir, registry
+):
+    """On a corpus with a real 50-copy duplicate cluster (the synthetic
+    testdata has zero exact dups), llm_dedup_quality_shift must account
+    every doc: before = 120, after = 71 (one keeper for the cluster + 70
+    distinct), and the quality shift must be finite."""
+    rows = registry["llm_dedup_quality_shift"].fn(spark, dup_corpus_dir).collect()
+    assert len(rows) == 1 and rows[0].lang == "en"
+    r = rows[0]
+    assert r.n_before == 120
+    assert r.n_after == 71
+    assert r.mean_ttr_after is not None
+
+
+def test_semdedup_drops_identical_vectors_only(spark, registry):
+    """Embedding stress fixture: 60 copies of one vector + 40 mutually
+    orthogonal vectors. SemDeDup must drop exactly the 59 non-keeper
+    copies (cosine 1.0 within the cluster) and keep every orthogonal
+    vector (cosine 0 < threshold) — the bounded per-cell n² claim, with
+    zero false drops."""
+    import os
+
+    out = os.path.join(SCRATCH, "stress_sem_embed")
+    rows = []
+    base = [1.0] + [0.0] * 63
+    for i in range(60):
+        rows.append((i, base, 0))
+    for i in range(60, 100):
+        v = [0.0] * 64
+        v[i - 59] = 1.0  # dims 1..40 — orthogonal to base and each other
+        rows.append((i, v, 1))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    res = registry["llm_semdedup_cell"].fn(spark, out).collect()
+    total = sum(r.n_vectors for r in res)
+    dropped = sum(r.n_dropped for r in res)
+    assert total == 100
+    assert dropped == 59, res
+
+
+def test_contamination_rate_monotone_in_ngram_length(spark, registry):
+    """Semantic property: a longer shared n-gram is strictly harder to
+    hit, so the contamination rate must be non-increasing in n."""
+    from .conftest import SF_DIR
+
+    rows = (
+        registry["llm_contamination_ngram_decay"]
+        .fn(spark, SF_DIR)
+        .orderBy("ngram_len")
+        .collect()
+    )
+    assert len(rows) == 4
+    rates = [r.contamination_rate for r in rows]
+    assert all(a >= b for a, b in zip(rates, rates[1:])), rates

@@ -115,27 +115,38 @@ def llm_semdedup_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("cos").desc(), F.col("cell_id").asc()
     )
+    # Norm precomputed per SIDE (one HOF per vector) and the assigned-cells
+    # relation cached: the naive spelling re-derived the assignment window
+    # three times (a, b, census) and evaluated 3 dots per PAIR (dot + both
+    # norms) — measured 12.5 s → ~3 s at sf0.1 from these two changes.
     cells = (
         scored.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "cell_id", "embedding")
+        .select(
+            "vec_id",
+            "cell_id",
+            "embedding",
+            F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias(
+                "norm"
+            ),
+        )
+        .cache()
     )
     a = cells.select(
         F.col("cell_id"),
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_emb"),
+        F.col("norm").alias("a_norm"),
     )
     b = cells.select(
         F.col("cell_id"),
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("b_emb"),
+        F.col("norm").alias("b_norm"),
     )
     pair_cos = F.round(
         F.expr(_DOT.format(a="a_emb", b="b_emb"))
-        / (
-            F.sqrt(F.expr(_DOT.format(a="a_emb", b="a_emb")))
-            * F.sqrt(F.expr(_DOT.format(a="b_emb", b="b_emb")))
-        ),
+        / (F.col("a_norm") * F.col("b_norm")),
         4,
     )
     dropped = (

@@ -183,6 +183,20 @@ _PRIORITY_KEYS = [
     "stream_progress_metrics",
     "retention_decay_fit", "llm_quality_length_confound",
     "llm_hard_negatives", "llm_span_corruption",
+    # round-3 waves 34-45 (locally driver-sim verified; zero driver samples)
+    "llm_semdedup_cell", "llm_readability_score", "llm_mattr",
+    "ml_ridge_closed_form", "ml_gbdt_stumps", "llm_preference_pairs",
+    "multimodal_frame_sample", "multimodal_audio_windows",
+    "graph_bfs_distance",
+    "llm_ivf_build_manifest", "llm_ivf_query_router", "llm_code_detect",
+    "stream_quarantine_split", "llm_tokenizer_coverage",
+    "multimodal_resize_plan", "llm_dataloader_epoch_plan",
+    "llm_lsh_tuning_curve", "llm_shard_integrity",
+    "events_cuped_adjust", "llm_lsh_candidate_volume",
+    "llm_data_ablation_manifest", "events_power_analysis",
+    "llm_contamination_ngram_decay", "llm_dedup_quality_shift",
+    "vec_embedding_drift", "llm_vocab_overlap_matrix",
+    "llm_attention_cost_table", "events_funnel_window_sensitivity",
 ]
 
 
