@@ -720,3 +720,52 @@ def q20_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(movers), s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_name", F.round("s_acctbal", 4).alias("s_acctbal"))
     )
+
+
+@register(
+    "q18_large_volume",
+    CAT,
+    """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           ROUND(o_totalprice, 4) AS o_totalprice,
+           ROUND(SUM(l_quantity), 4) AS total_qty
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume customers — orders whose lineitems
+    total more than 300 units, joined back to customer/orders detail.
+    Closes the TPC-H sweep: every query except Q2 (partsupp absent from
+    the testdata — data limitation, SURVEY §2) is now registered.
+
+    Scale shape: the HAVING aggregate runs FIRST and semi-joins the big
+    fact table down to the rare qualifying orders before the 3-way detail
+    join — qty aggregates shuffle on l_orderkey once and the surviving
+    key set is small enough to broadcast into both detail joins (AQE
+    picks that up at runtime from the actual post-HAVING size).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 F.round("o_totalprice", 4).alias("o_totalprice"))
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+    )
