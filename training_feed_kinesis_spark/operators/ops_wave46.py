@@ -1,0 +1,175 @@
+"""Wave 46: Holt linear smoothing, hashing-trick feature vectors.
+
+  * ``ts_holt_linear``: Holt's double exponential smoothing (level +
+    trend) over the daily event-count series — a genuinely SEQUENTIAL
+    recursion, expressed as a row-local array fold in Spark and a
+    RECURSIVE CTE in the oracle, with both engines evaluating the
+    identical IEEE expression per step. Extends the forecast family
+    (ts_snaive_backtest's floor, ts_ewma's level-only smoothing) with
+    the trend term + 3-step forecast.
+  * ``events_feature_hashing``: the hashing trick (Weinberger et al.
+    2009) — (event_type × hour-bucket) categorical crosses hashed into
+    16 signed buckets per user, the fixed-width feature vector a linear
+    model trains on without a vocabulary build.
+
+Reference parity note: /root/reference is an EMPTY checkout (SURVEY.md
+§0.1); capability surface reconstructed per SURVEY.md §2 and
+BASELINE.json:6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+CAT_TS = "2.L time-series analytics"
+CAT_ML = "2.L ML-relational"
+
+ALPHA = 0.5   # level smoothing — 0.5 is exact in binary: bit-identical folds
+BETA = 0.25   # trend smoothing — 0.25 likewise
+N_BUCKETS = 16
+
+
+@register(
+    "ts_holt_linear",
+    CAT_TS,
+    f"""
+    WITH RECURSIVE daily AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, n FROM (
+        SELECT date_trunc('day', ts) AS d, COUNT(*)::DOUBLE AS n
+        FROM events GROUP BY date_trunc('day', ts))
+    ),
+    hw(i, level, trend) AS (
+      -- seed MUST be CAST to DOUBLE: a bare 0.0 binds DECIMAL(2,1) and the
+      -- whole recursion then runs in decimal arithmetic (SURVEY 5.3 rule 8)
+      SELECT 1::BIGINT, (SELECT n FROM daily WHERE i = 1),
+             CAST(0.0 AS DOUBLE)
+      UNION ALL
+      SELECT d.i,
+             {ALPHA} * d.n + (1 - {ALPHA}) * (h.level + h.trend),
+             {BETA} * (({ALPHA} * d.n + (1 - {ALPHA}) * (h.level + h.trend))
+                       - h.level) + (1 - {BETA}) * h.trend
+      FROM hw h JOIN daily d ON d.i = h.i + 1
+    ),
+    last AS (
+      SELECT level, trend FROM hw WHERE i = (SELECT MAX(i) FROM daily)
+    )
+    SELECT (SELECT MAX(i) FROM daily)::BIGINT AS n_days,
+           ROUND(level, 4) AS level,
+           ROUND(trend, 4) AS trend,
+           ROUND(level + 1 * trend, 4) AS forecast_1,
+           ROUND(level + 2 * trend, 4) AS forecast_2,
+           ROUND(level + 3 * trend, 4) AS forecast_3
+    FROM last
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear method over daily event counts: level_t = α·y_t +
+    (1−α)(level+trend), trend_t = β·Δlevel + (1−β)·trend, seeded
+    (level=y_1, trend=0), forecast h steps = level + h·trend. The
+    recursion is inherently sequential — Spark spells it as ONE
+    ``aggregate`` fold over the (tiny, day-count-sized) series array;
+    the oracle unrolls the SAME per-step expression through a RECURSIVE
+    CTE, and α=0.5 / β=0.25 are exact binary fractions, so both engines
+    produce bit-identical doubles before the final ROUND.
+
+    Scale shape: the data-sized work is the daily aggregate (one
+    shuffle); the fold runs over #days values on one row — iterate on
+    AGGREGATES, never on raw data (the graph_pagerank discipline applied
+    to smoothing)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    series = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "n"))), lambda s: s.n
+        ).alias("ys")
+    )
+    fold = F.expr(
+        f"""aggregate(
+              slice(ys, 2, size(ys) - 1),
+              named_struct('level', ys[0], 'trend', CAST(0.0 AS DOUBLE)),
+              (acc, y) -> named_struct(
+                'level', {ALPHA} * y + (1 - {ALPHA}) * (acc.level + acc.trend),
+                'trend', {BETA} * (({ALPHA} * y
+                          + (1 - {ALPHA}) * (acc.level + acc.trend))
+                          - acc.level) + (1 - {BETA}) * acc.trend))"""
+    )
+    return series.select(
+        F.size("ys").cast("long").alias("n_days"), fold.alias("hw")
+    ).select(
+        "n_days",
+        F.round(F.col("hw.level"), 4).alias("level"),
+        F.round(F.col("hw.trend"), 4).alias("trend"),
+        F.round(F.col("hw.level") + 1 * F.col("hw.trend"), 4).alias("forecast_1"),
+        F.round(F.col("hw.level") + 2 * F.col("hw.trend"), 4).alias("forecast_2"),
+        F.round(F.col("hw.level") + 3 * F.col("hw.trend"), 4).alias("forecast_3"),
+    )
+
+
+@register(
+    "events_feature_hashing",
+    CAT_ML,
+    f"""
+    WITH crossed AS (
+      SELECT user_id,
+             event_type || ':h' || (hour(ts) // 6)::VARCHAR AS feat
+      FROM events
+    ),
+    hashed AS (
+      SELECT user_id,
+             CAST(strpos('0123456789abcdef', substr(md5(feat), 1, 1)) - 1
+                  AS BIGINT) % {N_BUCKETS} AS bucket,
+             CASE WHEN strpos('02468ace', substr(md5(feat), 2, 1)) > 0
+                  THEN 1 ELSE -1 END AS sign
+      FROM crossed
+    )
+    SELECT user_id, bucket,
+           CAST(SUM(sign) AS BIGINT) AS feature_value,
+           COUNT(*)::BIGINT AS n_events
+    FROM hashed GROUP BY user_id, bucket
+    """,
+)
+def events_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature construction: cross event_type with the
+    6-hour day-part, hash the cross into one of 16 buckets (md5 nibble —
+    engine-portable), with a second-nibble ±1 sign so colliding features
+    cancel in expectation (the property that makes feature hashing
+    unbiased). Output: the signed per-(user, bucket) feature values a
+    linear model consumes directly.
+
+    Scale shape: fully map-side until the (user, bucket) aggregate —
+    fixed feature width regardless of category cardinality is the entire
+    point of the trick: no vocabulary build, no second pass, no OOV
+    handling at serving time."""
+    ev = load_table(spark, sf_dir, "events")
+    feat = F.concat(
+        F.col("event_type"),
+        F.lit(":h"),
+        F.floor(F.hour("ts") / 6).cast("string"),
+    )
+    hashed = ev.select(
+        "user_id",
+        (
+            (
+                F.instr(
+                    F.lit("0123456789abcdef"), F.substring(F.md5(feat), 1, 1)
+                )
+                - 1
+            ).cast("bigint")
+            % N_BUCKETS
+        ).alias("bucket"),
+        F.when(
+            F.instr(F.lit("02468ace"), F.substring(F.md5(feat), 2, 1)) > 0, 1
+        )
+        .otherwise(-1)
+        .alias("sign"),
+    )
+    return hashed.groupBy("user_id", "bucket").agg(
+        F.sum("sign").cast("long").alias("feature_value"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
