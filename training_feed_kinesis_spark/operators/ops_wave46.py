@@ -173,3 +173,73 @@ def events_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sign").cast("long").alias("feature_value"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+CAT_WORK = "2.M workloads"
+DID_SPLIT = "2024-01-15"
+
+
+@register(
+    "events_did_estimator",
+    CAT_WORK,
+    f"""
+    WITH cells AS (
+      SELECT user_id,
+             CASE WHEN strpos('02468ace',
+                    substr(md5(user_id::VARCHAR), 1, 1)) > 0
+                  THEN 'A' ELSE 'B' END AS variant,
+             COALESCE(SUM(CASE WHEN ts < TIMESTAMP '{DID_SPLIT}'
+                               THEN value END), 0) AS pre,
+             COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{DID_SPLIT}'
+                               THEN value END), 0) AS post
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*)::BIGINT AS n_users,
+           ROUND(AVG(CASE WHEN variant = 'A' THEN pre END), 4) AS pre_a,
+           ROUND(AVG(CASE WHEN variant = 'B' THEN pre END), 4) AS pre_b,
+           ROUND(AVG(CASE WHEN variant = 'A' THEN post END), 4) AS post_a,
+           ROUND(AVG(CASE WHEN variant = 'B' THEN post END), 4) AS post_b,
+           ROUND((AVG(CASE WHEN variant = 'A' THEN post END)
+                  - AVG(CASE WHEN variant = 'A' THEN pre END))
+                 - (AVG(CASE WHEN variant = 'B' THEN post END)
+                    - AVG(CASE WHEN variant = 'B' THEN pre END)), 4)
+             AS did_effect
+    FROM cells
+    """,
+)
+def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the 2×2 (pre/post × A/B) cell means and
+    the DiD effect (ΔA − ΔB) — the causal readout when assignment isn't
+    randomized and both groups share a time trend (parallel-trends
+    assumption; the md5 split here IS randomized, so DiD should agree
+    with the plain uplift — which is itself the diagnostic). Completes
+    the experimentation family: uplift (post-only), stratified ATE,
+    CUPED (covariate), power (MDE), DiD (trend-robust).
+
+    Scale shape: one user-grain aggregate + one combinable global
+    aggregate — the standard two-shuffle experiment-readout shape."""
+    ev = load_table(spark, sf_dir, "events")
+    is_a = F.instr(
+        F.lit("02468ace"), F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+    ) > 0
+    cells = ev.groupBy("user_id").agg(
+        F.when(F.first(is_a), "A").otherwise("B").alias("variant"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < DID_SPLIT, F.col("value"))), F.lit(0.0)
+        ).alias("pre"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= DID_SPLIT, F.col("value"))), F.lit(0.0)
+        ).alias("post"),
+    )
+    m = lambda v, c: F.avg(F.when(F.col("variant") == v, F.col(c)))  # noqa: E731
+    return cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(m("A", "pre"), 4).alias("pre_a"),
+        F.round(m("B", "pre"), 4).alias("pre_b"),
+        F.round(m("A", "post"), 4).alias("post_a"),
+        F.round(m("B", "post"), 4).alias("post_b"),
+        F.round(
+            (m("A", "post") - m("A", "pre")) - (m("B", "post") - m("B", "pre")),
+            4,
+        ).alias("did_effect"),
+    )
