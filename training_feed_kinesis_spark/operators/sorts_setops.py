@@ -157,3 +157,83 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
     b = c.filter(F.col("c_acctbal") > 5000).select("c_nationkey")
     return a.exceptAll(b)
+
+
+@register(
+    "sort_nulls_ordering",
+    CAT_SORT,
+    """
+    WITH v AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS val
+      FROM events WHERE user_id = 3
+    )
+    SELECT event_id, ROUND(val, 4) AS val,
+           ROW_NUMBER() OVER (ORDER BY val ASC NULLS FIRST, event_id ASC)
+             AS rn_nulls_first,
+           ROW_NUMBER() OVER (ORDER BY val DESC NULLS LAST, event_id ASC)
+             AS rn_nulls_last
+    FROM v
+    """,
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST / NULLS LAST ordering — a real cross-engine
+    trap: Spark's default is NULLS FIRST on ASC, DuckDB's is NULLS LAST,
+    so any sort over a nullable key that does NOT pin null placement is
+    silently engine-dependent. Both rank columns pin it explicitly
+    (asc_nulls_first / desc_nulls_last), making the placement observable
+    under the order-insensitive hash. NULLs are synthesized
+    deterministically (error events) since the fixture column is
+    non-null.
+
+    Scale note: same single-task global-window caveat as sort_multikey —
+    bounded here by the user filter."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") == 3)
+    v = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("value"))
+        .alias("val"),
+    )
+    w_first = Window.orderBy(
+        F.col("val").asc_nulls_first(), F.col("event_id").asc()
+    )
+    w_last = Window.orderBy(
+        F.col("val").desc_nulls_last(), F.col("event_id").asc()
+    )
+    return v.select(
+        "event_id",
+        F.round("val", 4).alias("val"),
+        F.row_number().over(w_first).alias("rn_nulls_first"),
+        F.row_number().over(w_last).alias("rn_nulls_last"),
+    )
+
+
+@register(
+    "limit_offset_paging",
+    CAT_SORT,
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20 OFFSET 40
+    """,
+)
+def limit_offset_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination (page 3 of 20) under a total order — the
+    API-pagination shape. Spark 3.4+ has a native offset(); under the
+    unique (o_totalprice, o_orderkey) order both engines select the
+    identical window of rows.
+
+    Scale note: OFFSET is inherently top-(offset+limit) work — Catalyst
+    still plans a bounded TakeOrdered of 60 rows, but deep pagination
+    (OFFSET 10^6) degrades linearly; production paging at scale keys the
+    page by the last-seen sort key (seek method) instead, which is the
+    WHERE-clause spelling of this same total order."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(40)
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
