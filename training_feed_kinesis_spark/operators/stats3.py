@@ -277,7 +277,8 @@ def stat_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     )
     SELECT dow, hr, n,
-           ROUND(n::DOUBLE / SUM(n) OVER (), 4) AS share
+           CAST((2 * n * 10000 + SUM(n) OVER ())
+                // (2 * SUM(n) OVER ()) AS BIGINT) / 10000.0 AS share
     FROM c
     """,
 )
@@ -294,12 +295,19 @@ def events_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.weekday("ts") + 1).cast("int").alias("dow"),
         F.hour("ts").cast("int").alias("hr"),
     ).agg(F.count(F.lit(1)).alias("n"))
-    return c.select(
+    # integer half-up share (SURVEY §5.3.1b): n/total lands EXACTLY on
+    # 4th-decimal half-points whenever total is a power-of-ten multiple
+    # (sf0.1: total=100000, every n ending in 5) and the engines' ROUND
+    # disagree there — caught by the sf0.1 sweep, invisible at sf0.01
+    return c.withColumn(
+        "tot", F.sum("n").over(Window.partitionBy())
+    ).select(
         "dow",
         "hr",
         "n",
-        F.round(
-            F.col("n").cast("double") / F.sum("n").over(Window.partitionBy()), 4
+        (
+            F.expr("(2 * n * 10000 + tot) div (2 * tot)").cast("bigint")
+            / 10000.0
         ).alias("share"),
     )
 
