@@ -37,8 +37,8 @@ CAT_STREAM = "2.I streaming"
     WITH sigs AS (
       SELECT doc_id,
              md5(array_to_string(list_transform(
-               string_split(lower(text), ' '),
-               t -> LEAST(length(t), 12)::VARCHAR), ',')) AS shape_sig
+               list_slice(string_split(lower(text), ' '), 1, 24),
+               t -> LEAST(length(t) // 3, 4)::VARCHAR), ',')) AS shape_sig
       FROM documents
     )
     SELECT shape_sig,
@@ -50,22 +50,27 @@ CAT_STREAM = "2.I streaming"
     """,
 )
 def llm_template_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Template detection by shape: each document reduced to its
-    token-LENGTH sequence (capped at 12 so long tokens don't fragment
-    the signature), hashed; groups of ≥2 docs sharing a shape are
-    template families — form letters, mail merges, generated
-    boilerplate — which substitute words (defeating content hashes and
-    often even MinHash) but keep the exact token-length skeleton.
+    """Template detection by shape: each document reduced to a QUANTIZED
+    token-length skeleton — the first 24 tokens, each length bucketed
+    into ``least(length // 3, 4)`` (5 coarse width classes) — hashed;
+    groups of ≥2 docs sharing a shape are template families — form
+    letters, mail merges, generated boilerplate — which substitute words
+    (defeating content hashes and often even MinHash) but keep the
+    token-width skeleton. The quantization is load-bearing twice: it
+    tolerates near-template variation (a substituted 5-char word for a
+    6-char one stays in bucket 1), and it makes the check NON-vacuous at
+    test scale (exact per-token lengths over full docs gave 0 families
+    at sf0.01 — a green that verified nothing; bucketed-prefix yields
+    ≥18 families at sf0.001).
 
-    Scale shape: the signature is one row-local pass over the token
-    array; the only shuffle is a 16-byte-hash groupBy, identical cost to
-    exact dedup. A production pass quantizes lengths into buckets to
-    tolerate near-template variation — same plan."""
+    Scale shape: the signature is one row-local pass over a 24-token
+    slice; the only shuffle is a 16-byte-hash groupBy, identical cost to
+    exact dedup."""
     d = load_table(spark, sf_dir, "documents")
     sig = F.md5(
         F.expr(
-            "array_join(transform(split(lower(text), ' '), "
-            "t -> cast(least(length(t), 12) AS string)), ',')"
+            "array_join(transform(slice(split(lower(text), ' '), 1, 24), "
+            "t -> cast(least(length(t) div 3, 4) AS string)), ',')"
         )
     )
     return (

@@ -199,7 +199,8 @@ def llm_lsh_candidate_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return buckets.groupBy("b", "r").agg(
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
-        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias(
+        # integer `div`, not `/`: float terms/sums lose exactness past 2^53
+        F.sum(F.expr("(n * (n - 1)) div 2")).cast("long").alias(
             "candidate_pairs"
         ),
         F.max("n").cast("long").alias("max_bucket"),

@@ -182,7 +182,9 @@ def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cohort size lands systematically on 4th-decimal half-points
     # (n=16 → 1/16 steps) where Spark's and DuckDB's ROUND disagree; the
     # (2c+n) div (2n) spelling has no float anywhere until one final
-    # exact-decimal division
+    # exact-decimal division. PRECONDITION: cumc >= 0 (events.value is
+    # nonnegative); for a negative numerator this spelling degrades to
+    # round-toward-zero, not half-up — guard before reusing elsewhere.
     cum = daily_val.join(sizes, "cohort_day").select(
         "cohort_day",
         "day_offset",

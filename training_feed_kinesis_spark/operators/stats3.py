@@ -298,7 +298,9 @@ def events_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer half-up share (SURVEY §5.3.1b): n/total lands EXACTLY on
     # 4th-decimal half-points whenever total is a power-of-ten multiple
     # (sf0.1: total=100000, every n ending in 5) and the engines' ROUND
-    # disagree there — caught by the sf0.1 sweep, invisible at sf0.01
+    # disagree there — caught by the sf0.1 sweep, invisible at sf0.01.
+    # PRECONDITION: numerator >= 0 (counts here); the (2a+b) div (2b)
+    # spelling is half-up only for nonnegative numerators.
     return c.withColumn(
         "tot", F.sum("n").over(Window.partitionBy())
     ).select(

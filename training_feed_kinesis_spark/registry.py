@@ -215,7 +215,12 @@ def load_all() -> dict[str, QuerySpec]:
             if e.name and e.name.startswith("training_feed_kinesis_spark"):
                 continue
             raise
-    ordered = {k: REGISTRY[k] for k in _PRIORITY_KEYS if k in REGISTRY}
+    missing = [k for k in _PRIORITY_KEYS if k not in REGISTRY]
+    if missing:
+        # a typo here would silently shrink the driver's 50-key sample
+        # window; fail loudly instead
+        raise KeyError(f"_PRIORITY_KEYS not in REGISTRY: {missing}")
+    ordered = {k: REGISTRY[k] for k in _PRIORITY_KEYS}
     for k, spec in list(REGISTRY.items()):
         if k not in ordered:
             ordered[k] = spec

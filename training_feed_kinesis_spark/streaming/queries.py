@@ -529,6 +529,13 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     the drained result is exactly the exactly-once batch answer. In
     production the delay is minutes (Kinesis redelivers close to the
     original) and state stays tiny; semantics are identical.
+
+    Runs under the RocksDB state-store provider (``drain(rocksdb=True)``):
+    dedup state is the canonical state-cardinality blowup (one entry per
+    key in the watermark horizon), exactly where heap-backed state dies at
+    100 TB — tests assert the provider actually ran via the query's final
+    StreamingQueryProgress (replay.LAST_PROGRESS) AND the oracle proves
+    results are unchanged.
     """
     stream = replay_stream(spark, sf_dir, "doubled")
     deduped = stream.withWatermark("ts", "400 days").dropDuplicatesWithinWatermark(
@@ -540,7 +547,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
-    return drain(agg, "complete")
+    return drain(agg, "complete", rocksdb=True)
 
 
 @register(

@@ -185,11 +185,21 @@ def _ckpt_dir() -> str:
         return scratch_dir("ckpt_")
 
 
+# Final StreamingQueryProgress of the most recent drain() — tests assert
+# state-store provider/metrics from here (driver-side metadata, never data).
+LAST_PROGRESS: dict | None = None
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def drain(
     df: DataFrame,
     output_mode: str = "complete",
     checkpoint: str | None = None,
     state_partitions: int | None = 8,
+    rocksdb: bool = False,
 ):
     """Run a streaming DataFrame to completion (AvailableNow) into a memory
     sink; return the materialized batch DataFrame. The memory sink is a
@@ -202,12 +212,28 @@ def drain(
     partitions × N batches is pure commit overhead — measured 2.5× slower
     than 8. On a real cluster state cardinality is huge and the conf comes
     from cluster tuning, so ``None`` (leave untouched) is the production
-    setting."""
+    setting.
+
+    ``rocksdb=True`` runs this query under the RocksDB state-store
+    provider (off-heap/on-disk keyed state + changelog checkpointing) —
+    the 100 TB posture, where state cardinality outgrows executor heap;
+    the provider is picked up at query start, so a per-drain conf scope
+    is enough and results are identical by construction."""
+    global LAST_PROGRESS
     spark = df.sparkSession
     name = f"tfk_replay_{next(_qcounter)}"
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_conf, None)
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if rocksdb:
+        spark.conf.set(provider_conf, ROCKSDB_PROVIDER)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
     try:
         q = (
             df.writeStream.format("memory")
@@ -218,7 +244,13 @@ def drain(
             .start()
         )
         q.awaitTermination()
+        LAST_PROGRESS = q.lastProgress
     finally:
         if state_partitions is not None and prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if rocksdb:
+            if prev_provider is None:
+                spark.conf.unset(provider_conf)
+            else:
+                spark.conf.set(provider_conf, prev_provider)
     return spark.table(name)

@@ -111,8 +111,16 @@ def classes_compatible(spark_cls, duck_cls) -> bool:
 def lint_registry(spark, con, registry, sf_dir, keys=None):
     """Lint every oracled key; returns (n_checked, mismatches, errors).
 
-    Binds oracles (no execution) and builds Spark plans (lazy). A mismatch
-    line names the key and column with both classes.
+    Binds oracles (no execution) and builds Spark plans — lazy for almost
+    every key, but NOT all: a handful of operators execute work inside
+    ``spec.fn`` itself (``stream_quarantine_split`` drains a full
+    availableNow streaming job and writes its parquet sinks;
+    ``graph_bfs_distance`` triggers per-round ``localCheckpoint`` jobs;
+    other streaming keys replay micro-batches to materialize a batch
+    result). A registry-wide lint therefore does real Spark work and
+    leaves scratch artifacts for those keys — still linted on purpose,
+    since their output types are exactly as mismatch-prone as the lazy
+    ones. A mismatch line names the key and column with both classes.
     """
     bad: list[str] = []
     errs: list[str] = []
