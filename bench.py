@@ -9,7 +9,9 @@ Methodology: one shared SparkSession (JVM startup excluded — it is fixed
 cost, not query cost); per-query wall-clock covers plan + execution to a
 noop sink (full materialization, no driver collect); a small warmup scan
 first so the first timed query doesn't pay one-time codegen/filesystem
-costs.
+costs; each query timed ``TFK_BENCH_RUNS`` (default 3) times and the MIN
+reported, so single-run host noise stops producing false round-over-round
+regressions.
 """
 
 from __future__ import annotations
@@ -104,12 +106,22 @@ def main() -> None:
 
     spark.range(32).repartition(32).mapInPandas(_noop, "id long").count()
 
+    # Per-query BEST-OF-N (default 3): single-run wall-clock at this data
+    # size swings ±15-30% with host state (GC, page cache, co-resident
+    # work) — two r2/r3 round-over-round "regressions" were re-measured as
+    # pure noise. The min of 3 is the standard low-variance estimator for
+    # "how fast is this plan when the host isn't fighting it", which is
+    # the quantity round-over-round comparisons need.
+    n_runs = int(os.environ.get("TFK_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
-    for key in HEADLINE:
-        spec = registry[key]
-        t0 = time.perf_counter()
-        _consume(spec.fn(spark, sf_dir))
-        timings[key] = round(time.perf_counter() - t0, 3)
+    for _ in range(n_runs):
+        for key in HEADLINE:
+            spec = registry[key]
+            t0 = time.perf_counter()
+            _consume(spec.fn(spark, sf_dir))
+            t = round(time.perf_counter() - t0, 3)
+            if key not in timings or t < timings[key]:
+                timings[key] = t
 
     print(
         json.dumps(
@@ -119,6 +131,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": n_runs,
+                "estimator": "per-query min",
             }
         )
     )

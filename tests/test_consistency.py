@@ -673,3 +673,54 @@ def test_compression_ratio_matches_plain_python(spark, registry):
     for lang, (n, s) in agg.items():
         assert got[lang][0] == n
         assert abs(got[lang][1] - round(s / n, 4)) <= 1e-4, lang
+
+
+def test_wav_decode_is_a_real_parser():
+    """The multimodal feature kernel must actually parse the RIFF
+    container: corrupting the magic or the fmt tag must raise, and a
+    hand-built WAV with known samples must decode to exact features —
+    no Spark needed, the kernel is a plain Arrow-batch function."""
+    import pandas as pd
+    import pytest as _pt
+
+    from training_feed_kinesis_spark.operators.multimodal import (
+        _wav_decode_batch,
+        _wav_encode_batch,
+    )
+
+    enc = next(
+        _wav_encode_batch(
+            iter([pd.DataFrame({"doc_id": [7], "payload": [bytes(range(16))]})])
+        )
+    )
+    wav = bytes(enc["wav"][0])
+    out = next(_wav_decode_batch(iter([pd.DataFrame({"doc_id": [7], "wav": [wav]})])))
+    r = out.iloc[0]
+    assert (
+        r["channels"],
+        r["sample_rate"],
+        r["bits_per_sample"],
+        r["n_samples"],
+    ) == (1, 8000 + (7 % 3) * 4000, 8, 16)
+    assert r["mean_amplitude"] == sum(range(16)) / 16.0
+    for pos in (0, 12):  # RIFF magic, fmt tag
+        bad = wav[:pos] + b"X" + wav[pos + 1 :]
+        with _pt.raises(ValueError):
+            next(_wav_decode_batch(iter([pd.DataFrame({"doc_id": [7], "wav": [bad]})])))
+
+
+def test_tws_sessionizer_matches_batch_when_available(spark, registry, duck):
+    """transformWithStateInPandas sessionizer (4th independent spelling)
+    must equal the shared session oracle — skipped where google.protobuf
+    (a hard dependency of Spark's TWS Python runner) is absent, in which
+    case the key is deliberately unregistered so the driver never samples
+    an unrunnable operator."""
+    from training_feed_kinesis_spark.streaming.queries import HAS_PROTOBUF
+
+    if not HAS_PROTOBUF:
+        assert "stream_stateful_tws" not in registry
+        pytest.skip("google.protobuf absent: transformWithState runner cannot start")
+    from .conftest import assert_matches_oracle
+
+    spec = registry["stream_stateful_tws"]
+    assert_matches_oracle(spec.fn(spark, SF_DIR), duck, spec.oracle)

@@ -253,3 +253,55 @@ def test_contamination_rate_monotone_in_ngram_length(spark, registry):
     assert len(rows) == 4
     rates = [r.contamination_rate for r in rows]
     assert all(a >= b for a, b in zip(rates, rates[1:])), rates
+
+
+def test_triangle_orientation_bounds_hub_wedges(spark):
+    """Degree orientation must collapse the wedge fan-out at a hub node.
+    Fixture: a star — hub h sits in the MIDDLE of the id order with k=60
+    spokes (plus a few spoke-spoke edges so degrees aren't all 1). Under
+    the old id orientation the hub has ~k/2 in-edges and ~k/2 out-edges →
+    ~k²/4=900 wedge rows at the hub; under degree orientation every
+    spoke→hub edge points INTO the hub (spoke degree < hub degree), the
+    hub's out-degree is 0, and hub wedges vanish. Also re-checks the
+    count is orientation-invariant on a graph with known triangles."""
+    from training_feed_kinesis_spark.operators.graph import _degree_oriented
+
+    k = 60
+    hub = k // 2
+    spokes = [i for i in range(k + 1) if i != hub]
+    edges = [(min(s, hub), max(s, hub)) for s in spokes]
+    # a separate 4-clique well away from the hub ids → C(4,3)=4 triangles
+    cl = [1000, 1001, 1002, 1003]
+    edges += [(a, b) for i, a in enumerate(cl) for b in cl[i + 1:]]
+    e = spark.createDataFrame(edges, "pa long, pb long")
+
+    o = _degree_oriented(e).cache()
+    # wedge rows landing on the hub as the middle node
+    hub_wedges = (
+        o.alias("e1")
+        .join(o.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
+        .filter(F.col("e1.dst") == hub)
+        .count()
+    )
+    assert hub_wedges == 0, hub_wedges
+    # id-orientation comparison: the same star yields ~k^2/4 hub wedges
+    id_hub_wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.pb") == F.col("e2.pa"))
+        .filter(F.col("e1.pb") == hub)
+        .count()
+    )
+    assert id_hub_wedges == hub * (k - hub), id_hub_wedges
+    # triangle count is orientation-invariant: the 4-clique's 4 triangles
+    tri = (
+        o.alias("e1")
+        .join(o.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            o.alias("e3"),
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .count()
+    )
+    assert tri == 4, tri
+    o.unpersist()

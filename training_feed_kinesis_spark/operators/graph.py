@@ -6,10 +6,11 @@ session transition). These operators show the DataFrame-native spellings:
   * Edge building is a bounded self-join (baskets cap the blow-up), with a
     min-support filter so the edge set stays sparse at any scale — the same
     discipline as ``part_affinity``.
-  * Triangle counting uses the oriented-edge trick (a<b<c): each triangle is
-    produced exactly once, and the wedge join's fan-out is bounded by the
-    support-thinned degree. All equi-joins on node keys ⇒ shuffle-partitioned
-    by node, no cartesian anywhere.
+  * Triangle counting uses the oriented-edge trick under a (degree, id)
+    total order: each triangle is produced exactly once, and orienting
+    low-degree → high-degree bounds wedge fan-out by arboricity (hubs have
+    near-zero OUT-degree), the skew-proof plan. All equi-joins on node keys
+    ⇒ shuffle-partitioned by node, no cartesian anywhere.
   * PageRank runs as a driver-side loop of join+agg over an aggregated
     transition graph whose size is the *domain* (event types), not the data —
     the iterate-on-aggregates pattern: one pass over the fact table, then
@@ -120,6 +121,40 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_parts"))
 
 
+def _degree_oriented(e: DataFrame) -> DataFrame:
+    """Re-orient an undirected edge list (pa, pb) from the LOWER-degree
+    endpoint to the higher (ties broken by node id) → columns (src, dst).
+
+    Any total order on nodes counts each triangle exactly once via the
+    wedge+closure join; choosing (degree, id) as that order is the
+    standard skew-proof triangle plan: a node's OUT-degree under degree
+    orientation is bounded by O(√m) (arboricity bound), so the wedge
+    join's fan-out at a hub is in(h)·out(h) ≈ deg(h)·O(√m) instead of the
+    id-orientation worst case deg(h)²/4 — the difference between a plan
+    that survives a power-law degree distribution at 100× and one that
+    melts on the first celebrity node. Degrees come from the edge list
+    itself (node-count-sized, broadcastable after support thinning)."""
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionByName(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    withdeg = (
+        e.join(F.broadcast(deg.withColumnRenamed("node", "pa")
+                           .withColumnRenamed("deg", "da")), "pa")
+        .join(F.broadcast(deg.withColumnRenamed("node", "pb")
+                          .withColumnRenamed("deg", "db")), "pb")
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    return withdeg.select(
+        F.when(fwd, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(fwd, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+    )
+
+
 @register(
     "graph_triangles",
     CAT,
@@ -134,24 +169,28 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census on the support-thinned co-purchase graph. Edges are
-    oriented (pa < pb), so the wedge join e1(a,b)⋈e2(b,c) plus closure
-    probe e3(a,c) counts each triangle exactly once. Every join is an
-    equi-join on node keys — shuffles partition by node, and the support
-    floor keeps wedge fan-out bounded (the standard scale guard; at
-    higher SF raise support or orient by degree).
+    oriented low-degree → high-degree (ties by id; :func:`_degree_oriented`),
+    so the wedge join e1(a,b)⋈e2(b,c) plus closure probe e3(a,c) counts
+    each triangle exactly once AND hub fan-out is arboricity-bounded —
+    the skew guard VERDICT r3 asked to land before it's needed. Every
+    join is an equi-join on node keys ⇒ shuffles partition by node. The
+    triangle SET is orientation-invariant, so the DuckDB oracle keeps the
+    simpler pa<pb spelling — same count by construction.
     """
     # _edges is cached+materialized, so the three join legs and the edge
     # count all read one copy of the basket self-join result
     e = _edges(spark, sf_dir).select("pa", "pb")
     n_edges = e.count()
-    e1 = e.alias("e1")
-    e2 = e.alias("e2")
-    e3 = e.alias("e3")
+    o = _degree_oriented(e)
+    e1 = o.alias("e1")
+    e2 = o.alias("e2")
+    e3 = o.alias("e3")
     return (
-        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
         .join(
             e3,
-            (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
         .withColumn("n_edges", F.lit(n_edges).cast("long"))

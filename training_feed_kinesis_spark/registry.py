@@ -145,62 +145,50 @@ def register(key: str, category: str, oracle: str | None = None):
 
 
 # The driver's correctness gate samples the FIRST 50 registered keys each
-# round. Rounds 1+2 together verified all 81 SURVEY §2-declared keys; round
-# 3 rotates the window to (a) the keys CHANGED this round (the two r2
-# hash-fail oracle casts, the four latent casts the new type-parity lint
-# surfaced, the llm_winnow/bm25/bpe respellings, the feed_e2e de-broadcast)
-# for re-verification, then (b) the §2.L wave-9…33 block — the youngest
-# oracles with zero driver exposure. Rows-only-by-design keys are excluded
+# round. Round-4 rotation (VERDICT r3 item 1): the window is drawn from the
+# 257 never-driver-verified oracled keys, OLDEST registration first (their
+# oracles predate the type-parity lint and have had the least scrutiny) —
+# the r1 §2.L block: join/set/fn extensions, the LLM sketch family, the
+# TPC-H shape sweep. The first five slots are this round's changed keys
+# (template de-vacuization re-check, degree-oriented triangles, the newly
+# oracled WAV decode, the RocksDB-backed dedup drain, the integer-exact
+# LSH candidate sum) — all but the first are ALSO never-sampled, so the
+# window stays 49/50 never-sampled. Rows-only-by-design keys are excluded
 # (their slot is better spent on hash-checkable keys). Entries past 50 are
-# front-of-line for round 4.
+# front-of-line for round 5.
 _PRIORITY_KEYS = [
-    # changed this round — re-verify (r2 fails + lint-surfaced casts +
-    # respellings)
-    "fn_math", "llm_lang_profile",
-    "scd2_intervals", "ml_pr_curve", "multimodal_shard_pack",
-    "llm_feed_build_e2e",
-    "llm_winnow", "llm_bm25_topk", "llm_bpe_merge_step",
-    # §2.L waves 9-33, never driver-sampled, oracled
-    "join_stream_scd2", "dq_partition_sentry",
-    "llm_epoch_shuffle",
-    "stream_trigger_incremental", "sample_stratified_neyman",
-    "llm_dedup_paragraph", "llm_dedup_incremental",
-    "events_survival_km",
-    "vec_jl_projection", "events_uplift_ab",
-    "llm_mixture_temperature", "llm_dedup_exact_best",
-    "events_seq_train_pairs", "sql_named_window",
-    "scan_agg_pushdown", "llm_doclen_hill",
-    "dp_noisy_counts", "llm_data_card",
-    "vec_cosine_hist", "llm_dedup_threshold_sweep", "events_time_split",
-    "llm_judge_kappa", "llm_best_of_n",
-    "agg_approx_topk",
-    "agg_countmin_width_sweep", "llm_winnow_pairs",
-    "llm_bigram_interp_nll", "sample_user_cap",
-    "llm_quality_ensemble", "join_asof_tolerance",
-    "multimodal_phash_pairs", "ts_snaive_backtest",
-    "sink_manifest_atomic_swap", "scan_ignore_corrupt_files",
-    "llm_dataset_diff", "llm_token_budget_planner",
-    "events_stratified_ate", "llm_mixture_seed_stability",
-    "graph_kcore", "agg_decimal_exact",
-    "llm_template_detect",
-    # --- 50-key window boundary; below = round-4 front-of-line ---
-    "stream_progress_metrics",
-    "retention_decay_fit", "llm_quality_length_confound",
-    "llm_hard_negatives", "llm_span_corruption",
-    # round-3 waves 34-45 (locally driver-sim verified; zero driver samples)
-    "llm_semdedup_cell", "llm_readability_score", "llm_mattr",
-    "ml_ridge_closed_form", "ml_gbdt_stumps", "llm_preference_pairs",
-    "multimodal_frame_sample", "multimodal_audio_windows",
-    "graph_bfs_distance",
-    "llm_ivf_build_manifest", "llm_ivf_query_router", "llm_code_detect",
-    "stream_quarantine_split", "llm_tokenizer_coverage",
-    "multimodal_resize_plan", "llm_dataloader_epoch_plan",
-    "llm_lsh_tuning_curve", "llm_shard_integrity",
-    "events_cuped_adjust", "llm_lsh_candidate_volume",
-    "llm_data_ablation_manifest", "events_power_analysis",
-    "llm_contamination_ngram_decay", "llm_dedup_quality_shift",
-    "vec_embedding_drift", "llm_vocab_overlap_matrix",
-    "llm_attention_cost_table", "events_funnel_window_sensitivity",
+    # changed this round — re-verify / first verification after change
+    "llm_template_detect", "graph_triangles", "llm_multimodal_features",
+    "stream_dedup_watermark", "llm_lsh_candidate_volume",
+    # oldest never-driver-sampled oracled keys, registration order
+    "join_range_bucketized", "join_null_safe", "join_hint_shuffle_hash",
+    "join_asof_forward", "set_intersect_all", "set_except_all",
+    "sort_nulls_ordering", "limit_offset_paging",
+    "fn_hash", "fn_struct", "fn_bitwise", "fn_trig",
+    "llm_token_regex", "llm_fingerprint", "llm_text_clean",
+    "llm_jaccard_pairs", "llm_minhash_sig", "llm_simhash",
+    "llm_simhash_pairs", "llm_dedup_embed", "llm_dedup_clusters",
+    "llm_dedup_apply",
+    "multimodal_manifest", "multimodal_byte_stats", "source_binary_files",
+    "udtf_split",
+    "q3_shipping_priority", "q10_returned_items",
+    "batch_sessionize", "funnel_conversion", "retention_cohorts",
+    "q5_local_supplier", "q18_large_orders",
+    "customer_rfm", "events_markov", "revenue_pareto", "part_affinity",
+    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q11_important_parts", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_variety",
+    # --- 50-key window boundary; below = round-5 front-of-line ---
+    "q17_small_quantity", "q19_disjunctive_revenue", "q21_waiting_supplier",
+    "q22_idle_customers", "q6_forecast_revenue", "q13_order_distribution",
+    "q20_stock_suppliers", "q18_large_volume",
+    "llm_contamination", "llm_unigram_logprob", "llm_bigram_topk",
+    "ts_resample_gapfill", "ts_anomaly_zscore", "llm_bigram_pmi",
+    "llm_curation_waterfall", "dq_constraints", "cdc_latest_merge",
+    "vec_quantize_int8", "ts_rollup_hierarchy", "sample_weighted",
+    "hist_equidepth", "cte_recursive", "fn_variant", "join_lateral",
+    "udf_arrow_scalar", "sql_pipe_syntax", "agg_grouping_flags",
+    "win_ignore_nulls", "fn_try_arith", "observe_metrics",
 ]
 
 

@@ -726,3 +726,145 @@ def stream_stateful_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.filter(F.col("user_id") >= 0).select(
         "user_id", "session_start", "session_end", "n_events"
     )
+
+
+# transformWithStateInPandas hard-depends on google.protobuf (Spark's TWS
+# Python runner serializes state requests as protobuf messages); the
+# library is absent in this container, which crashes the runner at init —
+# an ENVIRONMENT gap, not an API gap. Register the key only where the
+# dependency exists so the driver never samples a key that cannot run;
+# tests skip on the same condition.
+try:  # find_spec raises if even the 'google' namespace package is absent
+    HAS_PROTOBUF = (
+        __import__("importlib").util.find_spec("google.protobuf") is not None
+    )
+except ModuleNotFoundError:
+    HAS_PROTOBUF = False
+
+_TWS_SESSION_ORACLE = """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts)                          AS session_start,
+           MAX(ts) + INTERVAL '30 minutes'  AS session_end,
+           COUNT(*)                         AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """
+
+
+def _register_if(cond: bool, key: str, category: str, oracle: str | None):
+    if cond:
+        return register(key, category, oracle)
+    return lambda fn: fn
+
+
+@_register_if(HAS_PROTOBUF, "stream_stateful_tws", CAT, _TWS_SESSION_ORACLE)
+def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via ``transformWithStateInPandas`` — Spark 4's
+    successor to applyInPandasWithState (SURVEY §2.I; VERDICT r3 item 8):
+    an object-oriented StatefulProcessor with named state variables and
+    first-class event-time timers instead of a single state tuple +
+    timeout conf. One ValueState holds the open session per user; a timer
+    at last_event + 30 min (re-registered as the session extends, stale
+    timer deleted) flushes it once the watermark passes. Intra-batch
+    session breaks emit immediately, so state is O(users).
+
+    transformWithState REQUIRES the RocksDB state-store provider (the API
+    is built on its column-family support) — ``drain(rocksdb=True)`` —
+    making this the second operator exercising the 100 TB state backend.
+
+    Drained result ≡ the batch lag-gap-cumsum sessionization: the FOURTH
+    independent sessionizer against the same oracle (batch window,
+    session_window, applyInPandasWithState timers, and this).
+
+    Registration is gated on ``google.protobuf`` (HAS_PROTOBUF): Spark's
+    TWS Python runner requires it and this container lacks it — where the
+    dependency exists the key registers and oracles like any other."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    def _emit(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "session_start": [pd.Timestamp(r[1], unit="us") for r in rows],
+                "session_end": [pd.Timestamp(r[2], unit="us") for r in rows],
+                "n_events": [r[3] for r in rows],
+            }
+        )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            # open session + the ms timestamp of its registered timer
+            self.sess = handle.getValueState(
+                "sess", "start_us long, last_us long, n long, timer_ms long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            ts_us: list[int] = []
+            for pdf in rows:
+                ts_us.extend((pdf["ts"].astype("int64") // 1_000).tolist())
+            ts_us.sort()
+            if self.sess.exists():
+                start_us, last_us, n, timer_ms = self.sess.get()
+                self.handle.deleteTimer(timer_ms)
+            else:
+                start_us, last_us, n = None, None, 0
+            closed = []
+            for t in ts_us:
+                if start_us is None:
+                    start_us, last_us, n = t, t, 1
+                elif t - last_us > GAP_US:
+                    closed.append((key[0], start_us, last_us + GAP_US, n))
+                    start_us, last_us, n = t, t, 1
+                else:
+                    last_us, n = last_us if t <= last_us else t, n + 1
+            # timer API is ms-resolution; round UP so it never fires before
+            # the exact microsecond session end
+            timer_ms = (last_us + GAP_US + 999) // 1000
+            self.sess.update((start_us, last_us, n, timer_ms))
+            self.handle.registerTimer(timer_ms)
+            if closed:
+                yield _emit(closed)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self.sess.exists():
+                start_us, last_us, n, _ = self.sess.get()
+                self.sess.clear()
+                yield _emit([(key[0], start_us, last_us + GAP_US, n)])
+
+        def close(self) -> None:
+            pass
+
+    stream = replay_stream(spark, sf_dir, "ordered", sentinel=True)
+    out = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionProcessor(),
+            outputStructType="user_id long, session_start timestamp, "
+            "session_end timestamp, n_events long",
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+    res = drain(out, "append", rocksdb=True)
+    return res.filter(F.col("user_id") >= 0).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
