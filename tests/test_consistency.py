@@ -724,3 +724,103 @@ def test_tws_sessionizer_matches_batch_when_available(spark, registry, duck):
 
     spec = registry["stream_stateful_tws"]
     assert_matches_oracle(spec.fn(spark, SF_DIR), duck, spec.oracle)
+
+
+def test_sketch_merge_within_hll_error(spark, registry):
+    """agg_sketch_merge is rows-only (HLL is approx) but not assertion-free:
+    the union-merged monthly estimate must land within the sketch's design
+    error (lgK=12 → rsd≈1.6%; 5% ≈ 3σ) of the oracled exact distinct count,
+    and the day count must equal the calendar days present."""
+    from pyspark.sql import functions as F
+
+    from training_feed_kinesis_spark.tables import load_table
+
+    r = registry["agg_sketch_merge"].fn(spark, SF_DIR).collect()[0]
+    ev = load_table(spark, SF_DIR, "events")
+    exact = ev.select(F.countDistinct("user_id")).first()[0]
+    days = ev.select(F.countDistinct(F.dayofmonth("ts"))).first()[0]
+    assert r["n_days"] == days
+    assert abs(r["approx_monthly_users"] - exact) <= max(0.05 * exact, 1), (
+        r["approx_monthly_users"],
+        exact,
+    )
+
+
+def test_schema_drift_flags_all_three_change_classes(spark, registry):
+    """dq_schema_drift is rows-only (its subject is parquet footers) but the
+    v1/v2 writer schemas are KNOWN: props was dropped (removed), schema_ver
+    appeared (added), value narrowed double→float (type_changed), and every
+    other column is unchanged — assert the exact verdict per column."""
+    out = {
+        r["column"]: (r["verdict"], r["v1_type"], r["v2_type"])
+        for r in registry["dq_schema_drift"].fn(spark, SF_DIR).collect()
+    }
+    assert out["props"][0] == "removed"
+    assert out["schema_ver"][0] == "added"
+    assert out["value"] == ("type_changed", "double", "float")
+    for c in ("event_id", "ts", "user_id", "event_type"):
+        assert out[c][0] == "unchanged", (c, out[c])
+
+
+def test_file_lineage_partitions_row_space(spark, registry):
+    """scan_file_lineage is rows-only (paths are environment-specific) but
+    its accounting is exact: per-file row_index must be dense 0..n-1 and
+    the file totals must partition the table row count."""
+    from training_feed_kinesis_spark.tables import load_table
+
+    rows = registry["scan_file_lineage"].fn(spark, SF_DIR).collect()
+    total = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r["n_rows"] for r in rows) == total
+    for r in rows:
+        assert r["first_row"] == 0
+        assert r["last_row"] == r["n_rows"] - 1
+
+
+def test_mapinpandas_is_a_partition_of_the_input(spark, registry):
+    """udf_mapinpandas is rows-only (batch numbering has no SQL analogue)
+    but conservation is exact: the output must contain every event exactly
+    once, and each reported batch size must be positive."""
+    from pyspark.sql import functions as F
+
+    from training_feed_kinesis_spark.tables import load_table
+
+    out = registry["udf_mapinpandas"].fn(spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    assert out.count() == ev.count()
+    assert (
+        out.select("event_id").distinct().count()
+        == ev.select("event_id").distinct().count()
+    )
+    assert out.filter(F.col("batch_rows") <= 0).count() == 0
+
+
+def test_histogram_numeric_mass_and_bounds(spark, registry):
+    """agg_histogram_numeric is rows-only (centroids are approx) but two
+    invariants are exact by construction of Ben-Haim/Tom-Tov merges: bin
+    heights per group sum to the group's row count (mass conservation) and
+    every centroid lies inside the group's [min, max] value range."""
+    from pyspark.sql import functions as F
+
+    from training_feed_kinesis_spark.tables import load_table
+
+    hist = registry["agg_histogram_numeric"].fn(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    stats = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    }
+    by_type: dict = {}
+    for r in hist:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert by_type.keys() == stats.keys()
+    for et, bins in by_type.items():
+        assert len(bins) <= 10
+        assert abs(sum(b["height"] for b in bins) - stats[et]["n"]) < 1e-6
+        for b in bins:
+            assert stats[et]["lo"] - 1e-9 <= b["centroid"] <= stats[et]["hi"] + 1e-9

@@ -147,11 +147,13 @@ def llm_dedup_exact_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dq_schema_drift", CAT_WORK, None)  # metadata subject — rows-only
 def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema drift report between two writer versions: v1 drops a
-    column, v2 adds one and narrows a type; the report lists every
-    (column, verdict) — added / removed / type_changed / unchanged —
-    which is the gate an ingest job checks before unioning a new
-    delivery into the corpus.
+    """Schema drift report between two writer versions: relative to v1
+    (the full base schema), the v2 writer REMOVES ``props``, ADDS
+    ``schema_ver``, and narrows ``value`` double→float (TYPE_CHANGED) —
+    so all three drift classes occur and are individually asserted by
+    tests/test_consistency.py. The report lists every (column, verdict),
+    which is the gate an ingest job checks before unioning a new delivery
+    into the corpus.
 
     Rows-only: the subject is parquet FILE METADATA (StructType diff),
     not table rows — there is nothing for a SQL oracle to recompute.
@@ -161,11 +163,11 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = load_table(spark, sf_dir, "events")
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    root = os.path.join(SCRATCH, f"drift_{sf_tag}")
+    root = os.path.join(SCRATCH, f"drift3_{sf_tag}")
     v1_dir, v2_dir = os.path.join(root, "v1"), os.path.join(root, "v2")
     if not os.path.isfile(os.path.join(root, "_READY")):
-        base.drop("props").write.mode("overwrite").parquet(v1_dir)
-        base.withColumn("schema_ver", F.lit(2)).withColumn(
+        base.write.mode("overwrite").parquet(v1_dir)
+        base.drop("props").withColumn("schema_ver", F.lit(2)).withColumn(
             "value", F.col("value").cast("float")
         ).write.mode("overwrite").parquet(v2_dir)
         with open(os.path.join(root, "_READY"), "w") as fh:
