@@ -125,3 +125,28 @@ def test_winnow_long_branch_equivalence(spark, duck, monkeypatch):
     monkeypatch.setattr(llm_dedup, "_WINNOW_ROWLOCAL_MAX", 0)
     spec = _REGISTRY["llm_winnow"]
     assert_matches_oracle(spec.fn(spark, SF_DIR), duck, spec.oracle)
+
+
+def test_registry_importable_without_spark_session():
+    """The verify driver may import the contract surface BEFORE creating
+    its SparkSession; any module-level Column construction (F.col at
+    import time) would crash that import (caught once in wave 54 —
+    Column builders must be lazy). Prove every operator module imports
+    cleanly in a Spark-free subprocess."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys; sys.path.insert(0, '.');"
+            "from training_feed_kinesis_spark.registry import load_all;"
+            "assert len(load_all()) > 400",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]

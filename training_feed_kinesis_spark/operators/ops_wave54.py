@@ -37,12 +37,15 @@ _ASSIGN_SQL = (
     "CASE WHEN strpos('02468ace', substr(md5(user_id::VARCHAR), 1, 1)) > 0"
     " THEN 'A' ELSE 'B' END"
 )
-_ASSIGN_SPARK = F.when(
-    F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
-        *list("02468ace")
-    ),
-    "A",
-).otherwise("B")
+def _assign_spark():
+    # built lazily: Column construction needs an active SparkContext, and
+    # this module must be importable before any session exists
+    return F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+            *list("02468ace")
+        ),
+        "A",
+    ).otherwise("B")
 
 
 @register(
@@ -81,7 +84,7 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row report."""
     ev = load_table(spark, sf_dir, "events")
     assigned = ev.groupBy("user_id").agg(
-        F.first(_ASSIGN_SPARK).alias("variant")
+        F.first(_assign_spark()).alias("variant")
     )
     arms = assigned.agg(
         F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
@@ -251,7 +254,7 @@ def events_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-row propensity table broadcast back → one weighted aggregate."""
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
-        F.first(_ASSIGN_SPARK).alias("variant"),
+        F.first(_assign_spark()).alias("variant"),
         F.count(F.lit(1)).alias("activity"),
         F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
             "y"
