@@ -133,6 +133,7 @@ _OPERATOR_MODULES = [
     "training_feed_kinesis_spark.operators.ops_wave54",
     "training_feed_kinesis_spark.operators.ops_wave55",
     "training_feed_kinesis_spark.operators.ops_wave56",
+    "training_feed_kinesis_spark.operators.ops_wave57",
     "training_feed_kinesis_spark.sources.pyds",
     "training_feed_kinesis_spark.streaming.queries",
 ]
