@@ -45,7 +45,15 @@ for t in TABLES:
 qs, os_ = e.queries(), e.oracle_sql()
 keys = sys.argv[1:] or sorted(qs)
 fails = 0
-for k in keys:
+for i, k in enumerate(keys):
+    if i and i % 25 == 0:
+        # a full-registry sweep runs 400+ operators in ONE JVM; cached
+        # frames some operators legitimately create (shared edge sets,
+        # sketch materializations) accumulate until the heap OOMs
+        # (observed at sf0.1 around key ~255). Clearing the cache
+        # periodically keeps WITHIN-key reuse while bounding the total;
+        # anything cleared just recomputes lazily on next use.
+        spark.catalog.clearCache()
     t0 = time.time()
     try:
         pdf = qs[k](spark, SF).toPandas()

@@ -97,8 +97,11 @@ def llm_dedup_method_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_truth = truth.count()
 
+    _cached: list[DataFrame] = []
+
     def stats(name: str, df: DataFrame) -> DataFrame:
         pred = df.select("a_id", "b_id").cache()
+        _cached.append(pred)
         n_pred = pred.count()
         tp = pred.join(truth, ["a_id", "b_id"]).count()
         return spark.createDataFrame(
@@ -121,7 +124,15 @@ def llm_dedup_method_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sim = stats("simhash_ball", llm_dedup.llm_simhash_pairs(spark, sf_dir))
     mh = stats("minhash_lsh", llm_dedup.llm_dedup_near(spark, sf_dir))
-    return sim.unionByName(mh)
+    out = sim.unionByName(mh).localCheckpoint()
+    # the stat frames are tiny literals once counted — release the cached
+    # pair sets immediately (a long-lived session running many operators
+    # otherwise accumulates them until the heap dies; observed in the
+    # full-registry sf0.1 sweep)
+    truth.unpersist()
+    for df in _cached:
+        df.unpersist()
+    return out
 
 
 _STITCH_K = 3
