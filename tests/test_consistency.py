@@ -851,3 +851,20 @@ def test_codec_sizes_reported_and_content_identical(spark, registry):
         )
     assert all(v > 0 for v in sizes.values()), sizes
     assert sizes["zstd"] <= 1.5 * sizes["snappy"], sizes
+
+
+def test_isotonic_fit_is_monotone_and_mean_preserving(spark, registry):
+    """The minimax isotonic fit must be (a) non-decreasing in score and
+    (b) mass-preserving: sum(n * iso) == sum(k) (the pooled means
+    property of least-squares isotonic regression)."""
+    rows = sorted(
+        registry["ml_isotonic_calibration"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["score"],
+    )
+    assert len(rows) > 10
+    for a, b in zip(rows, rows[1:]):
+        assert a["isotonic_rate"] <= b["isotonic_rate"] + 1e-9
+    mass = sum(r["n"] * r["isotonic_rate"] for r in rows)
+    k_tot = sum(r["k"] for r in rows)
+    # iso is rounded to 4dp per row → tolerance scales with total n
+    assert abs(mass - k_tot) <= 1e-4 * sum(r["n"] for r in rows) + 1e-6
