@@ -868,3 +868,11 @@ def test_isotonic_fit_is_monotone_and_mean_preserving(spark, registry):
     k_tot = sum(r["k"] for r in rows)
     # iso is rounded to 4dp per row → tolerance scales with total n
     assert abs(mass - k_tot) <= 1e-4 * sum(r["n"] for r in rows) + 1e-6
+
+
+def test_shapley_r2_sums_to_full(spark, registry):
+    """Shapley efficiency axiom: the two attributions must sum to the
+    full-model R² (within the 4dp rounding of each term)."""
+    r = registry["ml_shapley_r2"].fn(spark, SF_DIR).collect()[0]
+    assert abs((r["shapley_x1"] + r["shapley_x2"]) - r["r2_full"]) <= 2e-4, r
+    assert 0 <= r["r2_full"] <= 1
