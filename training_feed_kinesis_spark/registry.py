@@ -141,6 +141,7 @@ _OPERATOR_MODULES = [
     "training_feed_kinesis_spark.operators.ops_wave62",
     "training_feed_kinesis_spark.operators.ops_wave63",
     "training_feed_kinesis_spark.operators.ops_wave64",
+    "training_feed_kinesis_spark.operators.ops_wave65",
     "training_feed_kinesis_spark.sources.pyds",
     "training_feed_kinesis_spark.streaming.queries",
 ]
