@@ -441,3 +441,45 @@ def test_semdedup_pair_join_shuffles_by_cell(spark, registry):
     sort-merge — n² bounded per cell), never a cartesian product."""
     plan = _plan(registry["llm_semdedup_cell"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_pq_codebook_broadcasts_codebook(spark, registry):
+    """vec_pq_codebook's 80-row codebook must reach the assignment join
+    as a broadcast — a shuffled join there would move every subvector
+    row for an 80-row build side."""
+    plan = _plan(registry["vec_pq_codebook"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_winrate_single_global_sort(spark, registry):
+    """llm_source_winrate claims ONE global rank pass — the plan must
+    contain window exchanges but no join at all (the naive pairwise
+    win-rate would join documents to documents)."""
+    plan = _plan(registry["llm_source_winrate"].fn(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "Window" in plan
+
+
+def test_q2_shape_broadcasts_dimensions(spark, registry):
+    """The synthesized-partsupp Q2 must broadcast supplier/nation/region
+    and never fall back to a cartesian product."""
+    plan = _plan(registry["q2_shape_synthetic"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_eval_broadcasts_probe_panel(spark, registry):
+    """ml_knn_eval scans the corpus once against a broadcast probe panel;
+    a shuffled or nested-loop pairing would be the O(n^2) shape the
+    docstring forbids."""
+    plan = _plan(registry["ml_knn_eval"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sequence_regex_plan_has_no_join(spark, registry):
+    """Regex-over-sequences is windows + aggregation only — any join in
+    the plan would mean the encoding leaked into a pairing."""
+    plan = _plan(registry["events_sequence_regex"].fn(spark, SF_DIR))
+    assert "Join" not in plan, plan
