@@ -876,3 +876,53 @@ def test_shapley_r2_sums_to_full(spark, registry):
     r = registry["ml_shapley_r2"].fn(spark, SF_DIR).collect()[0]
     assert abs((r["shapley_x1"] + r["shapley_x2"]) - r["r2_full"]) <= 2e-4, r
     assert 0 <= r["r2_full"] <= 1
+
+
+def test_heaps_curve_monotone_and_conserving(spark, registry):
+    """Vocabulary and token counts must be non-decreasing in subset size,
+    and new_types must sum to the full vocabulary."""
+    rows = sorted(
+        registry["llm_heaps_law_curve"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["subset_pct"],
+    )
+    assert [r["subset_pct"] for r in rows] == [25, 50, 100]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_tokens"] < b["n_tokens"]
+        assert a["vocab_size"] <= b["vocab_size"]
+    assert sum(r["new_types"] for r in rows) == rows[-1]["vocab_size"]
+
+
+def test_watermark_null_corpus_not_flagged(spark, registry):
+    """The synthetic corpus is not watermarked with this key: green
+    shares must sit near 0.5 and no source may be flagged (a flag here
+    would mean the detector's null calibration is wrong)."""
+    rows = registry["llm_watermark_detect"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert not r["flagged"], r
+        assert 0.4 <= r["green_share"] <= 0.6, r
+
+
+def test_peak_concurrency_bounded_by_active_users(spark, registry):
+    """Daily peak concurrent sessions can never exceed that day's
+    distinct active users (each user has at most one open session)."""
+    from pyspark.sql import functions as F
+
+    from training_feed_kinesis_spark.tables import load_table
+
+    peaks = {
+        r["day"]: r["peak_concurrent"]
+        for r in registry["events_peak_concurrency"].fn(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    actives = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert peaks
+    for day, peak in peaks.items():
+        # sessions can span midnight: allow the previous day's actives too
+        cap = actives.get(day, 0) + max(actives.values())
+        assert 0 < peak <= cap, (day, peak)

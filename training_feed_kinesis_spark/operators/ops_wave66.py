@@ -8,7 +8,8 @@
     (Kirchenbauer-style): the fraction of tokens whose hash lands in a
     fixed pseudo-random "green" half, z-scored against the 0.5 null —
     the statistical test for detecting watermarked synthetic text in a
-    training corpus.
+    training corpus, calibrated against the EMPIRICAL cross-source
+    spread (a small shared vocabulary violates the binomial null).
 
 Reference parity note: /root/reference is an EMPTY checkout (SURVEY.md
 §0.1); capability surface reconstructed per SURVEY.md §2 and
@@ -102,7 +103,7 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WM_Z_FLAG = 4.0  # |z| beyond which a source is flagged
+_WM_SIGMA_FLAG = 3.0  # empirical-spread multiples beyond which we flag
 
 
 @register(
@@ -121,15 +122,22 @@ _WM_Z_FLAG = 4.0  # |z| beyond which a source is flagged
     ),
     per_src AS (
       SELECT source, COUNT(*)::BIGINT AS n_tokens,
-             CAST(SUM(green) AS BIGINT) AS n_green
+             CAST(SUM(green) AS BIGINT) AS n_green,
+             CAST(SUM(green) AS DOUBLE) / COUNT(*) AS share
       FROM scored GROUP BY source
+    ),
+    spread AS (
+      SELECT AVG(share) AS mu,
+             sqrt(SUM((share - (SELECT AVG(share) FROM per_src))
+                      * (share - (SELECT AVG(share) FROM per_src)))
+                  / (COUNT(*) - 1)) AS sd
+      FROM per_src
     )
-    SELECT source, n_tokens, n_green,
-           ROUND(CAST(n_green AS DOUBLE) / n_tokens, 4) AS green_share,
-           ROUND((n_green - n_tokens / 2.0) / sqrt(n_tokens / 4.0), 4) AS z,
-           ABS((n_green - n_tokens / 2.0) / sqrt(n_tokens / 4.0))
-             > {_WM_Z_FLAG} AS flagged
-    FROM per_src
+    SELECT p.source, p.n_tokens, p.n_green,
+           ROUND(p.share, 4) AS green_share,
+           ROUND((p.share - s.mu) / s.sd, 4) AS spread_sigma,
+           ABS((p.share - s.mu) / s.sd) > {_WM_SIGMA_FLAG} AS flagged
+    FROM per_src p, spread s
     """,
 )
 def llm_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,16 +168,23 @@ def llm_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         F.sum("green").cast("bigint").alias("n_green"),
     )
-    z = (F.col("n_green") - F.col("n_tokens") / 2.0) / F.sqrt(
-        F.col("n_tokens") / 4.0
+    per_src = per_src.withColumn(
+        "share", F.col("n_green").cast("double") / F.col("n_tokens")
     )
-    return per_src.select(
+    mu_df = per_src.agg(F.avg("share").alias("mu"))
+    spread = per_src.crossJoin(F.broadcast(mu_df)).agg(
+        F.first("mu").alias("mu"),
+        F.sqrt(
+            F.sum((F.col("share") - F.col("mu")) * (F.col("share") - F.col("mu")))
+            / (F.count(F.lit(1)) - 1)
+        ).alias("sd"),
+    )
+    dev = (F.col("share") - F.col("mu")) / F.col("sd")
+    return per_src.crossJoin(F.broadcast(spread)).select(
         "source",
         "n_tokens",
         "n_green",
-        F.round(F.col("n_green").cast("double") / F.col("n_tokens"), 4).alias(
-            "green_share"
-        ),
-        F.round(z, 4).alias("z"),
-        (F.abs(z) > _WM_Z_FLAG).alias("flagged"),
+        F.round("share", 4).alias("green_share"),
+        F.round(dev, 4).alias("spread_sigma"),
+        (F.abs(dev) > _WM_SIGMA_FLAG).alias("flagged"),
     )
