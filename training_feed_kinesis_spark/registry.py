@@ -150,6 +150,7 @@ _OPERATOR_MODULES = [
     "training_feed_kinesis_spark.operators.ops_wave71",
     "training_feed_kinesis_spark.operators.ops_wave72",
     "training_feed_kinesis_spark.operators.ops_wave73",
+    "training_feed_kinesis_spark.operators.ops_wave74",
     "training_feed_kinesis_spark.sources.pyds",
     "training_feed_kinesis_spark.streaming.queries",
 ]
