@@ -483,3 +483,48 @@ def test_sequence_regex_plan_has_no_join(spark, registry):
     the plan would mean the encoding leaked into a pairing."""
     plan = _plan(registry["events_sequence_regex"].fn(spark, SF_DIR))
     assert "Join" not in plan, plan
+
+
+def test_sparse_cosine_candidates_broadcast_rare_terms(spark, registry):
+    """llm_sparse_cosine_pairs' candidate join must fan out only through
+    the broadcast rare-term list (the df cap IS the skew guard); a plan
+    without the broadcast or with a cartesian means the blocking leaked."""
+    plan = _plan(registry["llm_sparse_cosine_pairs"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_linkpred_wedges_capped_and_equi(spark, registry):
+    """graph_linkpred_scores: wedge centers pass through the broadcast
+    degree-cap semi join; edge-existence check is a left anti equi join —
+    no cartesian anywhere."""
+    plan = _plan(registry["graph_linkpred_scores"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bmp_kernel_pipeline_is_map_only(spark, registry):
+    """multimodal_image_decode_bmp is encode→decode over payload
+    partitions: any Exchange in the plan would mean binary payloads
+    shuffle, which the multimodal family forbids."""
+    plan = _plan(registry["multimodal_image_decode_bmp"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+
+
+def test_target_encoding_joins_broadcast_category_table(spark, registry):
+    """ml_target_encoding_loo joins the row stream to the category
+    aggregate via broadcast — the aggregate side is |categories| rows and
+    must never force a fact-side shuffle just to merge back."""
+    plan = _plan(registry["ml_target_encoding_loo"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_backlog_queue_windows_run_on_day_grain(spark, registry):
+    """events_backlog_queue: the Lindley reflection runs over the daily
+    aggregate — the plan must show partial aggregation collapsing events
+    before any window (window input is domain-sized, not data-sized)."""
+    plan = _plan(registry["events_backlog_queue"].fn(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2  # partial + final before windows
+    assert "RunningWindowFunction" in plan or "Window" in plan

