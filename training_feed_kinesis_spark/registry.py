@@ -157,6 +157,7 @@ _OPERATOR_MODULES = [
     "training_feed_kinesis_spark.operators.ops_wave78",
     "training_feed_kinesis_spark.operators.ops_wave79",
     "training_feed_kinesis_spark.operators.ops_wave80",
+    "training_feed_kinesis_spark.operators.ops_wave81",
     "training_feed_kinesis_spark.sources.pyds",
     "training_feed_kinesis_spark.streaming.queries",
 ]
