@@ -926,3 +926,19 @@ def test_peak_concurrency_bounded_by_active_users(spark, registry):
         # sessions can span midnight: allow the previous day's actives too
         cap = actives.get(day, 0) + max(actives.values())
         assert 0 < peak <= cap, (day, peak)
+
+
+def test_watermark_gap_census_conserves_rows(spark, registry):
+    """stream_watermark_gap_census: every input row is attributed to
+    exactly one of emitted / late_dropped / silent_gap (SURVEY §5.3.7b).
+    The interleaved replay guarantees genuine late drops, and the silent
+    gap — rows between watermarkForLateEvents and watermarkForEviction —
+    must be nonnegative and bounded by the dropped volume (it is the
+    sliver the late filter admits but eviction already finalized)."""
+    row = registry["stream_watermark_gap_census"].fn(spark, SF_DIR).collect()[0]
+    assert row["input_rows"] == (
+        row["emitted_rows"] + row["late_dropped"] + row["silent_gap"]
+    ), row
+    assert row["late_dropped"] > 0, row
+    assert 0 <= row["silent_gap"] <= row["late_dropped"], row
+    assert row["n_data_batches"] == 5, row  # 4 data files + sentinel
