@@ -1,0 +1,228 @@
+"""Wave 88: SQL-defined functions, the missing Q1 registry key,
+behavioral-entropy drift.
+
+  * ``sql_udf_scalar`` / ``sql_udf_table``: Spark 4 SQL-language
+    functions (CREATE FUNCTION … RETURN expr / RETURNS TABLE … RETURN
+    SELECT) — reusable logic that stays INSIDE Catalyst (inlined at
+    plan time, full codegen), the right replacement for most Python
+    UDFs; oracles inline the definitions.
+  * ``q1_pricing_summary``: TPC-H Q1 as a first-class registry key —
+    it has been the entry() flagship since round 1 but was never
+    individually sampled by the driver's correctness gate.
+  * ``events_entropy_over_time``: weekly Shannon entropy of the
+    event-type mix + the behavioral-drift trend — collapsing entropy
+    means the feed is homogenizing (bot flood, feature removal), the
+    distribution-shape companion of dq_drift_psi.
+
+Reference parity note: /root/reference is an EMPTY checkout (SURVEY.md
+§0.1); capability surface reconstructed per SURVEY.md §2 and
+BASELINE.json:6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+CAT_SQL = "2.L modern SQL surface"
+CAT_WORK = "2.L workloads"
+CAT_EV = "2.L event analytics"
+
+
+@register(
+    "sql_udf_scalar",
+    CAT_SQL,
+    """
+    SELECT l_returnflag,
+           COUNT(*)::BIGINT AS n,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)
+                     * (1 + l_tax)), 4) AS charged
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language scalar function (Spark 4 CREATE FUNCTION … RETURN):
+    the charge formula is defined ONCE as a named SQL UDF and reused in
+    the aggregate. Unlike a Python UDF, the body is inlined into the
+    logical plan at resolution time — whole-stage codegen, predicate
+    transparency, and zero serialization boundary — which is why a SQL
+    UDF is the first refactoring target for any Python UDF that is
+    just arithmetic (§2.K's udf_python documents the slow path; this
+    is the fast one). The oracle inlines the same expression.
+
+    Scale shape: identical plan to writing the expression inline."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_udf"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION tfk_charge("
+        "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE"
+        " RETURN p * (1 - d) * (1 + t)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               ROUND(SUM(tfk_charge(l_extendedprice, l_discount, l_tax)), 4)
+                 AS charged
+        FROM lineitem_udf
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@register(
+    "sql_udf_table",
+    CAT_SQL,
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal
+    FROM customer
+    WHERE c_acctbal > 9000.0
+    """,
+)
+def sql_udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language TABLE function (CREATE FUNCTION … RETURNS TABLE):
+    a parameterized relational view — here the high-balance customer
+    slice above a caller-supplied threshold — invoked in the FROM
+    clause like any table. The body is a full SELECT that Catalyst
+    inlines and optimizes with the outer query (filter pushdown works
+    THROUGH the function boundary), making it the engine-native
+    building block for reusable subqueries; the Python UDTF
+    (udtf_split) remains for logic SQL cannot express.
+
+    Scale shape: identical plan to the inlined SELECT."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_udf"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION tfk_rich_customers("
+        "min_bal DOUBLE) RETURNS TABLE("
+        "c_mktsegment STRING, c_custkey BIGINT, c_acctbal DOUBLE)"
+        " RETURN SELECT c_mktsegment, c_custkey, c_acctbal"
+        " FROM customer_udf WHERE c_acctbal > min_bal"
+    )
+    return spark.sql("SELECT * FROM tfk_rich_customers(9000.0D)")
+
+
+@register(
+    "q1_pricing_summary",
+    CAT_WORK,
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)
+             AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)
+             AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) as a registry key: the
+    sargable date filter reaches the parquet scan, the eight aggregates
+    hash-aggregate with map-side partials, and every DOUBLE output is
+    4-dp rounded per the §5.3 discipline. This exact query has been the
+    entry() smoke flagship since round 1 (__spark_entry__.entry); the
+    registry key makes it individually sampleable by the driver's
+    correctness gate like every other TPC-H shape.
+
+    Scale shape: scan → filter → partial/final hash aggregate over a
+    6-group key space — the canonical one-pass report."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                4,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "events_entropy_over_time",
+    CAT_EV,
+    """
+    WITH weekly AS (
+      SELECT CAST((CAST(date_trunc('day', ts) AS DATE)
+                   - DATE '2024-01-01') // 7 AS BIGINT) AS week,
+             event_type, COUNT(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT week, SUM(n)::BIGINT AS wn FROM weekly GROUP BY week)
+    SELECT w.week, t.wn AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(-SUM((CAST(w.n AS DOUBLE) / t.wn)
+                      * ln(CAST(w.n AS DOUBLE) / t.wn)), 4) AS entropy_nats,
+           ROUND(-SUM((CAST(w.n AS DOUBLE) / t.wn)
+                      * ln(CAST(w.n AS DOUBLE) / t.wn))
+                 / ln(CAST(COUNT(*) AS DOUBLE)), 4) AS evenness
+    FROM weekly w JOIN tot t USING (week)
+    GROUP BY w.week, t.wn
+    """,
+)
+def events_entropy_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly Shannon entropy of the event-type mix, plus Pielou
+    evenness (entropy / ln of types present): a collapsing entropy
+    series means the feed is homogenizing — a bot flood hammering one
+    action, a dropped feature, a routing bug — before any single
+    count alarm fires. Exact integer censuses; the only doubles are
+    ≤5 p·ln p terms per week.
+
+    Scale shape: one (week, type) census + a week-grain rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        F.expr(
+            "CAST(datediff(date_trunc('day', ts), DATE '2024-01-01')"
+            " DIV 7 AS BIGINT)"
+        ).alias("week"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = weekly.groupBy("week").agg(F.sum("n").alias("wn"))
+    p = F.col("n").cast("double") / F.col("wn")
+    return (
+        weekly.join(F.broadcast(tot), "week")
+        .groupBy("week", "wn")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy_nats"),
+            F.round(
+                -F.sum(p * F.log(p))
+                / F.log(F.count(F.lit(1)).cast("double")),
+                4,
+            ).alias("evenness"),
+        )
+        .select(
+            "week",
+            F.col("wn").alias("n_events"),
+            "n_types",
+            "entropy_nats",
+            "evenness",
+        )
+    )
