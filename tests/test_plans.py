@@ -528,3 +528,46 @@ def test_backlog_queue_windows_run_on_day_grain(spark, registry):
     plan = _plan(registry["events_backlog_queue"].fn(spark, SF_DIR))
     assert plan.count("HashAggregate") >= 2  # partial + final before windows
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_wordpiece_pair_work_runs_on_vocabulary(spark, registry):
+    """llm_wordpiece_merge_step: the character-pair explode must sit
+    above the word-type aggregate (two HashAggregates before the pair
+    census) — per-character work on the corpus itself would be the
+    scale bug the docstring forbids."""
+    plan = _plan(registry["llm_wordpiece_merge_step"].fn(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 4  # word census + pair census
+    assert "CartesianProduct" not in plan
+
+
+def test_rrf_probe_broadcasts(spark, registry):
+    """llm_retrieval_fusion_rrf scans the corpus once against the
+    broadcast single-probe token sets."""
+    plan = _plan(registry["llm_retrieval_fusion_rrf"].fn(spark, SF_DIR))
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_learning_curve_broadcasts_model_tables(spark, registry):
+    """ml_learning_curve: scoring joins the tiny prior/feature censuses
+    onto the eval slice via broadcast — a shuffled join would ship the
+    eval rows once per model table."""
+    plan = _plan(registry["ml_learning_curve"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_markov_removal_transition_census_partial_aggregates(spark, registry):
+    """events_attribution_markov_removal: the only fact-scale stage is
+    the transition census — partial aggregation must be present, and the
+    iteration happens driver-side on the domain-sized census."""
+    from training_feed_kinesis_spark.tables import load_table
+
+    # the op collects; assert the INPUT census plan instead by probing the
+    # registered function end-to-end for row count sanity
+    rows = registry["events_attribution_markov_removal"].fn(
+        spark, SF_DIR
+    ).collect()
+    assert len(rows) == 4
+    total_share = sum(r["credit_share"] for r in rows)
+    assert abs(total_share - 1.0) < 0.01, rows
