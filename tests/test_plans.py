@@ -559,12 +559,17 @@ def test_learning_curve_broadcasts_model_tables(spark, registry):
 
 def test_markov_removal_transition_census_partial_aggregates(spark, registry):
     """events_attribution_markov_removal: the only fact-scale stage is
-    the transition census — partial aggregation must be present, and the
-    iteration happens driver-side on the domain-sized census."""
-    from training_feed_kinesis_spark.tables import load_table
+    the transition census — partial aggregation must be present in ITS
+    plan (the op itself collects the domain-sized census, so the plan is
+    asserted on the exposed _transition_probs helper), and the end-to-end
+    credit shares must conserve to 1."""
+    from training_feed_kinesis_spark.operators.ops_wave87 import (
+        _transition_probs,
+    )
 
-    # the op collects; assert the INPUT census plan instead by probing the
-    # registered function end-to-end for row count sanity
+    plan = _plan(_transition_probs(spark, SF_DIR))
+    assert "HashAggregate" in plan  # census partial-aggregates map-side
+    assert "CartesianProduct" not in plan
     rows = registry["events_attribution_markov_removal"].fn(
         spark, SF_DIR
     ).collect()

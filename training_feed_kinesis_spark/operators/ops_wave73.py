@@ -111,8 +111,15 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT_STAT,
     """
     WITH base AS (
-      SELECT value AS x, CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+      SELECT value AS x, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
       FROM events
+    ),
+    nn AS (
+      -- NULL ranks diverge across engines (Spark windows sort NULLS FIRST,
+      -- DuckDB NULLS LAST): a missing/non-numeric props.k must be excluded,
+      -- not ranked. Complete-case analysis is also the statistically
+      -- standard Spearman treatment.
+      SELECT x, y FROM base WHERE x IS NOT NULL AND y IS NOT NULL
     ),
     ranked AS (
       SELECT
@@ -121,7 +128,7 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
              - 1 - (COUNT(*) OVER () + 1) AS BIGINT) AS cx,
         CAST(2 * RANK() OVER (ORDER BY y) + COUNT(*) OVER (PARTITION BY y)
              - 1 - (COUNT(*) OVER () + 1) AS BIGINT) AS cy
-      FROM base
+      FROM nn
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(CAST(SUM(cx * cy) AS DOUBLE)
@@ -132,7 +139,10 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation between event value and the props.k
-    payload field, tie-correct via midranks — spelled so that EVERY
+    payload field, complete-case (rows with a missing or non-numeric
+    props.k are excluded BEFORE ranking — ranking NULLs would diverge
+    across engines: Spark windows sort NULLS FIRST, DuckDB NULLS LAST),
+    tie-correct via midranks — spelled so that EVERY
     intermediate is an exact integer: the doubled midrank
     2·rank + tiecount − 1 is a BIGINT even for .5 midranks, centering by
     (n+1) keeps it integral with exact zero mean, and the three moment
@@ -149,7 +159,7 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.select(
         F.col("value").alias("x"),
         F.get_json_object("props", "$.k").cast("long").alias("y"),
-    )
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
     n_all = Window.partitionBy()
     cx = (
         2 * F.rank().over(Window.orderBy("x"))

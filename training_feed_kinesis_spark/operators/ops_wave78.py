@@ -57,21 +57,23 @@ def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_DAILY_CENTS_SQL},
     win AS (
+      -- s2 accumulates squares in HUGEINT from the first multiply: at larger
+      -- scale factors rev_cents² alone exceeds BIGINT (rev_cents > ~3e9)
       SELECT day, rev_cents,
              COUNT(*) OVER w AS n,
              SUM(rev_cents) OVER w AS s1,
-             SUM(rev_cents * rev_cents) OVER w AS s2
+             SUM(CAST(rev_cents AS HUGEINT) * rev_cents) OVER w AS s2
       FROM daily
       WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     )
     SELECT day, rev_cents,
            CAST((2 * s1 + n) // (2 * n) AS BIGINT) AS mean7_cents,
            (7 * rev_cents - s1) > 0
-             AND CAST((7 * rev_cents - s1) * (7 * rev_cents - s1) AS HUGEINT)
-                 * 6 > 4 * 7 * (7 * s2 - s1 * s1) AS breakout_hi,
+             AND CAST(7 * rev_cents - s1 AS HUGEINT) * (7 * rev_cents - s1)
+                 * 6 > 4 * 7 * (7 * s2 - CAST(s1 AS HUGEINT) * s1) AS breakout_hi,
            (7 * rev_cents - s1) < 0
-             AND CAST((7 * rev_cents - s1) * (7 * rev_cents - s1) AS HUGEINT)
-                 * 6 > 4 * 7 * (7 * s2 - s1 * s1) AS breakout_lo
+             AND CAST(7 * rev_cents - s1 AS HUGEINT) * (7 * rev_cents - s1)
+                 * 6 > 4 * 7 * (7 * s2 - CAST(s1 AS HUGEINT) * s1) AS breakout_lo
     FROM win WHERE n = 7
     """,
 )
@@ -88,18 +90,26 @@ def ts_bollinger_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
     window — partitionable by series key when monitoring many streams."""
     daily = _daily_cents(spark, sf_dir)
     w = Window.orderBy("day").rowsBetween(-6, 0)
+    dec = "decimal(38,0)"
     win = daily.select(
         "day",
         "rev_cents",
         F.count(F.lit(1)).over(w).alias("n"),
         F.sum("rev_cents").over(w).alias("s1"),
-        F.sum(F.col("rev_cents") * F.col("rev_cents")).over(w).alias("s2"),
+        # squares accumulate in DECIMAL(38,0) from the first multiply —
+        # rev_cents² alone exceeds BIGINT once daily cents pass ~3e9, so
+        # the widening must happen BEFORE the product, mirroring the
+        # oracle's HUGEINT cast
+        F.sum(F.col("rev_cents").cast(dec) * F.col("rev_cents")).over(w).alias("s2"),
     ).filter(F.col("n") == 7)
     dev = 7 * F.col("rev_cents") - F.col("s1")
-    # (7x−S₁)² ≤ (7·2e7)² ≈ 2e16 and 4·7·(7S₂−S₁²) ≤ ~1e18: both inside
-    # BIGINT; the oracle widens to HUGEINT only because DuckDB checks
-    # overflow eagerly on the multiply.
-    sq_gt = (dev * dev) * 6 > 4 * 7 * (7 * F.col("s2") - F.col("s1") * F.col("s1"))
+    # the whole cross-multiplied band test runs in DECIMAL(38,0): exact to
+    # 38 digits, so it holds at any scale factor where daily cents stay
+    # under ~1e18 (the (7x−S₁)²·6 term caps near 1e38), not just the test
+    # sfs — same-width exactness as the oracle's HUGEINT
+    dev_d = dev.cast(dec)
+    s1_d = F.col("s1").cast(dec)
+    sq_gt = (dev_d * dev_d) * 6 > 4 * 7 * (7 * F.col("s2") - s1_d * s1_d)
     return win.select(
         "day",
         "rev_cents",

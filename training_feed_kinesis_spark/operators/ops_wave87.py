@@ -123,29 +123,11 @@ def _removal_oracle() -> str:
     """
 
 
-@register("events_attribution_markov_removal", CAT_EV, _removal_oracle())
-def events_attribution_markov_removal(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Markov removal-effect attribution: model user journeys (truncated
-    at first purchase) as a first-order chain with absorbing 'purchase'
-    and 'null' ends; each channel's credit is the relative drop in
-    start→purchase absorption probability when journeys through that
-    channel are killed (its state value clamped to 0 — the standard
-    knock-out, no renormalization). Absorption is computed by 12
-    synchronous value-iteration steps over the (removed × state) grid —
-    enough to converge far below the 4-dp report for a 5-state chain —
-    identically unrolled on both engines.
-
-    Why it exists: first/last/linear attribution (attribution_model_
-    compare) credit positions; removal effect credits CAUSAL
-    participation — a channel no journey needs gets zero credit even
-    if it appears everywhere.
-
-    Scale shape: one window pass builds the transition census; all
-    iteration state is |channels+2| × |states| rows — iterate on
-    aggregates (the graph_pagerank discipline); the census collect is
-    domain-sized by construction."""
+def _transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-scale half of the Markov attribution: journeys truncated
+    at first purchase → (frm, to_s, p) transition census. Exposed as a
+    helper so tests can plan-assert the census (partial aggregation, no
+    cartesian) independently of the driver-side value iteration."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -175,11 +157,37 @@ def events_attribution_markov_removal(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     wfrm = Window.partitionBy("frm")
-    probs = trans.select(
+    return trans.select(
         "frm",
         "to_s",
         (F.col("n").cast("double") / F.sum("n").over(wfrm)).alias("p"),
     )
+
+
+@register("events_attribution_markov_removal", CAT_EV, _removal_oracle())
+def events_attribution_markov_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Markov removal-effect attribution: model user journeys (truncated
+    at first purchase) as a first-order chain with absorbing 'purchase'
+    and 'null' ends; each channel's credit is the relative drop in
+    start→purchase absorption probability when journeys through that
+    channel are killed (its state value clamped to 0 — the standard
+    knock-out, no renormalization). Absorption is computed by 12
+    synchronous value-iteration steps over the (removed × state) grid —
+    enough to converge far below the 4-dp report for a 5-state chain —
+    identically unrolled on both engines.
+
+    Why it exists: first/last/linear attribution (attribution_model_
+    compare) credit positions; removal effect credits CAUSAL
+    participation — a channel no journey needs gets zero credit even
+    if it appears everywhere.
+
+    Scale shape: one window pass builds the transition census; all
+    iteration state is |channels+2| × |states| rows — iterate on
+    aggregates (the graph_pagerank discipline); the census collect is
+    domain-sized by construction."""
+    probs = _transition_probs(spark, sf_dir)
     # domain-sized collect: |states|^2 transition cells at most
     cells = probs.collect()
     states = sorted({r["frm"] for r in cells})

@@ -198,9 +198,14 @@ def events_entropy_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one (week, type) census + a week-grain rollup."""
     ev = load_table(spark, sf_dir, "events")
     weekly = ev.groupBy(
+        # FLOOR, not DIV: Spark's DIV truncates toward zero while the
+        # oracle's `//` floors, so an event before the 2024-01-01 epoch
+        # (negative day index) would land in a different week bucket.
+        # FLOOR agrees with `//` for every sign; the double division is
+        # exact (|days| ≪ 2⁵³).
         F.expr(
-            "CAST(datediff(date_trunc('day', ts), DATE '2024-01-01')"
-            " DIV 7 AS BIGINT)"
+            "CAST(FLOOR(datediff(date_trunc('day', ts), DATE '2024-01-01')"
+            " / 7.0) AS BIGINT)"
         ).alias("week"),
         "event_type",
     ).agg(F.count(F.lit(1)).alias("n"))

@@ -208,10 +208,15 @@ _BUCKET_SPARK = (
       SELECT s.train_buckets, r.y, r.db AS v, COUNT(*)::BIGINT AS n
       FROM rows_ r JOIN sizes s ON r.bkt < s.train_buckets GROUP BY 1, 2, 3
     ),
-    evals AS (SELECT qb, db, y FROM rows_ WHERE bkt = 15),
+    -- distinct held-out cells with row multiplicity: scoring cost is
+    -- |cells|, while w weights accuracy back to per-ROW grain
+    evals AS (
+      SELECT qb, db, y, COUNT(*)::BIGINT AS w
+      FROM rows_ WHERE bkt = 15 GROUP BY 1, 2, 3
+    ),
     scored AS (
       SELECT s.train_buckets, e.y AS truth, c.y AS cls,
-             e.qb, e.db,
+             e.qb, e.db, e.w,
              ln((COALESCE(p.n, 0) + 1.0)
                 / ((SELECT SUM(n) FROM prior pp
                     WHERE pp.train_buckets = s.train_buckets) + 2.0))
@@ -228,15 +233,15 @@ _BUCKET_SPARK = (
         AND d.v = e.db
     ),
     pred AS (
-      SELECT train_buckets, truth, qb, db,
+      SELECT train_buckets, truth, qb, db, MAX(w) AS w,
              MAX(CASE WHEN cls = 1 THEN loglik END)
                > MAX(CASE WHEN cls = 0 THEN loglik END) AS pred1
       FROM scored GROUP BY train_buckets, truth, qb, db
     )
     SELECT train_buckets,
-           COUNT(*)::BIGINT AS n_eval,
-           CAST((2 * SUM(CASE WHEN (truth = 1) = pred1 THEN 1 ELSE 0 END)
-                 * 10000 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+           SUM(w)::BIGINT AS n_eval,
+           CAST((2 * SUM(CASE WHEN (truth = 1) = pred1 THEN w ELSE 0 END)
+                 * 10000 + SUM(w)) // (2 * SUM(w)) AS BIGINT)
              AS accuracy_x1e4
     FROM pred GROUP BY train_buckets
     """,
@@ -250,6 +255,10 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     constraint; a flat one says the model class is. Nesting makes the
     points comparable (each training set contains the previous one —
     the heaps-law-curve subsetting applied to supervised learning).
+    Scoring runs once per DISTINCT held-out (qb, db, y) cell and
+    carries the cell's row multiplicity as a weight, so n_eval and
+    accuracy_x1e4 are genuine per-ROW held-out metrics while the
+    scoring join touches only |cells| rows.
 
     CAVEAT (grain): the split is by lineitem row hash, so rows of one
     order can span train and eval — fine for this within-table label;
@@ -287,7 +296,11 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     fd = train.groupBy("train_buckets", "y", F.col("db").alias("v")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    evals = rows_.filter(F.col("bkt") == 15).select("qb", "db", "y")
+    evals = (
+        rows_.filter(F.col("bkt") == 15)
+        .groupBy("qb", "db", "y")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
     classes = spark.range(1).select(
         F.explode(F.array(F.lit(0), F.lit(1))).alias("cls")
     )
@@ -338,21 +351,23 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pred = (
         scored.select(
-            "train_buckets", "y", "qb", "db", "cls", loglik.alias("loglik")
+            "train_buckets", "y", "qb", "db", "w", "cls",
+            loglik.alias("loglik"),
         )
         .groupBy("train_buckets", F.col("y").alias("truth"), "qb", "db")
         .agg(
+            F.max("w").alias("w"),
             (
                 F.max(F.when(F.col("cls") == 1, F.col("loglik")))
                 > F.max(F.when(F.col("cls") == 0, F.col("loglik")))
-            ).alias("pred1")
+            ).alias("pred1"),
         )
     )
     out = pred.groupBy("train_buckets").agg(
-        F.count(F.lit(1)).alias("n_eval"),
+        F.sum("w").cast("long").alias("n_eval"),
         F.expr(
-            "CAST((2 * SUM(CASE WHEN (truth = 1) = pred1 THEN 1 ELSE 0 END)"
-            " * 10000 + COUNT(*)) DIV (2 * COUNT(*)) AS BIGINT)"
+            "CAST((2 * SUM(CASE WHEN (truth = 1) = pred1 THEN w ELSE 0 END)"
+            " * 10000 + SUM(w)) DIV (2 * SUM(w)) AS BIGINT)"
         ).alias("accuracy_x1e4"),
     )
     return out

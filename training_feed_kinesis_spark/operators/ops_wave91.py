@@ -64,9 +64,11 @@ def events_hill_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical plan to events_entropy_over_time, different readout."""
     ev = load_table(spark, sf_dir, "events")
     weekly = ev.groupBy(
+        # FLOOR, not DIV: matches the oracle's floor-division `//` for
+        # pre-epoch (negative-index) events — see events_entropy_over_time
         F.expr(
-            "CAST(datediff(date_trunc('day', ts), DATE '2024-01-01')"
-            " DIV 7 AS BIGINT)"
+            "CAST(FLOOR(datediff(date_trunc('day', ts), DATE '2024-01-01')"
+            " / 7.0) AS BIGINT)"
         ).alias("week"),
         "event_type",
     ).agg(F.count(F.lit(1)).alias("n"))
