@@ -186,40 +186,15 @@ def register(key: str, category: str, oracle: str | None = None):
 
 
 # The driver's correctness gate samples the FIRST 50 registered keys each
-# round. Round-4 rotation (VERDICT r3 item 1): the window is drawn from the
-# 257 never-driver-verified oracled keys, OLDEST registration first (their
-# oracles predate the type-parity lint and have had the least scrutiny) —
-# the r1 §2.L block: join/set/fn extensions, the LLM sketch family, the
-# TPC-H shape sweep. The first five slots are this round's changed keys
-# (template de-vacuization re-check, degree-oriented triangles, the newly
-# oracled WAV decode, the RocksDB-backed dedup drain, the integer-exact
-# LSH candidate sum) — all but the first are ALSO never-sampled, so the
-# window stays 49/50 never-sampled. Rows-only-by-design keys are excluded
-# (their slot is better spent on hash-checkable keys). Entries past 50 are
-# front-of-line for round 5.
+# round. Round-5 rotation (VERDICT r4 item 1, third consecutive rotation):
+# all 50 slots are drawn from the 330 never-driver-verified oracled keys —
+# the 30 staged round-4 front-of-line entries (TPC-H outer sweep,
+# contamination/n-gram block, the r1 ts_*/fn_* block) plus the next 20 in
+# registration order. Rows-only-by-design keys are excluded (their slot is
+# better spent on hash-checkable keys). Entries past 50 are front-of-line
+# for round 6.
 _PRIORITY_KEYS = [
-    # changed this round — re-verify / first verification after change
-    "llm_template_detect", "graph_triangles", "llm_multimodal_features",
-    "stream_dedup_watermark", "llm_lsh_candidate_volume",
-    # oldest never-driver-sampled oracled keys, registration order
-    "join_range_bucketized", "join_null_safe", "join_hint_shuffle_hash",
-    "join_asof_forward", "set_intersect_all", "set_except_all",
-    "sort_nulls_ordering", "limit_offset_paging",
-    "fn_hash", "fn_struct", "fn_bitwise", "fn_trig",
-    "llm_token_regex", "llm_fingerprint", "llm_text_clean",
-    "llm_jaccard_pairs", "llm_minhash_sig", "llm_simhash",
-    "llm_simhash_pairs", "llm_dedup_embed", "llm_dedup_clusters",
-    "llm_dedup_apply",
-    "multimodal_manifest", "multimodal_byte_stats", "source_binary_files",
-    "udtf_split",
-    "q3_shipping_priority", "q10_returned_items",
-    "batch_sessionize", "funnel_conversion", "retention_cohorts",
-    "q5_local_supplier", "q18_large_orders",
-    "customer_rfm", "events_markov", "revenue_pareto", "part_affinity",
-    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "q11_important_parts", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_variety",
-    # --- 50-key window boundary; below = round-5 front-of-line ---
+    # round-4 staged front-of-line, verbatim
     "q17_small_quantity", "q19_disjunctive_revenue", "q21_waiting_supplier",
     "q22_idle_customers", "q6_forecast_revenue", "q13_order_distribution",
     "q20_stock_suppliers", "q18_large_volume",
@@ -230,6 +205,23 @@ _PRIORITY_KEYS = [
     "hist_equidepth", "cte_recursive", "fn_variant", "join_lateral",
     "udf_arrow_scalar", "sql_pipe_syntax", "agg_grouping_flags",
     "win_ignore_nulls", "fn_try_arith", "observe_metrics",
+    # next-oldest never-driver-sampled oracled keys, registration order
+    "agg_regression", "fn_map_hof", "fn_string_extended",
+    "orders_interarrival", "win_ratio_to_report", "fn_encoding",
+    "fn_interval_arith", "udtf_polymorphic", "fn_crypto_roundtrip",
+    "sample_hash", "split_train_test", "corpus_mix", "hist_doclen",
+    "sample_per_group", "agg_max_by", "agg_bitmap", "fn_printf",
+    "win_running_distinct", "fn_xml", "fn_csv",
+    # --- 50-key window boundary; below = round-6 front-of-line ---
+    "fn_str_to_map", "fn_url", "graph_degree", "graph_pagerank",
+    "ts_ewma", "ts_wow_growth", "join_interval_overlap", "ts_ohlc",
+    "win_rolling_median", "agg_product", "fn_width_bucket",
+    "rollup_rank_report", "source_text", "ml_kmeans_step",
+    "ml_linear_score", "vec_pca_power", "dq_profile", "assoc_rules",
+    "llm_zipf_slope", "llm_keywords_topk", "fn_sentences", "join_fuzzy",
+    "agg_corr_matrix", "attribution_last_touch", "sql_correlated_scalar",
+    "sql_inline_values", "sink_sorted_zonemap", "cbo_join_reorder",
+    "fn_mask", "agg_listagg",
 ]
 
 
