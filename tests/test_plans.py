@@ -213,11 +213,15 @@ def test_contamination_train_side_distinct_before_join(spark, registry):
 
 
 def test_gapfill_generates_grid_not_cross_join(spark, registry):
-    # the dense hour grid must come from per-user sequence() explode —
-    # never users × global-span cross join
+    # the dense hour grid must come from per-gap sequence() explode AFTER
+    # the user_id window — never users × global-span cross join, and never
+    # a grid-sized shuffle (the round-4 spelling joined the generated grid
+    # back to hourly; the joinless lead-gap spelling has no join at all)
     plan = _plan(registry["ts_resample_gapfill"].fn(spark, SF_DIR))
-    assert "Generate" in plan and "sequence(h0" in plan, plan
+    assert "Generate" in plan and "sequence(h" in plan, plan
     assert "CartesianProduct" not in plan
+    for join_kind in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join_kind not in plan, plan
 
 
 # Streaming / sink / iterative keys whose fn() executes work on call (drain,

@@ -215,26 +215,39 @@ def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly resample with zero-filled gaps over each user's active span —
     the dense regular series downstream forecasting/monitoring expects.
 
-    The dense grid is GENERATED per user (``sequence`` + explode over the
-    per-user [min,max] hour span), never materialized as a cross join of
-    users × global span. Grid and hourly counts shuffle on the same
-    (user_id) key family, and the left join fills gaps with 0. At 100 TB
-    span explosion is bounded: rows out ≤ users × span-hours regardless of
-    event count.
+    JOINLESS spelling (round 5): each observed hour looks at the NEXT
+    observed hour via ``lead`` and explodes its own gap interval
+    [h, next−1h] — its count at position 0, zeros after. The union of the
+    intervals is exactly the [min, max] per-user grid, so the result is
+    identical to the generate-grid + left-join spelling (the oracle keeps
+    that spelling), but nothing grid-sized ever shuffles: the only wide
+    ops are the hourly aggregate and one user_id window over the
+    ALREADY-AGGREGATED rows; the 10×-larger dense output is produced by a
+    narrow explode after the window. The previous spelling shuffled the
+    generated grid a second time for the gap-fill join — at 100 TB that
+    join moves users × span-hours rows; this moves only observed hours.
+    Rows out ≤ users × span-hours regardless of event count, as before.
     """
+    from pyspark.sql.window import Window
+
     hourly = _hourly(spark, sf_dir)
-    span = hourly.groupBy("user_id").agg(
-        F.min("h").alias("h0"), F.max("h").alias("h1")
-    )
-    grid = span.select(
+    w = Window.partitionBy("user_id").orderBy("h")
+    gapped = hourly.withColumn("nxt", F.lead("h").over(w)).select(
         "user_id",
-        F.explode(F.expr("sequence(h0, h1, INTERVAL 1 HOUR)")).alias("h"),
+        "n",
+        F.expr(
+            "CASE WHEN nxt IS NULL THEN array(h)"
+            " ELSE sequence(h, nxt - INTERVAL 1 HOUR, INTERVAL 1 HOUR) END"
+        ).alias("hs"),
     )
-    return (
-        grid.join(hourly, ["user_id", "h"], "left")
-        .select(
-            "user_id", "h", F.coalesce(F.col("n"), F.lit(0)).alias("n_events")
-        )
+    return gapped.select(
+        "user_id", "n", F.posexplode("hs").alias("i", "h")
+    ).select(
+        "user_id",
+        "h",
+        F.when(F.col("i") == 0, F.col("n")).otherwise(F.lit(0)).alias(
+            "n_events"
+        ),
     )
 
 
