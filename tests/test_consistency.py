@@ -61,6 +61,11 @@ def test_watermark_late_drops_rows(spark, registry):
 
     total = load_table(spark, SF_DIR, "events").count()
     assert 0 < emitted < total
+    if SF_DIR.endswith("sf0.001"):
+        # deterministic replay — pin the exact on-time total (measured
+        # twice identical, 2026-08-14) so a Spark version bump changing
+        # late-drop behavior fails loudly; re-pin after testdata regen
+        assert (emitted, late.count()) == (500, 360), (emitted, late.count())
 
 
 def test_salted_equals_plain_aggregation(spark, registry):
@@ -942,6 +947,18 @@ def test_watermark_gap_census_conserves_rows(spark, registry):
     assert row["late_dropped"] > 0, row
     assert 0 <= row["silent_gap"] <= row["late_dropped"], row
     assert row["n_data_batches"] == 5, row  # 4 data files + sentinel
+    if SF_DIR.endswith("sf0.001"):
+        # The replay is fully deterministic, so pin the EXACT partition
+        # (measured twice identical, 2026-08-14): a Spark version bump that
+        # changes the watermarkForLateEvents/watermarkForEviction gap
+        # semantics must fail loudly here, not drift silently. If the
+        # testdata regenerates, re-measure and re-pin.
+        assert (
+            row["input_rows"],
+            row["emitted_rows"],
+            row["late_dropped"],
+            row["silent_gap"],
+        ) == (1000, 502, 495, 3), row
 
 
 def test_registry_survey_ledger_parity(registry):
