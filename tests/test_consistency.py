@@ -990,3 +990,26 @@ def test_registry_survey_ledger_parity(registry):
                 if key not in registry and key not in env_gated:
                     stale.append(key)
     assert not stale, f"SURVEY §2 table keys not in registry: {stale}"
+
+
+def test_contamination_hashed_shingles_equivalent(spark, registry, monkeypatch):
+    """llm_contamination's TFK_HASH_SHINGLES=1 path (xxhash64 8-byte
+    shuffle keys — the 100 TB spelling) must produce IDENTICAL results to
+    the string-key oracle path: hashing before the distinct/semi-join can
+    only diverge on a 64-bit collision between distinct corpus shingles,
+    which the test corpus cannot produce."""
+    fn = registry["llm_contamination"].fn
+    monkeypatch.delenv("TFK_HASH_SHINGLES", raising=False)
+    plain = sorted(
+        (r["doc_id"], r["n_shared"]) for r in fn(spark, SF_DIR).collect()
+    )
+    monkeypatch.setenv("TFK_HASH_SHINGLES", "1")
+    hashed_df = fn(spark, SF_DIR)
+    hashed = sorted(
+        (r["doc_id"], r["n_shared"]) for r in hashed_df.collect()
+    )
+    assert plain and plain == hashed
+    # and the hashed plan must actually shuffle BIGINT keys (xxhash64
+    # applied below the exchange), not strings
+    plan = hashed_df._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan, plan

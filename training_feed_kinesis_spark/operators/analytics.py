@@ -88,12 +88,22 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The train side reduces to DISTINCT shingles before the join — the
     membership probe never carries doc ids, so the shuffle key is the
-    shingle alone and hot shingles don't fan out train-side. At 100 TB the
-    string shingle would be xxhash64-ed to a 8-byte key before the shuffle
-    (not done here: the hash functions differ across engines, which would
-    forfeit the oracle).
+    shingle alone and hot shingles don't fan out train-side. The 100 TB
+    spelling is executable behind ``TFK_HASH_SHINGLES=1``: the ~50-byte
+    string shingle is xxhash64-ed to an 8-byte BIGINT before the
+    distinct/semi-join, cutting shuffle volume ~6× with identical results
+    unless two DISTINCT corpus shingles collide in 64 bits (≈n²/2⁶⁵ —
+    negligible even at 10¹² shingles, and the standard production
+    tradeoff). Equivalence is asserted by
+    tests/test_consistency.py::test_contamination_hashed_shingles_equivalent;
+    the flag stays off for driver runs only because xxhash64 has no DuckDB
+    twin, which would forfeit the string-key oracle.
     """
+    import os
+
     sh = _shingle8_rows(spark, sf_dir)
+    if os.environ.get("TFK_HASH_SHINGLES") == "1":
+        sh = sh.select("doc_id", "is_test", F.xxhash64("s").alias("s"))
     train = sh.filter(~F.col("is_test")).select("s").distinct()
     return (
         sh.filter(F.col("is_test"))
