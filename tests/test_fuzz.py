@@ -254,3 +254,111 @@ def gen_having_query(seed: int) -> str:
 def test_fuzz_having_query(seed, spark_views, duck):
     sql = gen_having_query(seed + 17000)
     assert_matches_oracle(spark_views.sql(sql), duck, sql, float_tol=2e-4)
+
+
+# --- composite predicates × aggregates × joins fuzzing (VERDICT r4 item 6) --
+
+_CUSTOMER_NUM = [("c_acctbal", -900.0, 9900.0)]
+_CUSTOMER_STR = [
+    (
+        "c_mktsegment",
+        ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
+    )
+]
+
+N_COMPOSITE_CASES = 100
+
+
+def _aggs(rng: random.Random, col: str, distinct_col: str) -> list[str]:
+    """Random aggregate list; null-sensitive variants (COUNT(col),
+    COUNT(DISTINCT)) included deliberately — LEFT joins produce NULL
+    right-side rows, the place engines disagree if anything is off."""
+    pool = [
+        "COUNT(*) AS n",
+        f"COUNT({col}) AS n_nonnull",
+        f"COUNT(DISTINCT {distinct_col}) AS n_dist",
+        f"ROUND(SUM({col}), 4) AS s",
+        f"ROUND(AVG({col}), 4) AS a",
+        f"ROUND(MIN({col}), 4) AS mn",
+        f"ROUND(MAX({col}), 4) AS mx",
+    ]
+    return rng.sample(pool, k=rng.randint(2, 4))
+
+
+def gen_composite_query(seed: int) -> str:
+    """One generator spanning the full predicate × aggregate × join grid
+    over events + orders + lineitem (+customer): shapes are 2-way inner,
+    2-way LEFT (right-side predicate in the ON clause, so LEFTness is
+    preserved), 3-way inner star, and single-table events with the richer
+    aggregate set. Group keys may come from the NULL-producing side."""
+    rng = random.Random(30_000 + seed)
+    shape = rng.choice(["lo_inner", "lo_left", "loc_star", "events"])
+    if shape == "events":
+        pred = _predicate(rng, _EVENTS_NUM, _EVENTS_STR)
+        keys = rng.sample(["event_type", "user_id"], k=rng.randint(1, 2))
+        aggs = _aggs(rng, "value", "user_id")
+        return (
+            f"SELECT {', '.join(keys)}, {', '.join(aggs)} FROM events "
+            f"WHERE {pred} GROUP BY {', '.join(keys)}"
+        )
+    pred_l = _predicate(rng, _LINEITEM_NUM, _LINEITEM_STR)
+    pred_o = _predicate(rng, _ORDERS_NUM, _ORDERS_STR)
+    if shape == "lo_left":
+        # orders LEFT JOIN lineitem: the lineitem predicate must live in
+        # the ON clause or the WHERE filter silently re-inners the join
+        keys = rng.sample(
+            ["o_orderstatus", "o_orderpriority", "l_returnflag"],
+            k=rng.randint(1, 2),
+        )
+        aggs = _aggs(rng, "l_quantity", "l_linestatus")
+        return (
+            f"SELECT {', '.join(keys)}, {', '.join(aggs)} "
+            f"FROM orders LEFT JOIN lineitem "
+            f"ON l_orderkey = o_orderkey AND ({pred_l}) "
+            f"WHERE ({pred_o}) GROUP BY {', '.join(keys)}"
+        )
+    if shape == "loc_star":
+        pred_c = _predicate(rng, _CUSTOMER_NUM, _CUSTOMER_STR)
+        keys = rng.sample(
+            ["c_mktsegment", "o_orderstatus", "l_returnflag"],
+            k=rng.randint(1, 2),
+        )
+        aggs = _aggs(rng, "l_extendedprice", "o_orderpriority")
+        return (
+            f"SELECT {', '.join(keys)}, {', '.join(aggs)} "
+            f"FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            f"JOIN customer ON o_custkey = c_custkey "
+            f"WHERE ({pred_l}) AND ({pred_o}) AND ({pred_c}) "
+            f"GROUP BY {', '.join(keys)}"
+        )
+    keys = rng.sample(
+        ["l_returnflag", "l_linestatus", "o_orderstatus"], k=rng.randint(1, 2)
+    )
+    aggs = _aggs(rng, "l_quantity", "o_orderpriority")
+    return (
+        f"SELECT {', '.join(keys)}, {', '.join(aggs)} "
+        f"FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        f"WHERE ({pred_l}) AND ({pred_o}) GROUP BY {', '.join(keys)}"
+    )
+
+
+@pytest.fixture(scope="module")
+def spark_composite_views(spark):
+    from training_feed_kinesis_spark.tables import load_table
+
+    for t in ("lineitem", "orders", "customer", "events"):
+        load_table(spark, SF_DIR, t).createOrReplaceTempView(t)
+    return spark
+
+
+@pytest.fixture(scope="module")
+def duck_composite(duck):
+    return duck
+
+
+@pytest.mark.parametrize("seed", range(N_COMPOSITE_CASES))
+def test_fuzz_composite_query(seed, spark_composite_views, duck_composite):
+    sql = gen_composite_query(seed)
+    assert_matches_oracle(
+        spark_composite_views.sql(sql), duck_composite, sql, float_tol=2e-4
+    )
