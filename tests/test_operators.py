@@ -150,3 +150,50 @@ def test_registry_importable_without_spark_session():
         timeout=120,
     )
     assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_pii_patterns_detect_planted_strings(spark):
+    """dq_pii_census's patterns must actually FIRE on real PII shapes —
+    the corpus census alone can't prove that (the synthetic text is
+    clean). Planted fixtures: one true positive per pattern plus a clean
+    control, matched via the same Spark rlike path the census uses."""
+    from pyspark.sql import functions as F
+
+    from training_feed_kinesis_spark.operators.ops_wave92 import PII_PATTERNS
+
+    planted = {
+        "id_digit_run6": ("id 123456789 here", "id 12345 here"),
+        "email": ("contact jane.doe+x@example.co.uk now", "jane at example"),
+        "phone_intl": ("call +1 555 867 5309", "call 555"),
+    }
+    df = spark.createDataFrame(
+        [(k, pos, neg) for k, (pos, neg) in planted.items()],
+        "pattern string, pos string, neg string",
+    )
+    for key, pat in PII_PATTERNS.items():
+        row = (
+            df.filter(F.col("pattern") == key)
+            .select(
+                F.col("pos").rlike(pat).alias("hit_pos"),
+                F.col("neg").rlike(pat).alias("hit_neg"),
+            )
+            .collect()[0]
+        )
+        assert (row["hit_pos"], row["hit_neg"]) == (True, False), (key, row)
+
+
+def test_pii_census_nonvacuous(spark):
+    """The census must be reading real columns: customer names carry a
+    9-digit id (digit-run fires on EVERY row) while the synthetic
+    documents contain no emails — both facts asserted so a wrong column
+    binding or dead regex can't pass silently."""
+    from training_feed_kinesis_spark.registry import load_all
+
+    rows = {
+        (r["field"], r["pattern"]): (r["n_rows"], r["n_hits"])
+        for r in load_all()["dq_pii_census"].fn(spark, SF_DIR).collect()
+    }
+    n, hits = rows[("customer.c_name", "id_digit_run6")]
+    assert n > 0 and hits == n, rows
+    n, hits = rows[("documents.text", "email")]
+    assert n > 0 and hits == 0, rows

@@ -580,3 +580,13 @@ def test_markov_removal_transition_census_partial_aggregates(spark, registry):
     assert len(rows) == 4
     total_share = sum(r["credit_share"] for r in rows)
     assert abs(total_share - 1.0) < 0.01, rows
+
+
+def test_reservoir_sample_is_partial_topk_not_global_sort(spark, registry):
+    """sample_reservoir_fixedk: ORDER BY hash LIMIT k must plan as
+    TakeOrderedAndProject (per-partition partial top-k, k-row driver
+    merge) — a global Sort+Exchange would ship the whole corpus to one
+    task at 100 TB."""
+    plan = _plan(registry["sample_reservoir_fixedk"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
