@@ -216,7 +216,7 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
       SELECT event_type,
-             json_extract_string(props, '$.k')::INT AS k_val,
+             TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
              length(props) AS len_val
       FROM events)
     SELECT event_type,
@@ -241,7 +241,7 @@ def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "map_filter("
             "  transform_values("
             "    map_from_arrays(array('k', 'len'),"
-            "      array(CAST(get_json_object(props, '$.k') AS INT),"
+            "      array(TRY_CAST(get_json_object(props, '$.k') AS INT),"
             "            length(props))),"
             "    (k, v) -> v * 2),"
             "  (k, v) -> v % 4 = 0)"

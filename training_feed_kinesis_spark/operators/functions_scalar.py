@@ -251,18 +251,22 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT,
     """
     SELECT event_id,
-           json_extract_string(props, '$.k')              AS k_str,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
-           json_extract_string(props, '$.missing')        AS missing_attr
+           json_extract_string(props, '$.k')                  AS k_str,
+           TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           json_extract_string(props, '$.missing')            AS missing_attr
     FROM events WHERE event_type = 'error'
     """,
 )
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_CAST, not CAST, on the extracted value: a non-numeric payload
+    must yield NULL identically on both engines (plain CAST errors under
+    ANSI Spark AND DuckDB — but not identically; tests/test_null_injection
+    replays exactly that corruption)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
-        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
         F.get_json_object("props", "$.missing").alias("missing_attr"),
     )
 

@@ -73,8 +73,8 @@ def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n,
-           ROUND(AVG(json_extract_string(props, '$.k')::INT), 4) AS avg_k,
-           MAX(json_extract_string(props, '$.k')::INT) AS max_k
+           ROUND(AVG(TRY_CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+           MAX(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
     FROM events
     GROUP BY event_type
     """,
@@ -94,7 +94,7 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.parse_json("props").alias("v")
     ).select(
         "event_type",
-        F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+        F.expr("try_variant_get(v, '$.k', 'int')").alias("k"),
     )
     return v.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),

@@ -158,7 +158,7 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     base = ev.select(
         F.col("value").alias("x"),
-        F.get_json_object("props", "$.k").cast("long").alias("y"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("y"),
     ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
     n_all = Window.partitionBy()
     cx = (

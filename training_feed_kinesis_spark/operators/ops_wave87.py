@@ -252,7 +252,7 @@ def events_attribution_markov_removal(
              e.event_type,
              CAST(CAST(floor(e.value / 50.0) AS BIGINT) AS VARCHAR)
                AS value_band,
-             CAST(CAST(json_extract_string(e.props, '$.k') AS BIGINT) % 5
+             CAST(TRY_CAST(json_extract_string(e.props, '$.k') AS BIGINT) % 5
                   AS VARCHAR) AS props_k_band
       FROM events e CROSS JOIN bounds b
     ),
@@ -316,7 +316,7 @@ def dq_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit("props_k_band").alias("col"),
                         (
-                            F.get_json_object("props", "$.k").cast("long")
+                            F.get_json_object("props", "$.k").try_cast("long")
                             % 5
                         )
                         .cast("string")
