@@ -79,3 +79,127 @@ def test_props_consumer_survives_corruption(
     assert_matches_oracle(
         spec.fn(spark, corrupted_sf), duck_corrupted, spec.oracle
     )
+
+
+# --- pre-epoch timestamp injection ------------------------------------------
+
+# Oracled operators that bucket or lag event TIME — the class where
+# truncation-vs-floor division and epoch anchoring diverge on negative
+# indices (ADVICE r4: events before the 2024-01-01 epoch).
+TIME_CONSUMERS = [
+    "events_entropy_over_time",
+    "events_hill_diversity",
+    "ts_resample_gapfill",
+    "ts_forecast_mase",
+    "events_hour_heatmap",
+]
+
+
+@pytest.fixture(scope="module")
+def preepoch_sf(tmp_path_factory):
+    """10% of events shifted back 60 days — some land BEFORE the
+    2024-01-01 week-bucket epoch, producing negative day indices."""
+    d = tmp_path_factory.mktemp("preepochsf")
+    for t in TABLES:
+        if t != "events":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT event_id,
+                 CASE WHEN event_id % 10 = 0
+                      THEN ts - INTERVAL 60 DAY ELSE ts END AS ts,
+                 user_id, event_type, value, props
+          FROM read_parquet('{SF_DIR}/events.parquet')
+        ) TO '{d}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_preepoch(preepoch_sf):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{preepoch_sf}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", TIME_CONSUMERS)
+def test_time_bucketing_survives_preepoch_rows(
+    key, spark, registry, preepoch_sf, duck_preepoch
+):
+    spec = registry[key]
+    assert spec.oracle is not None, key
+    assert_matches_oracle(
+        spec.fn(spark, preepoch_sf), duck_preepoch, spec.oracle
+    )
+
+
+# --- degenerate document text injection -------------------------------------
+
+# Oracled text operators that tokenize / shingle / profile documents — the
+# class where empty strings, single tokens, and pathological repetition
+# expose split/agg edge differences.
+TEXT_CONSUMERS = [
+    "llm_text_tokens",
+    "llm_tfidf",
+    "llm_fingerprint",
+    "llm_lang_profile",
+    "hist_doclen",
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_text_sf(tmp_path_factory):
+    """documents with 5% empty text, 5% a single token, 5% one word
+    repeated 200 times (n_chars kept consistent with the new text)."""
+    d = tmp_path_factory.mktemp("degtextsf")
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 20 = 0 THEN ''
+                      WHEN doc_id % 20 = 1 THEN 'solo'
+                      WHEN doc_id % 20 = 2 THEN trim(repeat('spam ', 200))
+                      ELSE text END AS text,
+                 lang, source,
+                 length(CASE WHEN doc_id % 20 = 0 THEN ''
+                             WHEN doc_id % 20 = 1 THEN 'solo'
+                             WHEN doc_id % 20 = 2 THEN trim(repeat('spam ', 200))
+                             ELSE text END)::BIGINT AS n_chars
+          FROM read_parquet('{SF_DIR}/documents.parquet')
+        ) TO '{d}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_degenerate_text(degenerate_text_sf):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{degenerate_text_sf}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", TEXT_CONSUMERS)
+def test_text_ops_survive_degenerate_documents(
+    key, spark, registry, degenerate_text_sf, duck_degenerate_text
+):
+    spec = registry[key]
+    assert spec.oracle is not None, key
+    assert_matches_oracle(
+        spec.fn(spark, degenerate_text_sf), duck_degenerate_text, spec.oracle
+    )

@@ -170,8 +170,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT_EV,
     """
     WITH weekly AS (
-      SELECT CAST((CAST(date_trunc('day', ts) AS DATE)
-                   - DATE '2024-01-01') // 7 AS BIGINT) AS week,
+      -- floor, not //: DuckDB's // truncates toward zero (as does Spark's
+      -- DIV), which would split the epoch-straddling week into two
+      -- half-width buckets; floor keeps every bucket exactly 7 days even
+      -- for pre-epoch (negative-index) events
+      SELECT CAST(floor((CAST(date_trunc('day', ts) AS DATE)
+                         - DATE '2024-01-01') / 7.0) AS BIGINT) AS week,
              event_type, COUNT(*)::BIGINT AS n
       FROM events GROUP BY 1, 2
     ),
@@ -198,11 +202,12 @@ def events_entropy_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one (week, type) census + a week-grain rollup."""
     ev = load_table(spark, sf_dir, "events")
     weekly = ev.groupBy(
-        # FLOOR, not DIV: Spark's DIV truncates toward zero while the
-        # oracle's `//` floors, so an event before the 2024-01-01 epoch
-        # (negative day index) would land in a different week bucket.
-        # FLOOR agrees with `//` for every sign; the double division is
-        # exact (|days| ≪ 2⁵³).
+        # FLOOR, not DIV: both engines' integer division truncates toward
+        # zero, which would make the epoch-straddling week two half-width
+        # buckets; flooring on BOTH sides keeps every bucket exactly 7
+        # days for pre-epoch (negative-index) events too — differentially
+        # proven by tests/test_null_injection.py's pre-epoch replay. The
+        # double division is exact (|days| ≪ 2⁵³).
         F.expr(
             "CAST(FLOOR(datediff(date_trunc('day', ts), DATE '2024-01-01')"
             " / 7.0) AS BIGINT)"

@@ -33,8 +33,12 @@ CAT_REP = "2.L reporting"
     CAT_EV,
     """
     WITH weekly AS (
-      SELECT CAST((CAST(date_trunc('day', ts) AS DATE)
-                   - DATE '2024-01-01') // 7 AS BIGINT) AS week,
+      -- floor, not //: DuckDB's // truncates toward zero (as does Spark's
+      -- DIV), which would split the epoch-straddling week into two
+      -- half-width buckets; floor keeps every bucket exactly 7 days even
+      -- for pre-epoch (negative-index) events
+      SELECT CAST(floor((CAST(date_trunc('day', ts) AS DATE)
+                         - DATE '2024-01-01') / 7.0) AS BIGINT) AS week,
              event_type, COUNT(*)::BIGINT AS n
       FROM events GROUP BY 1, 2
     ),
@@ -64,8 +68,8 @@ def events_hill_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical plan to events_entropy_over_time, different readout."""
     ev = load_table(spark, sf_dir, "events")
     weekly = ev.groupBy(
-        # FLOOR, not DIV: matches the oracle's floor-division `//` for
-        # pre-epoch (negative-index) events — see events_entropy_over_time
+        # FLOOR on both sides (see events_entropy_over_time): constant
+        # 7-day buckets across the epoch, proven by the pre-epoch replay
         F.expr(
             "CAST(FLOOR(datediff(date_trunc('day', ts), DATE '2024-01-01')"
             " / 7.0) AS BIGINT)"
