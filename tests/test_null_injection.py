@@ -203,3 +203,74 @@ def test_text_ops_survive_degenerate_documents(
     assert_matches_oracle(
         spec.fn(spark, degenerate_text_sf), duck_degenerate_text, spec.oracle
     )
+
+
+# --- malformed embedding injection ------------------------------------------
+
+@pytest.fixture(scope="module")
+def corrupted_emb_sf(tmp_path_factory):
+    """embeddings with 5% NULL, 5% truncated to 32 dims, 5% all-zero,
+    5% carrying one NaN component."""
+    d = tmp_path_factory.mktemp("badembsf")
+    for t in TABLES:
+        if t != "embeddings":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT vec_id,
+                 CASE WHEN vec_id % 20 = 0 THEN NULL
+                      WHEN vec_id % 20 = 1 THEN embedding[1:32]
+                      WHEN vec_id % 20 = 2
+                        THEN list_transform(embedding, x -> 0.0::FLOAT)
+                      WHEN vec_id % 20 = 3
+                        THEN list_append(embedding[1:63], 'NaN'::FLOAT)
+                      ELSE embedding END AS embedding,
+                 label
+          FROM read_parquet('{SF_DIR}/embeddings.parquet')
+        ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_corrupted_emb(corrupted_emb_sf):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{corrupted_emb_sf}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_embedding_validate_flags_planted_corruption(
+    spark, registry, corrupted_emb_sf, duck_corrupted_emb
+):
+    """dq_embedding_validate must (a) stay oracle-identical on the
+    corrupted corpus and (b) actually fire every flag class — a census
+    that only ever reports zeros proves nothing."""
+    spec = registry["dq_embedding_validate"]
+    df = spec.fn(spark, corrupted_emb_sf)
+    assert_matches_oracle(df, duck_corrupted_emb, spec.oracle)
+    tot = {
+        c: sum(r[c] for r in df.collect())
+        for c in ("n_vecs", "n_null", "n_wrong_dim", "n_all_zero", "n_nonfinite")
+    }
+    assert tot["n_null"] > 0, tot
+    assert tot["n_wrong_dim"] > 0, tot
+    assert tot["n_all_zero"] > 0, tot
+    assert tot["n_nonfinite"] > 0, tot
+
+
+def test_embedding_validate_clean_corpus_reports_clean(spark, registry, duck):
+    """On the generated corpus every malformation count must be zero —
+    the census certifying the corpus the rest of the vec family runs on."""
+    spec = registry["dq_embedding_validate"]
+    rows = spec.fn(spark, SF_DIR).collect()
+    assert rows and all(
+        r["n_null"] == r["n_wrong_dim"] == r["n_all_zero"] == r["n_nonfinite"] == 0
+        for r in rows
+    ), rows
