@@ -351,14 +351,9 @@ def spark_composite_views(spark):
     return spark
 
 
-@pytest.fixture(scope="module")
-def duck_composite(duck):
-    return duck
-
-
 @pytest.mark.parametrize("seed", range(N_COMPOSITE_CASES))
-def test_fuzz_composite_query(seed, spark_composite_views, duck_composite):
+def test_fuzz_composite_query(seed, spark_composite_views, duck):
     sql = gen_composite_query(seed)
     assert_matches_oracle(
-        spark_composite_views.sql(sql), duck_composite, sql, float_tol=2e-4
+        spark_composite_views.sql(sql), duck, sql, float_tol=2e-4
     )

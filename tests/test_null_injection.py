@@ -23,10 +23,12 @@ from .conftest import SF_DIR, assert_matches_oracle
 # training_feed_kinesis_spark/operators/.
 PROPS_CONSUMERS = [
     "fn_json",
+    "fn_map",
     "fn_map_hof",
     "fn_variant",
     "stat_spearman",
     "dq_category_drift",
+    "stream_quarantine_split",
 ]
 
 
@@ -210,7 +212,7 @@ def test_text_ops_survive_degenerate_documents(
 @pytest.fixture(scope="module")
 def corrupted_emb_sf(tmp_path_factory):
     """embeddings with 5% NULL, 5% truncated to 32 dims, 5% all-zero,
-    5% carrying one NaN component."""
+    5% carrying one NaN component, 5% carrying one NULL component."""
     d = tmp_path_factory.mktemp("badembsf")
     for t in TABLES:
         if t != "embeddings":
@@ -225,6 +227,8 @@ def corrupted_emb_sf(tmp_path_factory):
                         THEN list_transform(embedding, x -> 0.0::FLOAT)
                       WHEN vec_id % 20 = 3
                         THEN list_append(embedding[1:63], 'NaN'::FLOAT)
+                      WHEN vec_id % 20 = 4
+                        THEN list_append(embedding[1:63], NULL::FLOAT)
                       ELSE embedding END AS embedding,
                  label
           FROM read_parquet('{SF_DIR}/embeddings.parquet')
@@ -257,9 +261,13 @@ def test_embedding_validate_flags_planted_corruption(
     assert_matches_oracle(df, duck_corrupted_emb, spec.oracle)
     tot = {
         c: sum(r[c] for r in df.collect())
-        for c in ("n_vecs", "n_null", "n_wrong_dim", "n_all_zero", "n_nonfinite")
+        for c in (
+            "n_vecs", "n_null", "n_wrong_dim", "n_null_comp",
+            "n_all_zero", "n_nonfinite",
+        )
     }
     assert tot["n_null"] > 0, tot
+    assert tot["n_null_comp"] > 0, tot
     assert tot["n_wrong_dim"] > 0, tot
     assert tot["n_all_zero"] > 0, tot
     assert tot["n_nonfinite"] > 0, tot
@@ -271,6 +279,7 @@ def test_embedding_validate_clean_corpus_reports_clean(spark, registry, duck):
     spec = registry["dq_embedding_validate"]
     rows = spec.fn(spark, SF_DIR).collect()
     assert rows and all(
-        r["n_null"] == r["n_wrong_dim"] == r["n_all_zero"] == r["n_nonfinite"] == 0
+        r["n_null"] == r["n_wrong_dim"] == r["n_null_comp"]
+        == r["n_all_zero"] == r["n_nonfinite"] == 0
         for r in rows
     ), rows

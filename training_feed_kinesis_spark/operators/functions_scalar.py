@@ -229,20 +229,37 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT,
     """
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
-           array_to_string(json_keys(props), ',')         AS prop_keys
+           TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+           -- DuckDB's array_to_string([]) is NULL; Spark's array_join([])
+           -- is '' — normalize to '' for an empty {} payload, NULL only
+           -- for NULL props
+           CASE WHEN props IS NULL THEN NULL
+                ELSE COALESCE(array_to_string(json_keys(props), ','), '')
+           END AS prop_keys
     FROM events WHERE event_type = 'click'
     """,
 )
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map family over parsed JSON props: from_json → MapType, element_at,
-    map_keys (sorted for cross-engine stability)."""
+    """Map family over parsed JSON props: from_json → MapType,
+    try_element_at, map_keys (sorted for cross-engine stability).
+    Malformation-hardened (tests/test_null_injection.py): the map parses
+    values as STRING — a map<string,int> parse of a non-numeric value
+    nulls the ENTIRE map in PERMISSIVE mode, losing the keys the oracle
+    still sees — then the k value try_casts (garbage → NULL identically
+    on both engines) and try_element_at tolerates the missing key that
+    ANSI element_at would throw on."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
-    m = F.from_json("props", "map<string,int>")
+    m = F.from_json("props", "map<string,string>")
     return ev.select(
         "event_id",
-        F.element_at(m, "k").alias("k_value"),
-        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("prop_keys"),
+        F.try_element_at(m, F.lit("k")).try_cast("int").alias("k_value"),
+        # NULL props stays NULL (DuckDB json_keys(NULL) is NULL, but
+        # Spark's chain collapses it to '') — '' is reserved for the
+        # legitimately-empty {} payload
+        F.when(
+            F.col("props").isNotNull(),
+            F.array_join(F.sort_array(F.map_keys(m)), ","),
+        ).alias("prop_keys"),
     )
 
 

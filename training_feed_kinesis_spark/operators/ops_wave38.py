@@ -41,7 +41,7 @@ VOCAB_SIZE = 1000
     WITH classed AS (
       SELECT event_type, value,
              CASE WHEN value IS NULL THEN 'null_value'
-                  WHEN CAST(json_extract(props, '$.k') AS INT)
+                  WHEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
                        > {K_MAX_VALID} THEN 'k_range'
              END AS reason
       FROM events
@@ -74,7 +74,9 @@ def stream_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = replay_stream(spark, sf_dir, "ordered")
 
     reason = F.when(F.col("value").isNull(), "null_value").when(
-        F.get_json_object("props", "$.k").cast("int") > K_MAX_VALID, "k_range"
+        # try_cast: the quarantine gate must not itself crash on the
+        # malformed payload it exists to route (ANSI CAST of garbage throws)
+        F.get_json_object("props", "$.k").try_cast("int") > K_MAX_VALID, "k_range"
     )
 
     def _route(batch_df: DataFrame, batch_id: int) -> None:

@@ -84,7 +84,10 @@ def sample_reservoir_fixedk(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CUME_DIST() OVER w, 4) AS cd
     FROM events
     WHERE event_type IN ('click', 'purchase')
-    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    -- NULLS LAST pinned explicitly: Spark windows default NULLS FIRST,
+    -- DuckDB NULLS LAST — a NULL value row would shift every rank
+    WINDOW w AS (PARTITION BY event_type
+                 ORDER BY value ASC NULLS LAST, event_id)
     """,
 )
 def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,7 +100,11 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one shuffle on the partition key, in-partition sort —
     identical cost to any ranking window; nothing global."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    # asc_nulls_last pins the cross-engine NULL ordering divergence
+    # (Spark defaults NULLS FIRST, DuckDB NULLS LAST)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_last(), "event_id"
+    )
     return (
         ev.filter(F.col("event_type").isin("click", "purchase"))
         .select(
@@ -205,7 +212,7 @@ def _pii_rows_sql() -> str:
         ("events.props", "props", "events"),
     ):
         for pname, pat in PII_PATTERNS.items():
-            sql_pat = pat.replace("\\", "\\")  # same literal both engines
+            sql_pat = pat  # identical literal works in both regex dialects
             parts.append(
                 f"SELECT '{field}' AS field, '{pname}' AS pattern,\n"
                 f"  COUNT(*)::BIGINT AS n_rows,\n"

@@ -39,13 +39,30 @@ EXPECTED_DIM = 64
            SUM(CASE WHEN embedding IS NOT NULL
                      AND len(embedding) != {EXPECTED_DIM}
                     THEN 1 ELSE 0 END)::BIGINT AS n_wrong_dim,
+           -- NULL components get their own class (x IS NULL is two-valued,
+           -- so both engines agree); the zero/finite checks below EXCLUDE
+           -- null-component vectors, keeping every remaining predicate
+           -- two-valued — Spark's exists() is three-valued over NULL
+           -- elements while DuckDB's list_has_any ignores them, so a
+           -- NULL-polluted vector must never reach those predicates
+           SUM(CASE WHEN embedding IS NOT NULL
+                     AND list_has_any(
+                           list_transform(embedding, x -> x IS NULL),
+                           [true])
+                    THEN 1 ELSE 0 END)::BIGINT AS n_null_comp,
            SUM(CASE WHEN embedding IS NOT NULL
                      AND len(embedding) = {EXPECTED_DIM}
+                     AND NOT list_has_any(
+                           list_transform(embedding, x -> x IS NULL),
+                           [true])
                      AND NOT list_has_any(
                            list_transform(embedding, x -> x != 0.0),
                            [true])
                     THEN 1 ELSE 0 END)::BIGINT AS n_all_zero,
            SUM(CASE WHEN embedding IS NOT NULL
+                     AND NOT list_has_any(
+                           list_transform(embedding, x -> x IS NULL),
+                           [true])
                      AND list_has_any(
                            list_transform(embedding,
                                           x -> isnan(x) OR isinf(x)),
@@ -57,12 +74,13 @@ EXPECTED_DIM = 64
 )
 def dq_embedding_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding admission census per label: NULL vectors, wrong
-    dimension (≠64), all-zero vectors (cosine-undefined), and vectors
-    with any NaN/Inf component. All four flags are row-local array
-    predicates (exists / forall — JVM higher-order functions, no
-    explode), so the census is one map-side-combinable aggregate over
-    label; the clean corpus reports zeros everywhere except n_vecs,
-    and the planted-corruption test proves each flag actually fires.
+    dimension (≠64), vectors with any NULL component, all-zero vectors
+    (cosine-undefined), and vectors with any NaN/Inf component. All
+    five flags are row-local array predicates (exists — JVM
+    higher-order functions, no explode), so the census is one
+    map-side-combinable aggregate over label; the clean corpus reports
+    zeros everywhere except n_vecs, and the planted-corruption test
+    proves each flag actually fires.
 
     Scale shape: single scan, conditional-count aggregate keyed by the
     tiny label domain — the cheapest possible certificate that 100 TB
@@ -71,6 +89,12 @@ def dq_embedding_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = F.col("embedding")
     not_null = e.isNotNull()
     right_dim = F.size(e) == EXPECTED_DIM
+    # x IS NULL is two-valued, so this flag is engine-stable; the zero /
+    # finite predicates below run ONLY on null-free vectors because
+    # Spark's exists() is three-valued over NULL elements (returns NULL,
+    # not false) while DuckDB's list_has_any ignores NULL elements —
+    # mixing them on a NULL-polluted vector diverges
+    has_null_comp = F.exists(e, lambda x: x.isNull())
     any_nonzero = F.exists(e, lambda x: x != 0.0)
     any_nonfinite = F.exists(e, lambda x: F.isnan(x) | (F.abs(x) == float("inf")))
     flag = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
@@ -78,6 +102,9 @@ def dq_embedding_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         flag(~not_null).alias("n_null"),
         flag(not_null & ~right_dim).alias("n_wrong_dim"),
-        flag(not_null & right_dim & ~any_nonzero).alias("n_all_zero"),
-        flag(not_null & any_nonfinite).alias("n_nonfinite"),
+        flag(not_null & has_null_comp).alias("n_null_comp"),
+        flag(
+            not_null & right_dim & ~has_null_comp & ~any_nonzero
+        ).alias("n_all_zero"),
+        flag(not_null & ~has_null_comp & any_nonfinite).alias("n_nonfinite"),
     )
