@@ -283,3 +283,115 @@ def test_embedding_validate_clean_corpus_reports_clean(spark, registry, duck):
         == r["n_all_zero"] == r["n_nonfinite"] == 0
         for r in rows
     ), rows
+
+
+# --- unicode text injection --------------------------------------------------
+
+@pytest.fixture(scope="module")
+def unicode_text_sf(tmp_path_factory):
+    """documents with 10% of texts prefixed by accented/CJK/emoji tokens —
+    the class where case folding, char-vs-byte length, and regex word
+    classes diverge across engines."""
+    d = tmp_path_factory.mktemp("unisf")
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 0
+                      THEN 'Crème BRÛLÉE 東京 naïve 🙂 ' || text
+                      ELSE text END AS text,
+                 lang, source,
+                 length(CASE WHEN doc_id % 10 = 0
+                             THEN 'Crème BRÛLÉE 東京 naïve 🙂 ' || text
+                             ELSE text END)::BIGINT AS n_chars
+          FROM read_parquet('{SF_DIR}/documents.parquet')
+        ) TO '{d}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_unicode(unicode_text_sf):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{unicode_text_sf}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", TEXT_CONSUMERS)
+def test_text_ops_survive_unicode(
+    key, spark, registry, unicode_text_sf, duck_unicode
+):
+    spec = registry[key]
+    assert_matches_oracle(
+        spec.fn(spark, unicode_text_sf), duck_unicode, spec.oracle
+    )
+
+
+# --- duplicate-timestamp injection ------------------------------------------
+
+# Order-sensitive oracled operators: every per-user ordering must carry an
+# event_id tiebreak (house style) — duplicated timestamps are where a
+# missing tiebreak silently diverges across engines.
+ORDER_CONSUMERS = [
+    "batch_sessionize",
+    "funnel_conversion",
+    "events_markov",
+    "events_attribution_markov_removal",
+    "join_asof",
+]
+
+
+@pytest.fixture(scope="module")
+def dupts_sf(tmp_path_factory):
+    """10% of events share their timestamp with the user's previous event
+    (exact duplicate ts within the ordering key)."""
+    d = tmp_path_factory.mktemp("duptssf")
+    for t in TABLES:
+        if t != "events":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT event_id,
+                 CASE WHEN event_id % 10 = 3 AND prev_ts IS NOT NULL
+                      THEN prev_ts ELSE ts END AS ts,
+                 user_id, event_type, value, props
+          FROM (
+            SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts,
+                                    event_id) AS prev_ts
+            FROM read_parquet('{SF_DIR}/events.parquet')
+          )
+        ) TO '{d}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_dupts(dupts_sf):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{dupts_sf}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", ORDER_CONSUMERS)
+def test_order_sensitive_ops_survive_duplicate_ts(
+    key, spark, registry, dupts_sf, duck_dupts
+):
+    spec = registry[key]
+    assert spec.oracle is not None, key
+    assert_matches_oracle(spec.fn(spark, dupts_sf), duck_dupts, spec.oracle)
