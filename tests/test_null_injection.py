@@ -395,3 +395,34 @@ def test_order_sensitive_ops_survive_duplicate_ts(
     spec = registry[key]
     assert spec.oracle is not None, key
     assert_matches_oracle(spec.fn(spark, dupts_sf), duck_dupts, spec.oracle)
+
+
+def test_no_plain_cast_on_json_extraction_anywhere():
+    """Regression lint for the hardening campaign: a plain CAST chained
+    onto a JSON extraction is the exact pattern that crashes (ANSI Spark)
+    or errors (DuckDB) on malformed payloads — every extraction must go
+    through try_cast/TRY_CAST. Static sweep over all operator sources."""
+    import pathlib
+    import re
+
+    ops = pathlib.Path(__file__).resolve().parents[1] / (
+        "training_feed_kinesis_spark"
+    )
+    offenders = []
+    spark_pat = re.compile(
+        r"get_json_object\([^)]*\)\s*\n?\s*\.cast\(", re.MULTILINE
+    )
+    duck_pats = [
+        re.compile(r"(?<!TRY_)CAST\(\s*json_extract"),
+        re.compile(r"json_extract(?:_string)?\([^)]*\)\s*::"),
+    ]
+    for f in sorted(ops.rglob("*.py")):
+        src = f.read_text()
+        for m in spark_pat.finditer(src):
+            offenders.append(f"{f.name}: {m.group(0)[:60]!r} (use try_cast)")
+        for p in duck_pats:
+            for m in p.finditer(src):
+                offenders.append(
+                    f"{f.name}: {m.group(0)[:60]!r} (use TRY_CAST)"
+                )
+    assert not offenders, offenders

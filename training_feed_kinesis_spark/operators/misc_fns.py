@@ -121,8 +121,8 @@ def fn_datetime_make(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            json_array_length(arr)::INT AS arr_len,
-           json_extract_string(arr, '$[0]')::BIGINT AS first_el,
-           json_extract_string(arr, '$[2]')::BIGINT AS third_el
+           TRY_CAST(json_extract_string(arr, '$[0]') AS BIGINT) AS first_el,
+           TRY_CAST(json_extract_string(arr, '$[2]') AS BIGINT) AS third_el
     FROM j
     """,
 )
@@ -148,8 +148,10 @@ def fn_json_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "doc_id",
         F.json_array_length("arr").alias("arr_len"),
-        F.get_json_object("arr", "$[0]").cast("bigint").alias("first_el"),
-        F.get_json_object("arr", "$[2]").cast("bigint").alias("third_el"),
+        # try_cast per the extraction-hardening lint: arr is synthesized
+        # here so garbage can't occur today, but the discipline is uniform
+        F.get_json_object("arr", "$[0]").try_cast("bigint").alias("first_el"),
+        F.get_json_object("arr", "$[2]").try_cast("bigint").alias("third_el"),
     )
 
 
