@@ -1013,3 +1013,16 @@ def test_contamination_hashed_shingles_equivalent(spark, registry, monkeypatch):
     # applied below the exchange), not strings
     plan = hashed_df._jdf.queryExecution().executedPlan().toString()
     assert "xxhash64" in plan, plan
+
+
+def test_dedup_tier_census_nonvacuous_and_monotone(spark, registry):
+    """llm_dedup_tier_census: the tier ladder must be monotone
+    (distinct_raw ≥ distinct_bag ≥ distinct_set) and NON-vacuous on this
+    corpus — the word-set tier is the first that collapses documents, so
+    a census reporting zero everywhere means a key stopped canonicalizing."""
+    r = registry["llm_dedup_tier_census"].fn(spark, SF_DIR).collect()[0]
+    assert r["n_docs"] >= r["distinct_raw"] >= r["distinct_bag"] >= r["distinct_set"], r
+    assert r["extra_set"] > 0, r
+    assert r["dups_raw"] + r["extra_bag"] + r["extra_set"] == (
+        r["n_docs"] - r["distinct_set"]
+    ), r
