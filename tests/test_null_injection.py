@@ -45,6 +45,18 @@ def corrupted_sf(tmp_path_factory):
                  CASE WHEN event_id % 10 = 0 THEN NULL
                       WHEN event_id % 10 = 1 THEN '{{"k": "abc"}}'
                       WHEN event_id % 10 = 2 THEN '{{}}'
+                      -- decimal + scientific numerals: DuckDB TRY_CAST
+                      -- ROUNDS '3.9'→4 / '1e3'→1000 while Spark NULLs
+                      -- them, so only the shared integer-regex gate keeps
+                      -- the engines identical
+                      WHEN event_id % 10 = 3 THEN '{{"k": 3.9}}'
+                      WHEN event_id % 10 = 4 THEN '{{"k": "1e3"}}'
+                      -- multi-key, deliberately out of document order:
+                      -- json_keys is document-ordered, Spark sorts
+                      WHEN event_id % 10 = 5 THEN '{{"z": 1, "a": 2}}'
+                      -- INVALID JSON: DuckDB json_* functions hard-error
+                      -- without a json_valid guard; Spark returns NULL
+                      WHEN event_id % 10 = 6 THEN '{{k: '
                       ELSE props END AS props
           FROM read_parquet('{SF_DIR}/events.parquet')
         ) TO '{d}/events.parquet' (FORMAT PARQUET)
@@ -409,12 +421,16 @@ def test_no_plain_cast_on_json_extraction_anywhere():
         "training_feed_kinesis_spark"
     )
     offenders = []
+    # one level of nested parens allowed (F.get_json_object(F.col(...), ...))
+    _args = r"(?:[^()]|\([^()]*\))*"
     spark_pat = re.compile(
-        r"get_json_object\([^)]*\)\s*\n?\s*\.cast\(", re.MULTILINE
+        rf"get_json_object\({_args}\)\s*\.\s*cast\(", re.MULTILINE | re.DOTALL
     )
     duck_pats = [
-        re.compile(r"(?<!TRY_)CAST\(\s*json_extract"),
-        re.compile(r"json_extract(?:_string)?\([^)]*\)\s*::"),
+        re.compile(r"(?<![A-Z_])CAST\(\s*json_extract", re.IGNORECASE),
+        re.compile(
+            rf"json_extract(?:_string)?\({_args}\)\s*::", re.IGNORECASE
+        ),
     ]
     for f in sorted(ops.rglob("*.py")):
         src = f.read_text()

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
+from ._json_compat import duck_json_int
 from ..tables import load_table
 
 CAT_AGG = "2.D aggregations"
@@ -213,10 +214,10 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_map_hof",
     CAT_FN,
-    """
+    f"""
     WITH m AS (
       SELECT event_type,
-             TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+             {duck_json_int('props', '$.k')} AS k_val,
              length(props) AS len_val
       FROM events)
     SELECT event_type,
@@ -241,7 +242,9 @@ def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "map_filter("
             "  transform_values("
             "    map_from_arrays(array('k', 'len'),"
-            "      array(TRY_CAST(get_json_object(props, '$.k') AS INT),"
+            "      array(CASE WHEN get_json_object(props, '$.k')"
+            " RLIKE '^-?[0-9]+$' THEN"
+            " TRY_CAST(get_json_object(props, '$.k') AS INT) END,"
             "            length(props))),"
             "    (k, v) -> v * 2),"
             "  (k, v) -> v % 4 = 0)"

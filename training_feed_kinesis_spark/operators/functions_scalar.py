@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
+from ._json_compat import INT_RE, duck_json_int, spark_json_int
 
 CAT = "2.H scalar functions"
 
@@ -227,14 +228,16 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_map",
     CAT,
-    """
+    f"""
     SELECT event_id,
-           TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
-           -- DuckDB's array_to_string([]) is NULL; Spark's array_join([])
-           -- is '' — normalize to '' for an empty {} payload, NULL only
-           -- for NULL props
-           CASE WHEN props IS NULL THEN NULL
-                ELSE COALESCE(array_to_string(json_keys(props), ','), '')
+           {duck_json_int('props', '$.k')} AS k_value,
+           -- keys SORTED (Spark side sorts; DuckDB json_keys is document
+           -- order), json_valid-guarded (invalid JSON must be NULL, not an
+           -- error), and COALESCEd to '' for the legitimately-empty {{}}
+           -- payload (DuckDB array_to_string([]) is NULL, Spark '')
+           CASE WHEN props IS NULL OR NOT json_valid(props) THEN NULL
+                ELSE COALESCE(
+                       array_to_string(list_sort(json_keys(props)), ','), '')
            END AS prop_keys
     FROM events WHERE event_type = 'click'
     """,
@@ -252,7 +255,10 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.from_json("props", "map<string,string>")
     return ev.select(
         "event_id",
-        F.try_element_at(m, F.lit("k")).try_cast("int").alias("k_value"),
+        F.when(
+            F.try_element_at(m, F.lit("k")).rlike(INT_RE),
+            F.try_element_at(m, F.lit("k")).try_cast("int"),
+        ).alias("k_value"),
         # NULL props stays NULL (DuckDB json_keys(NULL) is NULL, but
         # Spark's chain collapses it to '') — '' is reserved for the
         # legitimately-empty {} payload
@@ -266,11 +272,14 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_json",
     CAT,
-    """
+    f"""
     SELECT event_id,
-           json_extract_string(props, '$.k')                  AS k_str,
-           TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
-           json_extract_string(props, '$.missing')            AS missing_attr
+           CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.k') END AS k_str,
+           {duck_json_int('props', '$.k')} AS k_int,
+           CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.missing') END
+             AS missing_attr
     FROM events WHERE event_type = 'error'
     """,
 )
@@ -283,7 +292,7 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
-        F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
+        spark_json_int("props", "$.k").alias("k_int"),
         F.get_json_object("props", "$.missing").alias("missing_attr"),
     )
 

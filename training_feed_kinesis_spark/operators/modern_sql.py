@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ._json_compat import INT_RE, duck_json_int
 from ..tables import load_table
 
 CAT_SQL = "2.M workloads"
@@ -70,11 +71,11 @@ def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_variant",
     CAT_FN,
-    """
+    f"""
     SELECT event_type,
            COUNT(*) AS n,
-           ROUND(AVG(TRY_CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
-           MAX(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+           ROUND(AVG({duck_json_int("props", "$.k")}), 4) AS avg_k,
+           MAX({duck_json_int("props", "$.k")}) AS max_k
     FROM events
     GROUP BY event_type
     """,
@@ -90,11 +91,14 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     get_json_object chains).
     """
     ev = load_table(spark, sf_dir, "events")
+    # try_parse_json: malformed payloads must become NULL variants, not
+    # ANSI errors; the extracted STRING goes through the shared integer
+    # gate (DuckDB TRY_CAST rounds '3.9' to 4, Spark NULLs it — only
+    # integer-regex text may reach the cast)
+    ks = F.expr("try_variant_get(try_parse_json(props), '$.k', 'string')")
     v = ev.select(
-        "event_type", F.parse_json("props").alias("v")
-    ).select(
         "event_type",
-        F.expr("try_variant_get(v, '$.k', 'int')").alias("k"),
+        F.when(ks.rlike(INT_RE), ks.try_cast("int")).alias("k"),
     )
     return v.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),

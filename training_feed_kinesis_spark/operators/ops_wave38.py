@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
+from ._json_compat import duck_json_int, spark_json_int
 from ..tables import load_table
 from .scans import scratch_dir
 
@@ -41,7 +42,7 @@ VOCAB_SIZE = 1000
     WITH classed AS (
       SELECT event_type, value,
              CASE WHEN value IS NULL THEN 'null_value'
-                  WHEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                  WHEN {duck_json_int("props", "$.k")}
                        > {K_MAX_VALID} THEN 'k_range'
              END AS reason
       FROM events
@@ -76,7 +77,7 @@ def stream_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason = F.when(F.col("value").isNull(), "null_value").when(
         # try_cast: the quarantine gate must not itself crash on the
         # malformed payload it exists to route (ANSI CAST of garbage throws)
-        F.get_json_object("props", "$.k").try_cast("int") > K_MAX_VALID, "k_range"
+        spark_json_int("props", "$.k") > K_MAX_VALID, "k_range"
     )
 
     def _route(batch_df: DataFrame, batch_id: int) -> None:

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ._json_compat import duck_json_int, spark_json_int
 from ..tables import load_table
 
 CAT_STAT = "2.L statistics"
@@ -109,9 +110,9 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stat_spearman",
     CAT_STAT,
-    """
+    f"""
     WITH base AS (
-      SELECT value AS x, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+      SELECT value AS x, {duck_json_int("props", "$.k", "BIGINT")} AS y
       FROM events
     ),
     nn AS (
@@ -158,7 +159,7 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     base = ev.select(
         F.col("value").alias("x"),
-        F.get_json_object("props", "$.k").try_cast("long").alias("y"),
+        spark_json_int("props", "$.k", "long").alias("y"),
     ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
     n_all = Window.partitionBy()
     cx = (

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ._json_compat import duck_json_int, spark_json_int
 from ..tables import load_table
 
 CAT_EV = "2.L event analytics"
@@ -241,7 +242,7 @@ def events_attribution_markov_removal(
 @register(
     "dq_category_drift",
     CAT_DQ,
-    """
+    f"""
     WITH bounds AS (
       SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid_us
       FROM events
@@ -252,7 +253,7 @@ def events_attribution_markov_removal(
              e.event_type,
              CAST(CAST(floor(e.value / 50.0) AS BIGINT) AS VARCHAR)
                AS value_band,
-             CAST(TRY_CAST(json_extract_string(e.props, '$.k') AS BIGINT) % 5
+             CAST({duck_json_int("e.props", "$.k", "BIGINT")} % 5
                   AS VARCHAR) AS props_k_band
       FROM events e CROSS JOIN bounds b
     ),
@@ -316,7 +317,7 @@ def dq_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit("props_k_band").alias("col"),
                         (
-                            F.get_json_object("props", "$.k").try_cast("long")
+                            spark_json_int("props", "$.k", "long")
                             % 5
                         )
                         .cast("string")

@@ -31,6 +31,23 @@ CAT_SQL = "2.L modern SQL surface"
 CAT_WORK = "2.L workloads"
 CAT_EV = "2.L event analytics"
 
+# Week bucket anchored at 2024-01-01, spelled ONCE for both engines and
+# shared with ops_wave91 (events_hill_diversity runs the identical census).
+# floor, not integer division: BOTH engines' // and DIV truncate toward
+# zero, which would split the epoch-straddling week into two half-width
+# buckets; floor keeps every bucket exactly 7 days even for pre-epoch
+# (negative-index) events — differentially proven by
+# tests/test_null_injection.py's pre-epoch replay. The double division is
+# exact (|days| << 2**53).
+WEEK_BUCKET_SQL = (
+    "CAST(floor((CAST(date_trunc('day', ts) AS DATE)"
+    " - DATE '2024-01-01') / 7.0) AS BIGINT)"
+)
+WEEK_BUCKET_SPARK = (
+    "CAST(FLOOR(datediff(date_trunc('day', ts), DATE '2024-01-01')"
+    " / 7.0) AS BIGINT)"
+)
+
 
 @register(
     "sql_udf_scalar",
@@ -168,14 +185,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_entropy_over_time",
     CAT_EV,
-    """
+    f"""
     WITH weekly AS (
-      -- floor, not //: DuckDB's // truncates toward zero (as does Spark's
-      -- DIV), which would split the epoch-straddling week into two
-      -- half-width buckets; floor keeps every bucket exactly 7 days even
-      -- for pre-epoch (negative-index) events
-      SELECT CAST(floor((CAST(date_trunc('day', ts) AS DATE)
-                         - DATE '2024-01-01') / 7.0) AS BIGINT) AS week,
+      SELECT {WEEK_BUCKET_SQL} AS week,
              event_type, COUNT(*)::BIGINT AS n
       FROM events GROUP BY 1, 2
     ),
@@ -202,16 +214,7 @@ def events_entropy_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one (week, type) census + a week-grain rollup."""
     ev = load_table(spark, sf_dir, "events")
     weekly = ev.groupBy(
-        # FLOOR, not DIV: both engines' integer division truncates toward
-        # zero, which would make the epoch-straddling week two half-width
-        # buckets; flooring on BOTH sides keeps every bucket exactly 7
-        # days for pre-epoch (negative-index) events too — differentially
-        # proven by tests/test_null_injection.py's pre-epoch replay. The
-        # double division is exact (|days| ≪ 2⁵³).
-        F.expr(
-            "CAST(FLOOR(datediff(date_trunc('day', ts), DATE '2024-01-01')"
-            " / 7.0) AS BIGINT)"
-        ).alias("week"),
+        F.expr(WEEK_BUCKET_SPARK).alias("week"),
         "event_type",
     ).agg(F.count(F.lit(1)).alias("n"))
     tot = weekly.groupBy("week").agg(F.sum("n").alias("wn"))

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
+from .ops_wave88 import WEEK_BUCKET_SPARK, WEEK_BUCKET_SQL
 
 CAT_EV = "2.L event analytics"
 CAT_REP = "2.L reporting"
@@ -31,14 +32,9 @@ CAT_REP = "2.L reporting"
 @register(
     "events_hill_diversity",
     CAT_EV,
-    """
+    f"""
     WITH weekly AS (
-      -- floor, not //: DuckDB's // truncates toward zero (as does Spark's
-      -- DIV), which would split the epoch-straddling week into two
-      -- half-width buckets; floor keeps every bucket exactly 7 days even
-      -- for pre-epoch (negative-index) events
-      SELECT CAST(floor((CAST(date_trunc('day', ts) AS DATE)
-                         - DATE '2024-01-01') / 7.0) AS BIGINT) AS week,
+      SELECT {WEEK_BUCKET_SQL} AS week,
              event_type, COUNT(*)::BIGINT AS n
       FROM events GROUP BY 1, 2
     ),
@@ -68,12 +64,7 @@ def events_hill_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical plan to events_entropy_over_time, different readout."""
     ev = load_table(spark, sf_dir, "events")
     weekly = ev.groupBy(
-        # FLOOR on both sides (see events_entropy_over_time): constant
-        # 7-day buckets across the epoch, proven by the pre-epoch replay
-        F.expr(
-            "CAST(FLOOR(datediff(date_trunc('day', ts), DATE '2024-01-01')"
-            " / 7.0) AS BIGINT)"
-        ).alias("week"),
+        F.expr(WEEK_BUCKET_SPARK).alias("week"),
         "event_type",
     ).agg(F.count(F.lit(1)).alias("n"))
     tot = weekly.groupBy("week").agg(F.sum("n").alias("wn"))

@@ -71,6 +71,15 @@ def _prepare(spark: SparkSession, sf_dir: str, variant: str) -> str:
     if key in _prepared and os.path.isdir(_prepared[key]):
         return _prepared[key]
     sf_tag = sf_dir.strip("/").split("/")[-1].replace(".", "_")
+    # the cache key must identify the CONTENT, not just the dir name:
+    # pytest tmp fixture dirs reuse names across sessions (nullsf0, ...)
+    # while their generated corruption changes — a name-only key once
+    # replayed a previous session's events for a same-named fixture dir
+    try:
+        st = os.stat(os.path.join(sf_dir, "events.parquet"))
+        sf_tag += f"_{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        pass
     from ..operators.scans import SCRATCH
 
     stable = os.path.join(SCRATCH, f"replay_cache_{variant}_{sf_tag}")
