@@ -203,24 +203,39 @@ PII_PATTERNS = {
     "phone_intl": "\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}",
 }
 
+# the audited surface, spelled ONCE — both the Spark body and the oracle
+# derive from this, so the two sides cannot silently audit different columns
+PII_FIELDS = (
+    ("customer.c_name", "c_name", "customer"),
+    ("documents.text", "text", "documents"),
+    ("events.props", "props", "events"),
+)
+
 
 def _pii_rows_sql() -> str:
-    parts = []
-    for field, col, table in (
-        ("customer.c_name", "c_name", "customer"),
-        ("documents.text", "text", "documents"),
-        ("events.props", "props", "events"),
-    ):
-        for pname, pat in PII_PATTERNS.items():
-            sql_pat = pat  # identical literal works in both regex dialects
+    # ONE aggregate per table (all patterns as columns) materialized once,
+    # then unpivoted to (pattern, n_hits) rows — 3 scans total, matching
+    # the Spark plan; the literal patterns work verbatim in both dialects
+    ctes, parts = [], []
+    for field, col, table in PII_FIELDS:
+        tag = table
+        hit_cols = ",\n        ".join(
+            f"SUM(CASE WHEN regexp_matches({col}, '{pat}')"
+            f" THEN 1 ELSE 0 END)::BIGINT AS h_{pname}"
+            for pname, pat in PII_PATTERNS.items()
+        )
+        ctes.append(
+            f"agg_{tag} AS MATERIALIZED (\n"
+            f"  SELECT COUNT(*)::BIGINT AS n_rows,\n        {hit_cols}\n"
+            f"  FROM {table})"
+        )
+        for pname in PII_PATTERNS:
             parts.append(
-                f"SELECT '{field}' AS field, '{pname}' AS pattern,\n"
-                f"  COUNT(*)::BIGINT AS n_rows,\n"
-                f"  SUM(CASE WHEN regexp_matches({col}, '{sql_pat}')"
-                f" THEN 1 ELSE 0 END)::BIGINT AS n_hits\n"
-                f"FROM {table}"
+                f"SELECT '{field}' AS field, '{pname}' AS pattern,"
+                f" n_rows, h_{pname} AS n_hits FROM agg_{tag}"
             )
     return (
+        "WITH " + ",\n".join(ctes) + "\n"
         "SELECT field, pattern, n_rows, n_hits,\n"
         "       CAST((2 * n_hits * 10000 + n_rows) // (2 * n_rows)"
         " AS BIGINT) AS hit_rate_x1e4\n"
@@ -241,28 +256,46 @@ def dq_pii_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     that the census is reading the right columns (c_name's 9-digit ids DO
     fire the digit-run rule on every row).
 
-    Scale shape: three independent single-pass scans, each a map-side
-    conditional count — no shuffle beyond one 9-row aggregate; at 100 TB
-    the pattern set is a broadcast constant and the census stays one pass
+    Scale shape: ONE single-pass aggregate per table computing every
+    pattern's conditional count as a column, then a row-local unpivot to
+    (field, pattern) rows — 3 scans total (a per-(table, pattern) union
+    of aggregates would scan each table once per pattern); at 100 TB the
+    pattern set is a broadcast constant and the census stays one pass
     per table."""
     frames = []
-    for field, col, table in (
-        ("customer.c_name", "c_name", "customer"),
-        ("documents.text", "text", "documents"),
-        ("events.props", "props", "events"),
-    ):
+    for field, col, table in PII_FIELDS:
         t = load_table(spark, sf_dir, table)
-        for pname, pat in PII_PATTERNS.items():
-            frames.append(
-                t.agg(
-                    F.lit(field).alias("field"),
-                    F.lit(pname).alias("pattern"),
-                    F.count(F.lit(1)).alias("n_rows"),
-                    F.sum(
-                        F.when(F.col(col).rlike(pat), 1).otherwise(0)
-                    ).alias("n_hits"),
-                )
+        agg = t.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.sum(
+                    F.when(F.col(col).rlike(pat), 1).otherwise(0)
+                ).alias(f"h_{pname}")
+                for pname, pat in PII_PATTERNS.items()
+            ],
+        )
+        frames.append(
+            agg.select(
+                F.lit(field).alias("field"),
+                "n_rows",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(pname).alias("pattern"),
+                                F.col(f"h_{pname}").alias("n_hits"),
+                            )
+                            for pname in PII_PATTERNS
+                        ]
+                    )
+                ).alias("pp"),
+            ).select(
+                "field",
+                F.col("pp.pattern").alias("pattern"),
+                "n_rows",
+                F.col("pp.n_hits").alias("n_hits"),
             )
+        )
     out = frames[0]
     for f_ in frames[1:]:
         out = out.unionByName(f_)
