@@ -189,33 +189,14 @@ def register(key: str, category: str, oracle: str | None = None):
 
 
 # The driver's correctness gate samples the FIRST 50 registered keys each
-# round. Round-5 rotation (VERDICT r4 item 1, third consecutive rotation):
-# all 50 slots are drawn from the 330 never-driver-verified oracled keys —
-# the 30 staged round-4 front-of-line entries (TPC-H outer sweep,
-# contamination/n-gram block, the r1 ts_*/fn_* block) plus the next 20 in
-# registration order. Rows-only-by-design keys are excluded (their slot is
-# better spent on hash-checkable keys). Entries past 50 are front-of-line
-# for round 6.
+# round. Round-6 rotation (VERDICT r5 item 1, fifth consecutive rotation):
+# all 50 slots are drawn from the 286 never-driver-verified oracled keys —
+# the 30 staged round-5 front-of-line entries, verbatim, plus the next 20
+# never-sampled oracled keys in registration order. Rows-only-by-design
+# keys are excluded (their slot is better spent on hash-checkable keys).
+# Entries past 50 are front-of-line for round 7.
 _PRIORITY_KEYS = [
-    # round-4 staged front-of-line, verbatim
-    "q17_small_quantity", "q19_disjunctive_revenue", "q21_waiting_supplier",
-    "q22_idle_customers", "q6_forecast_revenue", "q13_order_distribution",
-    "q20_stock_suppliers", "q18_large_volume",
-    "llm_contamination", "llm_unigram_logprob", "llm_bigram_topk",
-    "ts_resample_gapfill", "ts_anomaly_zscore", "llm_bigram_pmi",
-    "llm_curation_waterfall", "dq_constraints", "cdc_latest_merge",
-    "vec_quantize_int8", "ts_rollup_hierarchy", "sample_weighted",
-    "hist_equidepth", "cte_recursive", "fn_variant", "join_lateral",
-    "udf_arrow_scalar", "sql_pipe_syntax", "agg_grouping_flags",
-    "win_ignore_nulls", "fn_try_arith", "observe_metrics",
-    # next-oldest never-driver-sampled oracled keys, registration order
-    "agg_regression", "fn_map_hof", "fn_string_extended",
-    "orders_interarrival", "win_ratio_to_report", "fn_encoding",
-    "fn_interval_arith", "udtf_polymorphic", "fn_crypto_roundtrip",
-    "sample_hash", "split_train_test", "corpus_mix", "hist_doclen",
-    "sample_per_group", "agg_max_by", "agg_bitmap", "fn_printf",
-    "win_running_distinct", "fn_xml", "fn_csv",
-    # --- 50-key window boundary; below = round-6 front-of-line ---
+    # round-5 staged front-of-line, verbatim
     "fn_str_to_map", "fn_url", "graph_degree", "graph_pagerank",
     "ts_ewma", "ts_wow_growth", "join_interval_overlap", "ts_ohlc",
     "win_rolling_median", "agg_product", "fn_width_bucket",
@@ -225,6 +206,25 @@ _PRIORITY_KEYS = [
     "agg_corr_matrix", "attribution_last_touch", "sql_correlated_scalar",
     "sql_inline_values", "sink_sorted_zonemap", "cbo_join_reorder",
     "fn_mask", "agg_listagg",
+    # next-oldest never-driver-sampled oracled keys, registration order
+    "multimodal_dedup", "events_dau_wau", "ts_yoy_same_quarter",
+    "customer_clv_decay", "shard_assignment", "fn_collation_ci",
+    "orders_backlog_aging", "agg_percentile_multi", "fn_datetime_make",
+    "fn_json_array", "fn_array_setops", "dq_drift_psi",
+    "stat_ks_2sample", "agg_entropy_gini", "ts_autocorr",
+    "ts_page_hinkley", "llm_pack_chunks", "events_path_topk",
+    "q12_shipmode_priority", "sql_group_by_all",
+    # --- 50-key window boundary; below = round-7 front-of-line ---
+    "sql_distinct_on", "stat_chi2_independence", "dq_benford",
+    "ts_gap_islands", "events_anomaly_mad", "agg_weighted_median",
+    "vec_label_centroid_sim", "llm_chunk_overlap", "llm_repetition_score",
+    "llm_prefix_dedup", "ml_auc_rank", "ml_confusion",
+    "ml_calibration_lift", "ml_feature_ig", "ml_naive_bayes",
+    "fn_inline_structs", "ts_seasonal_dow", "ts_index_rebase",
+    "geo_grid_knn", "fn_zorder_tile", "events_seq_match",
+    "ml_tree_split", "ml_logreg_step", "ml_knn_classify",
+    "ml_precision_at_k", "stat_ttest_welch", "events_hour_heatmap",
+    "revenue_abc_class", "ts_theil_sen", "customer_gini",
 ]
 
 
