@@ -28,6 +28,17 @@ def test_operator(key, spark, duck):
         assert len(df.columns) > 0
 
 
+def test_bigram_pmi_non_vacuous(spark):
+    """The PMI count floor is scale-aware (GREATEST(5, nb_i DIV 10000));
+    a fixed floor of 50 once sat exactly at the sf0.01 distribution knee
+    and made the driver's green vacuous (VERDICT r5 item 4). Assert the
+    scoring is actually exercised: non-empty result with finite PMI."""
+    df = _REGISTRY["llm_bigram_pmi"].fn(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) > 0, "scale-aware floor must leave qualifying bigrams"
+    assert all(r.pmi is not None for r in rows)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

@@ -315,14 +315,15 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT w[i] AS t1, w[i+1] AS t2
         FROM tok, UNNEST(range(1, len(w))) AS r(i)
         WHERE len(w) >= 2) GROUP BY t1, t2),
-    n_bg AS (SELECT SUM(c12)::DOUBLE AS nb FROM bg),
+    n_bg AS (SELECT SUM(c12)::DOUBLE AS nb,
+                    CAST(SUM(c12) AS BIGINT) AS nb_i FROM bg),
     scored AS (
       SELECT t1 || ' ' || t2 AS bigram, c12,
              ROUND(ln((c12 / nb) / ((u1.c / n) * (u2.c / n))), 4) AS pmi
       FROM bg, n_bg, n_uni
       JOIN uni u1 ON t1 = u1.t
       JOIN uni u2 ON t2 = u2.t
-      WHERE c12 >= 50)
+      WHERE c12 >= GREATEST(5, nb_i // 10000))
     SELECT bigram, c12, pmi
     FROM scored
     ORDER BY pmi DESC, bigram ASC
@@ -335,10 +336,21 @@ def llm_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     separates real phrases from frequency artifacts, used for tokenizer
     merge candidates and boilerplate phrase lists.
 
+    The floor is SCALE-AWARE: ``GREATEST(5, nb_i DIV 10000)`` where
+    ``nb_i`` is the total bigram count, so every scale factor exercises
+    the PMI scoring (a fixed floor of 50 sat exactly at the sf0.01
+    distribution knee and made the driver check vacuous — VERDICT r5).
+    The floor divides an INTEGER total on both engines (DuckDB ``//`` and
+    Spark ``DIV`` both truncate non-negatives); a DOUBLE->INT cast here
+    would diverge because DuckDB rounds that cast while Spark truncates.
+
     Three aggregates over one tokenized relation (unigram counts, bigram
     counts, totals); the unigram table is vocabulary-sized and broadcasts
     onto the bigram stream; ranking is on the ROUNDED pmi with a bigram
-    tiebreak (SURVEY §5.3.5) via TakeOrderedAndProject.
+    tiebreak (SURVEY §5.3.5) via TakeOrderedAndProject. The floor filter
+    sits directly above the bigram aggregate (one 1-row broadcast below
+    it), so the vocabulary^2-bounded bigram table is pruned before the
+    unigram joins — the plan shape that survives a 100 TB corpus.
     """
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.expr(_W).alias("w"))
@@ -353,17 +365,21 @@ def llm_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i -> struct(element_at(w, i) AS t1, element_at(w, i+1) AS t2)) "
         "ELSE array() END"
     )
+    n_bg = (
+        tok.select(
+            F.greatest(F.expr("size(w) - 1"), F.lit(0)).alias("k")
+        ).agg(
+            F.sum("k").cast("double").alias("nb"),
+            F.sum("k").cast("bigint").alias("nb_i"),
+        )
+    )
     bg = (
         tok.select(F.explode(F.expr(bigrams)).alias("p"))
         .select("p.t1", "p.t2")
         .groupBy("t1", "t2")
         .agg(F.count(F.lit(1)).alias("c12"))
-        .filter(F.col("c12") >= 50)
-    )
-    n_bg = (
-        tok.select(
-            F.greatest(F.expr("size(w) - 1"), F.lit(0)).alias("k")
-        ).agg(F.sum("k").cast("double").alias("nb"))
+        .crossJoin(F.broadcast(n_bg))
+        .filter(F.col("c12") >= F.expr("GREATEST(5, nb_i DIV 10000)"))
     )
     u1 = uni.select(F.col("t").alias("t1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("t").alias("t2"), F.col("c").alias("c2"))
@@ -371,7 +387,6 @@ def llm_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         bg.join(F.broadcast(u1), "t1")
         .join(F.broadcast(u2), "t2")
         .crossJoin(F.broadcast(n_uni))
-        .crossJoin(F.broadcast(n_bg))
         .select(
             F.concat_ws(" ", "t1", "t2").alias("bigram"),
             "c12",
