@@ -57,6 +57,14 @@ def corrupted_sf(tmp_path_factory):
                       -- INVALID JSON: DuckDB json_* functions hard-error
                       -- without a json_valid guard; Spark returns NULL
                       WHEN event_id % 10 = 6 THEN '{{k: '
+                      -- VALID non-object JSON (ADVICE r5): DuckDB
+                      -- json_keys returns [] on these while Spark's
+                      -- from_json(map) parses them to a NULL map —
+                      -- consumers must gate on json_type = 'OBJECT'
+                      WHEN event_id % 20 = 7 THEN '42'
+                      WHEN event_id % 20 = 17 THEN 'true'
+                      WHEN event_id % 20 = 8 THEN '[1, 2]'
+                      WHEN event_id % 20 = 18 THEN 'null'
                       ELSE props END AS props
           FROM read_parquet('{SF_DIR}/events.parquet')
         ) TO '{d}/events.parquet' (FORMAT PARQUET)

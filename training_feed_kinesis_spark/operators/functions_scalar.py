@@ -233,9 +233,13 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
            {duck_json_int('props', '$.k')} AS k_value,
            -- keys SORTED (Spark side sorts; DuckDB json_keys is document
            -- order), json_valid-guarded (invalid JSON must be NULL, not an
-           -- error), and COALESCEd to '' for the legitimately-empty {{}}
-           -- payload (DuckDB array_to_string([]) is NULL, Spark '')
+           -- error), OBJECT-gated (valid scalar/array JSON like '42' or
+           -- '[1,2]' gives json_keys = [] here but a NULL map on the Spark
+           -- side — ADVICE r5), and COALESCEd to '' for the
+           -- legitimately-empty {{}} payload (DuckDB array_to_string([])
+           -- is NULL, Spark '')
            CASE WHEN props IS NULL OR NOT json_valid(props) THEN NULL
+                WHEN json_type(props) <> 'OBJECT' THEN NULL
                 ELSE COALESCE(
                        array_to_string(list_sort(json_keys(props)), ','), '')
            END AS prop_keys
@@ -250,7 +254,11 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     nulls the ENTIRE map in PERMISSIVE mode, losing the keys the oracle
     still sees — then the k value try_casts (garbage → NULL identically
     on both engines) and try_element_at tolerates the missing key that
-    ANSI element_at would throw on."""
+    ANSI element_at would throw on. VALID non-object JSON ('42',
+    '[1,2]', '"s"', 'null', 'true') parses to a NULL map here while
+    DuckDB's json_keys returns [] — the oracle gates on
+    json_type = 'OBJECT' to match (ADVICE r5), and the null-injection
+    fixture plants exactly those payloads."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
     m = F.from_json("props", "map<string,string>")
     return ev.select(

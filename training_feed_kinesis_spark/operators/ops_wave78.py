@@ -87,7 +87,15 @@ def ts_bollinger_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer half-up rounding; only full 7-day windows report.
 
     Scale shape: one day-grain aggregate, then a bounded trailing
-    window — partitionable by series key when monitoring many streams."""
+    window — partitionable by series key when monitoring many streams.
+
+    Overflow asymmetry (ADVICE r5): past the ~1e38 cap the engines fail
+    DIFFERENTLY — Spark's DECIMAL(38,0) arithmetic silently returns NULL
+    (allowPrecisionLoss default) making both breakout flags NULL/false,
+    while DuckDB's HUGEINT multiply hard-errors. Within the documented
+    bound (daily cents < ~1e18, i.e. daily revenue < ten quadrillion
+    dollars) both are exact; a pipeline ingesting unvalidated magnitudes
+    should put a dq bound on rev_cents upstream rather than widen here."""
     daily = _daily_cents(spark, sf_dir)
     w = Window.orderBy("day").rowsBetween(-6, 0)
     dec = "decimal(38,0)"

@@ -75,9 +75,12 @@ def _prepare(spark: SparkSession, sf_dir: str, variant: str) -> str:
     # pytest tmp fixture dirs reuse names across sessions (nullsf0, ...)
     # while their generated corruption changes — a name-only key once
     # replayed a previous session's events for a same-named fixture dir
+    # mtime at NANOSECOND granularity: two fixture generations within the
+    # same second with equal sizes (plausible for fixed-row deterministic
+    # corruption fixtures) must not collide (ADVICE r5)
     try:
         st = os.stat(os.path.join(sf_dir, "events.parquet"))
-        sf_tag += f"_{int(st.st_mtime)}_{st.st_size}"
+        sf_tag += f"_{st.st_mtime_ns}_{st.st_size}"
     except OSError:
         pass
     from ..operators.scans import SCRATCH
