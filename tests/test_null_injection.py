@@ -417,6 +417,164 @@ def test_order_sensitive_ops_survive_duplicate_ts(
     assert_matches_oracle(spec.fn(spark, dupts_sf), duck_dupts, spec.oracle)
 
 
+# --- relational-star corruption (VERDICT r5 item 5) -------------------------
+
+# Every declared §2.C (join) / §2.D (agg) key that reads orders/lineitem,
+# plus the TPC-H shapes that exercise the same star — the families the
+# payload-focused classes above never stressed.
+STAR_CONSUMERS = [
+    "join_inner",
+    "join_left",
+    "join_right",
+    "join_semi",
+    "join_anti",
+    "join_multiway",
+    "agg_basic",
+    "agg_stats",
+    "agg_cube",
+    "agg_grouping_sets",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "q18_large_volume",
+    "q21_waiting_supplier",
+]
+
+
+@pytest.fixture(scope="module")
+def star_nullkeys_sf(tmp_path_factory):
+    """Corruption class 1 — NULL keys in the star: 10% NULL o_custkey
+    (join key), NULL order/line group keys (o_orderstatus,
+    o_orderpriority, l_returnflag, l_linestatus), and a sliver of NULL
+    l_shipdate (filter column). Joins must drop NULL keys identically on
+    both engines; GROUP BY must keep the NULL group; filters are
+    two-valued over NULL on both sides."""
+    d = tmp_path_factory.mktemp("starnullsf")
+    for t in TABLES:
+        if t not in ("orders", "lineitem"):
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_custkey END
+              AS o_custkey,
+            CASE WHEN o_orderkey % 20 = 1 THEN NULL ELSE o_orderstatus END
+              AS o_orderstatus,
+            CASE WHEN o_orderkey % 20 = 2 THEN NULL ELSE o_orderpriority
+              END AS o_orderpriority)
+          FROM read_parquet('{SF_DIR}/orders.parquet')
+        ) TO '{d}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN l_orderkey % 10 = 3 THEN NULL ELSE l_returnflag END
+              AS l_returnflag,
+            CASE WHEN l_orderkey % 20 = 4 THEN NULL ELSE l_linestatus END
+              AS l_linestatus,
+            CASE WHEN (l_orderkey + l_linenumber) % 25 = 5 THEN NULL
+                 ELSE l_shipdate END AS l_shipdate)
+          FROM read_parquet('{SF_DIR}/lineitem.parquet')
+        ) TO '{d}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_star_nullkeys(star_nullkeys_sf):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{star_nullkeys_sf}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", STAR_CONSUMERS)
+def test_star_ops_survive_null_keys(
+    key, spark, registry, star_nullkeys_sf, duck_star_nullkeys
+):
+    spec = registry[key]
+    assert spec.oracle is not None, key
+    assert_matches_oracle(
+        spec.fn(spark, star_nullkeys_sf), duck_star_nullkeys, spec.oracle
+    )
+
+
+@pytest.fixture(scope="module")
+def star_dirty_sf(tmp_path_factory):
+    """Corruption class 2 — duplicated primary keys and negative
+    measures: ~3% of orders and lineitem rows re-inserted verbatim
+    (duplicate o_orderkey / (l_orderkey, l_linenumber)), plus negated
+    o_totalprice / l_quantity / l_extendedprice on disjoint slivers.
+    Join multiplicities and SUM/AVG over signed values must agree."""
+    d = tmp_path_factory.mktemp("stardirtysf")
+    for t in TABLES:
+        if t not in ("orders", "lineitem"):
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN o_orderkey % 13 = 1 THEN -o_totalprice
+                 ELSE o_totalprice END AS o_totalprice)
+          FROM (
+            SELECT * FROM read_parquet('{SF_DIR}/orders.parquet')
+            UNION ALL
+            SELECT * FROM read_parquet('{SF_DIR}/orders.parquet')
+            WHERE o_orderkey % 31 = 0
+          )
+        ) TO '{d}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN l_orderkey % 11 = 2 THEN -l_quantity
+                 ELSE l_quantity END AS l_quantity,
+            CASE WHEN l_orderkey % 17 = 3 THEN -l_extendedprice
+                 ELSE l_extendedprice END AS l_extendedprice)
+          FROM (
+            SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')
+            UNION ALL
+            SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')
+            WHERE l_orderkey % 37 = 0
+          )
+        ) TO '{d}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_star_dirty(star_dirty_sf):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{star_dirty_sf}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", STAR_CONSUMERS)
+def test_star_ops_survive_dup_pk_and_negatives(
+    key, spark, registry, star_dirty_sf, duck_star_dirty
+):
+    spec = registry[key]
+    assert spec.oracle is not None, key
+    assert_matches_oracle(
+        spec.fn(spark, star_dirty_sf), duck_star_dirty, spec.oracle
+    )
+
+
 def test_no_plain_cast_on_json_extraction_anywhere():
     """Regression lint for the hardening campaign: a plain CAST chained
     onto a JSON extraction is the exact pattern that crashes (ANSI Spark)

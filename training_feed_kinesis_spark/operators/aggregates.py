@@ -30,46 +30,76 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan → sargable filter (pushed to parquet) → derived columns → hash agg
     → sort. Exercises the whole relational core in one plan; Catalyst keeps
     it a single shuffle (partial agg map-side, final agg post-shuffle).
+
+    Money arithmetic runs in EXACT INTEGER CENTS: the source columns are
+    2-decimal (verified to float epsilon at every sf), so each term
+    cents·(100−d)·(100+t) is an exact integer, summed in DECIMAL(38,0)
+    (order-independent, overflow-safe past 10¹⁰ rows where a BIGINT sum
+    of ~1e11-cent³ terms would wrap), and divided back to dollars once at
+    the end. A double SUM here is order-dependent across engines and a
+    round-5 star-corruption fixture landed one group's sum exactly on the
+    ROUND(,4) half-digit boundary — the last float-hash-divergence class
+    the flagship carried.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    cents = "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+    d100 = "CAST(ROUND(l_discount * 100, 0) AS BIGINT)"
+    t100 = "CAST(ROUND(l_tax * 100, 0) AS BIGINT)"
+    dec = "DECIMAL(38,0)"
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            F.expr("ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE), 4)").alias("sum_qty"),
+            F.expr(f"ROUND(CAST(SUM(CAST({cents} AS {dec})) AS DOUBLE) / 100.0, 4)").alias("sum_base_price"),
+            F.expr(
+                f"ROUND(CAST(SUM(CAST({cents} * (100 - {d100}) AS {dec})) AS DOUBLE) / 10000.0, 4)"
             ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                4,
+            F.expr(
+                f"ROUND(CAST(SUM(CAST({cents} * (100 - {d100}) * (100 + {t100}) AS {dec})) AS DOUBLE) / 1000000.0, 4)"
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.expr(
+                "ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*), 4)"
+            ).alias("avg_qty"),
+            F.expr(
+                f"ROUND(CAST(SUM(CAST({cents} AS {dec})) AS DOUBLE) / 100.0 / COUNT(*), 4)"
+            ).alias("avg_price"),
+            F.expr(
+                f"ROUND(CAST(SUM({d100}) AS DOUBLE) / 100.0 / COUNT(*), 4)"
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
+# The oracle mirrors the integer-cents spelling term for term. DuckDB's
+# CAST(double AS BIGINT) rounds where Spark's truncates — harmless here
+# ONLY because every cast operand is ROUND(x*100, 0), an exact integral
+# double, never a fractional one. DuckDB SUM(BIGINT) widens to HUGEINT
+# (same exactness as the Spark side's DECIMAL(38,0)); the final /100.0
+# divisions are fixed-order double ops, deterministic on both engines.
 FLAGSHIP_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
-  ROUND(SUM(l_quantity), 4)                                       AS sum_qty,
-  ROUND(SUM(l_extendedprice), 4)                                  AS sum_base_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)               AS sum_disc_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-  ROUND(AVG(l_quantity), 4)                                       AS avg_qty,
-  ROUND(AVG(l_extendedprice), 4)                                  AS avg_price,
-  ROUND(AVG(l_discount), 4)                                       AS avg_disc,
-  COUNT(*)                                                        AS count_order
+  ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE), 4) AS sum_qty,
+  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+        / 100.0, 4) AS sum_base_price,
+  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+        AS DOUBLE) / 10000.0, 4) AS sum_disc_price,
+  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+                 * (100 + CAST(ROUND(l_tax * 100, 0) AS BIGINT)))
+        AS DOUBLE) / 1000000.0, 4) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*), 4)
+    AS avg_qty,
+  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+        / 100.0 / COUNT(*), 4) AS avg_price,
+  ROUND(CAST(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS DOUBLE)
+        / 100.0 / COUNT(*), 4) AS avg_disc,
+  COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
