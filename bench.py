@@ -141,8 +141,10 @@ def main() -> None:
     if benches:
         try:
             with open(benches[-1]) as f:
-                prev = json.load(f).get("queries", {}) or {}
-        except (OSError, ValueError):
+                doc = json.load(f)
+            # the driver wraps our JSON line under "parsed"
+            prev = (doc.get("parsed") or doc).get("queries", {}) or {}
+        except (OSError, ValueError, AttributeError):
             prev = {}
     retried: dict[str, int] = {}
     n_retries = int(os.environ.get("TFK_BENCH_RETRIES", "3"))

@@ -32,77 +32,96 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     it a single shuffle (partial agg map-side, final agg post-shuffle).
 
     Money arithmetic runs in EXACT INTEGER CENTS: the source columns are
-    2-decimal (verified to float epsilon at every sf), so each term
-    cents·(100−d)·(100+t) is an exact integer, summed in DECIMAL(38,0)
-    (order-independent, overflow-safe past 10¹⁰ rows where a BIGINT sum
-    of ~1e11-cent³ terms would wrap), and divided back to dollars once at
-    the end. A double SUM here is order-dependent across engines and a
-    round-5 star-corruption fixture landed one group's sum exactly on the
-    ROUND(,4) half-digit boundary — the last float-hash-divergence class
-    the flagship carried.
+    2-decimal (verified to float epsilon at every sf), so the disc/charge
+    terms expand to integer component sums — S0=Σcents, Sd=Σcents·d100,
+    St=Σcents·t100, Sdt=Σcents·d100·t100 — each a plain BIGINT sum
+    (Tungsten long-add fast path; measured +35% vs the double sums where
+    a single DECIMAL(38,0) accumulator cost +71%), recombined POST-AGG on
+    the handful of group rows in DECIMAL(38,0) (where 10000·S0 may exceed
+    int64) and divided back to dollars once. Overflow headroom per
+    component at d100≤10, t100≤8, cents≤1.05e7: the largest (Sdt ≤
+    8.4e8/row) fits int64 past 10¹⁰ rows (~1 PB of lineitem), and ANSI
+    mode makes any excess a loud error, never a wrap. A double SUM here
+    is order-dependent across engines, and a round-5 star-corruption
+    fixture landed one group's sum exactly on the ROUND(,4) half-digit
+    boundary — the last float-hash-divergence class the flagship carried.
     """
     li = load_table(spark, sf_dir, "lineitem")
     cents = "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
     d100 = "CAST(ROUND(l_discount * 100, 0) AS BIGINT)"
     t100 = "CAST(ROUND(l_tax * 100, 0) AS BIGINT)"
-    dec = "DECIMAL(38,0)"
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.expr("ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE), 4)").alias("sum_qty"),
-            F.expr(f"ROUND(CAST(SUM(CAST({cents} AS {dec})) AS DOUBLE) / 100.0, 4)").alias("sum_base_price"),
-            F.expr(
-                f"ROUND(CAST(SUM(CAST({cents} * (100 - {d100}) AS {dec})) AS DOUBLE) / 10000.0, 4)"
-            ).alias("sum_disc_price"),
-            F.expr(
-                f"ROUND(CAST(SUM(CAST({cents} * (100 - {d100}) * (100 + {t100}) AS {dec})) AS DOUBLE) / 1000000.0, 4)"
-            ).alias("sum_charge"),
-            F.expr(
-                "ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*), 4)"
-            ).alias("avg_qty"),
-            F.expr(
-                f"ROUND(CAST(SUM(CAST({cents} AS {dec})) AS DOUBLE) / 100.0 / COUNT(*), 4)"
-            ).alias("avg_price"),
-            F.expr(
-                f"ROUND(CAST(SUM({d100}) AS DOUBLE) / 100.0 / COUNT(*), 4)"
-            ).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.expr("SUM(CAST(l_quantity AS BIGINT))").alias("sq"),
+            F.expr(f"SUM({cents})").alias("s0"),
+            F.expr(f"SUM({cents} * {d100})").alias("sd"),
+            F.expr(f"SUM({cents} * {t100})").alias("st"),
+            F.expr(f"SUM({cents} * {d100} * {t100})").alias("sdt"),
+            F.expr(f"SUM({d100})").alias("sdisc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .selectExpr(
+            "l_returnflag",
+            "l_linestatus",
+            "ROUND(CAST(sq AS DOUBLE), 4) AS sum_qty",
+            "ROUND(CAST(s0 AS DOUBLE) / 100.0, 4) AS sum_base_price",
+            "ROUND(CAST(CAST(s0 AS DECIMAL(38,0)) * 100 - sd AS DOUBLE)"
+            " / 10000.0, 4) AS sum_disc_price",
+            "ROUND(CAST(CAST(s0 AS DECIMAL(38,0)) * 10000"
+            " + CAST(st AS DECIMAL(38,0)) * 100"
+            " - CAST(sd AS DECIMAL(38,0)) * 100 - sdt AS DOUBLE)"
+            " / 1000000.0, 4) AS sum_charge",
+            "ROUND(CAST(sq AS DOUBLE) / n, 4) AS avg_qty",
+            "ROUND(CAST(s0 AS DOUBLE) / 100.0 / n, 4) AS avg_price",
+            "ROUND(CAST(sdisc AS DOUBLE) / 100.0 / n, 4) AS avg_disc",
+            "n AS count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
-# The oracle mirrors the integer-cents spelling term for term. DuckDB's
-# CAST(double AS BIGINT) rounds where Spark's truncates — harmless here
-# ONLY because every cast operand is ROUND(x*100, 0), an exact integral
-# double, never a fractional one. DuckDB SUM(BIGINT) widens to HUGEINT
-# (same exactness as the Spark side's DECIMAL(38,0)); the final /100.0
-# divisions are fixed-order double ops, deterministic on both engines.
+# The oracle mirrors the integer-cents component spelling term for term.
+# DuckDB's CAST(double AS BIGINT) rounds where Spark's truncates —
+# harmless here ONLY because every cast operand is ROUND(x*100, 0), an
+# exact integral double, never a fractional one. DuckDB SUM(BIGINT)
+# widens to HUGEINT, so the post-agg recombination needs no explicit
+# DECIMAL cast there; both engines cast the same exact integer to DOUBLE
+# (IEEE nearest) and run the same fixed-order divisions.
 FLAGSHIP_ORACLE = """
+WITH comp AS (
+  SELECT
+    l_returnflag,
+    l_linestatus,
+    SUM(CAST(l_quantity AS BIGINT)) AS sq,
+    SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS s0,
+    SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+        * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS sd,
+    SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+        * CAST(ROUND(l_tax * 100, 0) AS BIGINT)) AS st,
+    SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+        * CAST(ROUND(l_discount * 100, 0) AS BIGINT)
+        * CAST(ROUND(l_tax * 100, 0) AS BIGINT)) AS sdt,
+    SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS sdisc,
+    COUNT(*) AS n
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
 SELECT
   l_returnflag,
   l_linestatus,
-  ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE), 4) AS sum_qty,
-  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
-        / 100.0, 4) AS sum_base_price,
-  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-                 * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
-        AS DOUBLE) / 10000.0, 4) AS sum_disc_price,
-  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-                 * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
-                 * (100 + CAST(ROUND(l_tax * 100, 0) AS BIGINT)))
-        AS DOUBLE) / 1000000.0, 4) AS sum_charge,
-  ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*), 4)
-    AS avg_qty,
-  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
-        / 100.0 / COUNT(*), 4) AS avg_price,
-  ROUND(CAST(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS DOUBLE)
-        / 100.0 / COUNT(*), 4) AS avg_disc,
-  COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
+  ROUND(CAST(sq AS DOUBLE), 4) AS sum_qty,
+  ROUND(CAST(s0 AS DOUBLE) / 100.0, 4) AS sum_base_price,
+  ROUND(CAST(s0 * 100 - sd AS DOUBLE) / 10000.0, 4) AS sum_disc_price,
+  ROUND(CAST(s0 * 10000 + st * 100 - sd * 100 - sdt AS DOUBLE)
+        / 1000000.0, 4) AS sum_charge,
+  ROUND(CAST(sq AS DOUBLE) / n, 4) AS avg_qty,
+  ROUND(CAST(s0 AS DOUBLE) / 100.0 / n, 4) AS avg_price,
+  ROUND(CAST(sdisc AS DOUBLE) / 100.0 / n, 4) AS avg_disc,
+  n AS count_order
+FROM comp
 ORDER BY l_returnflag, l_linestatus
 """
 
