@@ -65,6 +65,12 @@ def corrupted_sf(tmp_path_factory):
                       WHEN event_id % 20 = 17 THEN 'true'
                       WHEN event_id % 20 = 8 THEN '[1, 2]'
                       WHEN event_id % 20 = 18 THEN 'null'
+                      -- unquoted NaN: valid JSON to DuckDB (json_keys
+                      -- sees 'k'); Spark's from_json re-renders the
+                      -- value as the quoted text '"NaN"' but keeps the
+                      -- key — keys agree, and the numeral gates NULL
+                      -- the value on both engines (probe round 6)
+                      WHEN event_id % 20 = 9 THEN '{{"k": NaN}}'
                       ELSE props END AS props
           FROM read_parquet('{SF_DIR}/events.parquet')
         ) TO '{d}/events.parquet' (FORMAT PARQUET)
@@ -598,6 +604,17 @@ def test_no_plain_cast_on_json_extraction_anywhere():
             rf"json_extract(?:_string)?\({_args}\)\s*::", re.IGNORECASE
         ),
     ]
+    # round-6 extension: even TRY_CAST is divergent when chained RAW onto
+    # an extraction (DuckDB rounds '3.9'→4, accepts '1e3' and '1_000');
+    # every numeric extraction must go through the regex-gated shared
+    # spellings in _json_compat, where these patterns are allowed to live
+    ungated_pats = [
+        re.compile(r"TRY_CAST\(\s*json_extract", re.IGNORECASE),
+        re.compile(
+            rf"get_json_object\({_args}\)\s*\.\s*try_cast\(",
+            re.MULTILINE | re.DOTALL,
+        ),
+    ]
     for f in sorted(ops.rglob("*.py")):
         src = f.read_text()
         for m in spark_pat.finditer(src):
@@ -607,4 +624,90 @@ def test_no_plain_cast_on_json_extraction_anywhere():
                 offenders.append(
                     f"{f.name}: {m.group(0)[:60]!r} (use TRY_CAST)"
                 )
+        if f.name == "_json_compat.py":
+            continue
+        for p in ungated_pats:
+            for m in p.finditer(src):
+                offenders.append(
+                    f"{f.name}: {m.group(0)[:60]!r}"
+                    " (use the _json_compat gated spellings)"
+                )
     assert not offenders, offenders
+
+
+# Payloads reproducing every probe-verified double/string divergence
+# (round 6): DuckDB TRY_CAST rounds/accepts where Spark NULLs
+# ('1_000'), unquoted NaN/Infinity are valid JSON only to DuckDB,
+# DuckDB re-renders JSON numbers ('1e3'→'1000.0', big int → '...0.0')
+# while Spark returns raw tokens, and both engines accept non-finite
+# and whitespace/sign-lenient numerals that must never reach a cast.
+ADVERSARIAL_JSON = [
+    '{"k": 3.9}',
+    '{"k": "3.9"}',
+    '{"k": 1e3}',
+    '{"k": "1e3"}',
+    '{"k": NaN}',
+    '{"k": "NaN"}',
+    '{"k": Infinity}',
+    '{"k": "-Infinity"}',
+    '{"k": "1_000"}',
+    '{"k": 100000000000000000000}',
+    '{"k": -0.0}',
+    '{"k": 1.50}',
+    '{"k": "abc"}',
+    '{"k": ""}',
+    '{"k": "+5"}',
+    '{"k": " 5 "}',
+    '{"k": "5."}',
+    '{"k": ".5"}',
+    '{"k": true}',
+    '{"k": null}',
+    '{"k": [1, 2]}',
+    '{"k": {"a": 1}}',
+    '{k: ',
+    "{}",
+    None,
+]
+
+
+def test_json_double_and_string_spellings_cross_engine(spark):
+    """The shared double/string spellings must agree cell-for-cell on
+    every adversarial payload — including the ones where the engines'
+    RAW extractions demonstrably differ."""
+    import math
+
+    from training_feed_kinesis_spark.operators._json_compat import (
+        duck_json_double,
+        duck_json_string,
+        spark_json_double,
+        spark_json_string,
+    )
+
+    rows = [(i, p) for i, p in enumerate(ADVERSARIAL_JSON)]
+    df = spark.createDataFrame(rows, "id int, j string")
+    got = {
+        r.id: (r.d, r.s)
+        for r in df.select(
+            "id",
+            spark_json_double("j", "$.k").alias("d"),
+            spark_json_string("j", "$.k").alias("s"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id INT, j VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    exp = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"SELECT id, {duck_json_double('j', '$.k')} AS d,"
+            f" {duck_json_string('j', '$.k')} AS s FROM t"
+        ).fetchall()
+    }
+    for i, payload in rows:
+        sd, ss = got[i]
+        dd, ds = exp[i]
+        assert sd is None or math.isfinite(sd), (payload, sd)
+        assert sd == dd or (sd is None and dd is None), (payload, sd, dd)
+        assert ss == ds, (payload, ss, ds)
+    # non-vacuity: the gates must actually pass real values through
+    assert got[0][0] == 3.9 and got[12][1] == "abc"

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
-from ._json_compat import INT_RE, duck_json_int, spark_json_int
+from ._json_compat import (INT_RE, duck_json_int, duck_json_string, spark_json_int, spark_json_string)
 
 CAT = "2.H scalar functions"
 
@@ -282,12 +282,9 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT,
     f"""
     SELECT event_id,
-           CASE WHEN json_valid(props)
-                THEN json_extract_string(props, '$.k') END AS k_str,
+           {duck_json_string('props', '$.k')} AS k_str,
            {duck_json_int('props', '$.k')} AS k_int,
-           CASE WHEN json_valid(props)
-                THEN json_extract_string(props, '$.missing') END
-             AS missing_attr
+           {duck_json_string('props', '$.missing')} AS missing_attr
     FROM events WHERE event_type = 'error'
     """,
 )
@@ -295,13 +292,17 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRY_CAST, not CAST, on the extracted value: a non-numeric payload
     must yield NULL identically on both engines (plain CAST errors under
     ANSI Spark AND DuckDB — but not identically; tests/test_null_injection
-    replays exactly that corruption)."""
+    replays exactly that corruption). k_str goes through the shared
+    STRING spelling (_json_compat): the engines' raw extractions differ
+    on non-string scalars (unquoted NaN → 'NaN' on DuckDB, NULL on
+    Spark — the round-6 fixture arm that caught this), so only
+    unambiguously stringy scalars pass as text."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").alias("k_str"),
+        spark_json_string("props", "$.k").alias("k_str"),
         spark_json_int("props", "$.k").alias("k_int"),
-        F.get_json_object("props", "$.missing").alias("missing_attr"),
+        spark_json_string("props", "$.missing").alias("missing_attr"),
     )
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
+from ._json_compat import duck_json_int, spark_json_int
 
 CAT_AGG = "2.D aggregations"
 CAT_FN = "2.H scalar functions"
@@ -121,10 +122,13 @@ def fn_datetime_make(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            json_array_length(arr)::INT AS arr_len,
-           TRY_CAST(json_extract_string(arr, '$[0]') AS BIGINT) AS first_el,
-           TRY_CAST(json_extract_string(arr, '$[2]') AS BIGINT) AS third_el
+           {first} AS first_el,
+           {third} AS third_el
     FROM j
-    """,
+    """.format(
+        first=duck_json_int("arr", "$[0]", "BIGINT"),
+        third=duck_json_int("arr", "$[2]", "BIGINT"),
+    ),
 )
 def fn_json_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON array handling: length + positional path access over a
@@ -148,10 +152,10 @@ def fn_json_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "doc_id",
         F.json_array_length("arr").alias("arr_len"),
-        # try_cast per the extraction-hardening lint: arr is synthesized
+        # shared integer-gated spelling (_json_compat): arr is synthesized
         # here so garbage can't occur today, but the discipline is uniform
-        F.get_json_object("arr", "$[0]").try_cast("bigint").alias("first_el"),
-        F.get_json_object("arr", "$[2]").try_cast("bigint").alias("third_el"),
+        spark_json_int("arr", "$[0]", "bigint").alias("first_el"),
+        spark_json_int("arr", "$[2]", "bigint").alias("third_el"),
     )
 
 
