@@ -581,6 +581,50 @@ def test_star_ops_survive_dup_pk_and_negatives(
     )
 
 
+# --- planted PII redaction proof (wave 95) ----------------------------------
+
+
+@pytest.fixture(scope="module")
+def pii_docs_sf(tmp_path_factory):
+    """10% of documents get a seeded email + phone appended — the clean
+    corpus has neither, so without this fixture llm_pii_redact_apply's
+    green would only prove both engines agree on a no-op."""
+    d = tmp_path_factory.mktemp("piidocs")
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN doc_id % 10 = 0
+                 THEN text || ' Contact alice.smith+test@example-mail.org'
+                          || ' or call +1 (415) 555-0137 today.'
+                 ELSE text END AS text)
+          FROM read_parquet('{SF_DIR}/documents.parquet')
+        ) TO '{d}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+def test_pii_redact_fires_and_matches_on_planted_docs(
+    spark, registry, pii_docs_sf
+):
+    spec = registry["llm_pii_redact_apply"]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{pii_docs_sf}/{t}.parquet')"
+        )
+    df = spec.fn(spark, pii_docs_sf)
+    assert_matches_oracle(df, con, spec.oracle)
+    hits = df.filter("n_email > 0 AND n_phone > 0").count()
+    assert hits > 0, "planted PII must fire both kernels"
+    con.close()
+
+
 def test_no_plain_cast_on_json_extraction_anywhere():
     """Regression lint for the hardening campaign: a plain CAST chained
     onto a JSON extraction is the exact pattern that crashes (ANSI Spark)
