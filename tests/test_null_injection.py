@@ -443,7 +443,30 @@ STAR_CONSUMERS = [
     "q10_returned_items",
     "q18_large_volume",
     "q21_waiting_supplier",
+    # wave-95 DQ censuses: must not just survive the corrupted star but
+    # MEASURE it (detection proofs below)
+    "dq_orphan_census",
+    "dq_duplicate_pk_census",
 ]
+
+
+def test_star_censuses_detect_planted_corruption(
+    spark, registry, star_nullkeys_sf, star_dirty_sf
+):
+    """The wave-95 audits must fire on exactly the corruption each
+    fixture plants: NULL o_custkey rows show up as n_null_key on the
+    orders->customer edge; re-inserted PK rows show up as dup_excess
+    with multiplicity 2."""
+    orphan = registry["dq_orphan_census"].fn(spark, star_nullkeys_sf)
+    edge = {r.edge: r for r in orphan.collect()}
+    assert edge["orders->customer"].n_null_key > 0
+    assert edge["lineitem->orders"].n_child > 0
+    dup = registry["dq_duplicate_pk_census"].fn(spark, star_dirty_sf)
+    rows = {r.tbl: r for r in dup.collect()}
+    assert rows["orders"].dup_excess > 0
+    assert rows["orders"].max_multiplicity == 2
+    assert rows["lineitem"].dup_excess > 0
+    assert rows["customer"].dup_excess == 0
 
 
 @pytest.fixture(scope="module")

@@ -221,10 +221,14 @@ def dq_orphan_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_orphan"),
         )
+        # childless counts parent ROWS, not distinct keys: under a
+        # duplicated parent PK every copy of an unreferenced row is
+        # wasted broadcast memory, and the dup-PK star fixture holds the
+        # two spellings apart (caught as a 27-vs-28 divergence in CI)
         childless = (
-            pkeys.join(
+            parent.join(
                 child.filter(F.col("k").isNotNull()).distinct(),
-                pkeys.pk == F.col("k"),
+                parent.pk == F.col("k"),
                 "left_anti",
             )
             .agg(F.count(F.lit(1)).alias("n_childless_parent"))
