@@ -440,6 +440,9 @@ STAR_CONSUMERS = [
     "agg_cube",
     "agg_grouping_sets",
     "q3_shipping_priority",
+    "q5_local_supplier",
+    "q8_market_share",
+    "q9_product_profit",
     "q10_returned_items",
     "q18_large_volume",
     "q21_waiting_supplier",
