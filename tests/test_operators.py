@@ -28,12 +28,16 @@ def test_operator(key, spark, duck):
         assert len(df.columns) > 0
 
 
-def test_bigram_pmi_non_vacuous(spark):
+@pytest.mark.parametrize(
+    "sf_dir", [SF_DIR, "/root/testdata/sf0.01"], ids=["testsf", "sf0.01"]
+)
+def test_bigram_pmi_non_vacuous(spark, sf_dir):
     """The PMI count floor is scale-aware (GREATEST(5, nb_i DIV 10000));
     a fixed floor of 50 once sat exactly at the sf0.01 distribution knee
     and made the driver's green vacuous (VERDICT r5 item 4). Assert the
-    scoring is actually exercised: non-empty result with finite PMI."""
-    df = _REGISTRY["llm_bigram_pmi"].fn(spark, SF_DIR)
+    scoring is actually exercised at BOTH the test sf and the driver's
+    sf0.01: non-empty result with finite PMI."""
+    df = _REGISTRY["llm_bigram_pmi"].fn(spark, sf_dir)
     rows = df.collect()
     assert len(rows) > 0, "scale-aware floor must leave qualifying bigrams"
     assert all(r.pmi is not None for r in rows)
