@@ -590,3 +590,32 @@ def test_reservoir_sample_is_partial_topk_not_global_sort(spark, registry):
     plan = _plan(registry["sample_reservoir_fixedk"].fn(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "key,read_schema",
+    [
+        ("dq_payload_type_census", "struct<event_type:string,props:string>"),
+        ("sample_poisson_bootstrap", "struct<o_orderkey:bigint,o_totalprice:double>"),
+        ("vec_hnsw_level_plan", "struct<vec_id:bigint>"),
+        ("llm_truncation_loss", "struct<text:string>"),
+    ],
+)
+def test_wave95_census_ops_are_single_scan_map_side(
+    spark, registry, key, read_schema
+):
+    """Wave-95 census/manifest ops: the load-bearing scale property is
+    ONE pruned scan feeding a map-side-combinable aggregate — no join of
+    fact-scale inputs, no cartesian, and a ReadSchema that proves column
+    pruning reached parquet (a census that drags the full row width is
+    wrong at 100 TB even if the answer is right). llm_truncation_loss's
+    3-row context-length grid may appear as a broadcast nested-loop
+    explode; nothing else may join."""
+    plan = _plan(registry[key].fn(spark, SF_DIR))
+    assert "HashAggregate" in plan, plan  # partial+final, map-side combine
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    if key != "llm_truncation_loss":
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert f"ReadSchema: {read_schema}" in plan, plan
