@@ -240,8 +240,12 @@ def gen_having_query(seed: int) -> str:
         [
             f"COUNT(*) > {rng.randint(1, 40)}",
             f"COUNT(*) BETWEEN {rng.randint(1, 5)} AND {rng.randint(20, 200)}",
-            # integer-valued double sums are exact in IEEE — boundary-safe
-            f"SUM(CAST({agg_col} AS INT)) > {rng.randint(10, 2000)}",
+            # FLOOR before the cast: bare CAST(double AS INT) DIVERGES
+            # (Spark truncates toward zero, DuckDB rounds to nearest —
+            # r6 deep-fuzz seed 24 caught a group crossing the HAVING
+            # threshold in one engine only); floored integer-valued
+            # double sums are exact in IEEE and engine-identical
+            f"SUM(CAST(FLOOR({agg_col}) AS BIGINT)) > {rng.randint(10, 2000)}",
         ]
     )
     return (
