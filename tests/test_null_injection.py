@@ -607,6 +607,123 @@ def test_star_ops_survive_dup_pk_and_negatives(
     )
 
 
+# Corruption class 3 (round 6) — DIMENSION corruption. Classes 1-2 only
+# dirtied the fact tables; the dim side has its own failure surface:
+# deleted parents create true ORPHANS (the only fixture that fires
+# n_orphan > 0), duplicated dim PKs amplify join multiplicity on the
+# BUILD side (a different plan path than fact dups), and NULL dim
+# attributes land in group keys (c_mktsegment) / LIKE predicates
+# (p_type) / FK edges (c_nationkey, s_nationkey).
+DIM_CONSUMERS = STAR_CONSUMERS + [
+    "q7_volume_shipping",  # supplier + nation x2 consumers
+    "q13_order_distribution",  # customer left-join distribution
+    "q14_promo_revenue",  # p_type LIKE inside conditional agg
+]
+
+
+@pytest.fixture(scope="module")
+def star_dimcorrupt_sf(tmp_path_factory):
+    """Customer: ~5% of rows DELETED (orders orphaned), NULL
+    c_mktsegment / c_nationkey slivers, ~2% duplicated c_custkey.
+    Supplier: NULL s_nationkey sliver, duplicated s_suppkey. Part:
+    NULL p_type sliver, duplicated p_partkey. Facts stay clean — the
+    divergence risk under test is entirely on the dim side."""
+    d = tmp_path_factory.mktemp("stardimsf")
+    for t in TABLES:
+        if t not in ("customer", "supplier", "part"):
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN c_custkey % 23 = 3 THEN NULL ELSE c_mktsegment END
+              AS c_mktsegment,
+            CASE WHEN c_custkey % 29 = 5 THEN NULL ELSE c_nationkey END
+              AS c_nationkey)
+          FROM (
+            SELECT * FROM read_parquet('{SF_DIR}/customer.parquet')
+            WHERE c_custkey % 19 <> 7  -- deleted parents => orphans
+            UNION ALL
+            SELECT * FROM read_parquet('{SF_DIR}/customer.parquet')
+            WHERE c_custkey % 19 <> 7 AND c_custkey % 41 = 11
+          )
+        ) TO '{d}/customer.parquet' (FORMAT PARQUET)
+        """
+    )
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN s_suppkey % 13 = 4 THEN NULL ELSE s_nationkey END
+              AS s_nationkey)
+          FROM (
+            SELECT * FROM read_parquet('{SF_DIR}/supplier.parquet')
+            UNION ALL
+            SELECT * FROM read_parquet('{SF_DIR}/supplier.parquet')
+            WHERE s_suppkey % 7 = 2
+          )
+        ) TO '{d}/supplier.parquet' (FORMAT PARQUET)
+        """
+    )
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN p_partkey % 11 = 6 THEN NULL ELSE p_type END
+              AS p_type)
+          FROM (
+            SELECT * FROM read_parquet('{SF_DIR}/part.parquet')
+            UNION ALL
+            SELECT * FROM read_parquet('{SF_DIR}/part.parquet')
+            WHERE p_partkey % 43 = 9
+          )
+        ) TO '{d}/part.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_star_dimcorrupt(star_dimcorrupt_sf):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{star_dimcorrupt_sf}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", DIM_CONSUMERS)
+def test_star_ops_survive_dim_corruption(
+    key, spark, registry, star_dimcorrupt_sf, duck_star_dimcorrupt
+):
+    spec = registry[key]
+    assert spec.oracle is not None, key
+    assert_matches_oracle(
+        spec.fn(spark, star_dimcorrupt_sf), duck_star_dimcorrupt, spec.oracle
+    )
+
+
+def test_star_censuses_detect_dim_corruption(
+    spark, registry, star_dimcorrupt_sf
+):
+    """The dim fixture must fire the one orphan-census counter no other
+    fixture reaches (true orphans from deleted parents) plus the
+    NULL-FK and dup-dim-PK counters."""
+    orphan = registry["dq_orphan_census"].fn(spark, star_dimcorrupt_sf)
+    edge = {r.edge: r for r in orphan.collect()}
+    assert edge["orders->customer"].n_orphan > 0  # deleted parents
+    assert edge["customer->nation"].n_null_key > 0  # NULL c_nationkey
+    assert edge["orders->customer"].n_null_key == 0  # facts untouched
+    dup = registry["dq_duplicate_pk_census"].fn(spark, star_dimcorrupt_sf)
+    rows = {r.tbl: r for r in dup.collect()}
+    assert rows["customer"].dup_excess > 0
+    assert rows["customer"].max_multiplicity == 2
+    assert rows["orders"].dup_excess == 0
+
+
 # --- planted PII redaction proof (wave 95) ----------------------------------
 
 

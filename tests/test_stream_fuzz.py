@@ -20,8 +20,17 @@ Two split regimes, matched to each operator's invariance contract:
   unseen row, REGARDLESS of where the batch boundaries fall. That
   boundary-independence is the property under test.
 
-20 seeded splits total (5 seeds × 4 keys), each compared to the DuckDB
-oracle on the clean corpus.
+45 seeded splits total (5 seeds × 9 keys), each compared to the DuckDB
+oracle on the clean corpus. The round-6 extension widens the matrix to
+every oracled replay consumer whose invariance contract is clean:
+complete-mode aggregations (sliding windows, windowed top-k, the
+stream-static enrichment join — the join itself is stateless, so ANY
+batching feeds the same rows to the complete-mode agg), the chained
+append-mode double aggregation (ordered chunking + far-future sentinel:
+the multi-stateful-operator pipeline finalizes identically wherever the
+cuts fall), and the watermark-bounded dedup under doubled redelivery
+(the 400-day delay covers the corpus span, so first-seen election is
+batching-independent by construction).
 """
 
 from __future__ import annotations
@@ -46,6 +55,12 @@ FUZZ_KEYS = {
     "stream_dedup": ("doubled", "any"),
     "stream_cdc_merge": ("ordered", "any"),
     "stream_session": ("ordered", "chunked"),
+    # round-6 extension: the remaining clean-contract replay consumers
+    "stream_sliding": ("ordered", "any"),  # complete-mode agg
+    "stream_topk_windowed": ("ordered", "any"),  # complete-mode agg + batch rank
+    "join_stream_static": ("ordered", "any"),  # stateless join → complete agg
+    "stream_chained_aggs": ("ordered", "chunked"),  # append mode: needs order
+    "stream_dedup_watermark": ("doubled", "any"),  # 400d delay ⊇ corpus span
 }
 
 
