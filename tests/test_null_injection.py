@@ -9,6 +9,7 @@ NULL k anywhere) fail here instead of in a future driver round.
 
 from __future__ import annotations
 
+import math
 import shutil
 
 import duckdb
@@ -898,3 +899,106 @@ def test_json_double_and_string_spellings_cross_engine(spark):
         assert ss == ds, (payload, ss, ds)
     # non-vacuity: the gates must actually pass real values through
     assert got[0][0] == 3.9 and got[12][1] == "abc"
+
+
+# --- corruption class: special floats in the measure column ------------------
+# DuckDB STDDEV/VAR/CORR hard-error on NaN input ("Out of Range") while
+# Spark returns NaN — the engines fail NON-COMPARABLY, so NaN/Inf must be
+# caught at admission (dq_value_finite_census), not handled per-consumer.
+# The consumers replayed here are the ones whose contracts survive
+# pollution identically in both engines: pure counting/sequencing ops
+# (value never read) and SUM-based ops (NaN propagates to the same groups
+# both sides; the comparator canonicalizes NaN like the driver's hash).
+# Stats consumers (zscore/stddev/corr over value) are intentionally NOT
+# replayed: their oracle spelling errors on NaN by engine design — the
+# census gate is their documented precondition.
+
+SPECIAL_FLOAT_CONSUMERS = [
+    "events_dau_wau",
+    "events_hour_heatmap",
+    "events_path_topk",
+    "events_peak_concurrency",
+    "retention_cohorts",
+    "funnel_conversion",
+    "batch_sessionize",
+    "stream_tumbling",
+    "join_stream_static",
+    "stream_cdc_merge",
+    "dq_value_finite_census",
+]
+
+
+@pytest.fixture(scope="module")
+def specialfloat_sf(tmp_path_factory):
+    """~3% NaN, ~2.7% +Inf, ~2.4% -Inf planted in events.value on
+    disjoint-precedence slivers (NaN wins ties)."""
+    d = tmp_path_factory.mktemp("nanfsf")
+    for t in TABLES:
+        if t != "events":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN event_id % 31 = 1 THEN 'NaN'::DOUBLE
+                 WHEN event_id % 37 = 2 THEN 'Infinity'::DOUBLE
+                 WHEN event_id % 41 = 3 THEN '-Infinity'::DOUBLE
+                 ELSE value END AS value)
+          FROM read_parquet('{SF_DIR}/events.parquet')
+        ) TO '{d}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_specialfloat(specialfloat_sf):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{specialfloat_sf}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", SPECIAL_FLOAT_CONSUMERS)
+def test_ops_survive_special_floats(
+    key, spark, registry, specialfloat_sf, duck_specialfloat
+):
+    spec = registry[key]
+    assert spec.oracle is not None, key
+    assert_matches_oracle(
+        spec.fn(spark, specialfloat_sf), duck_specialfloat, spec.oracle
+    )
+
+
+def test_finite_census_detects_planted_specials(
+    spark, registry, specialfloat_sf
+):
+    """Every special-float counter must fire on the planted corpus, and
+    the finite_* stats must ignore the planted rows entirely."""
+    rows = registry["dq_value_finite_census"].fn(spark, specialfloat_sf).collect()
+    tot = {
+        c: sum(r[c] for r in rows)
+        for c in ("n", "n_null", "n_nan", "n_posinf", "n_neginf")
+    }
+    assert tot["n_nan"] > 0
+    assert tot["n_posinf"] > 0
+    assert tot["n_neginf"] > 0
+    assert tot["n_null"] == 0
+    for r in rows:
+        if r.finite_min is not None:
+            assert math.isfinite(r.finite_min) and math.isfinite(r.finite_max)
+            assert math.isfinite(r.finite_sum)
+
+
+def test_finite_census_clean_corpus_reports_clean(spark, registry):
+    """Non-vacuity complement: the clean corpus must show ZERO special
+    floats — otherwise the planted-fixture proof above proves nothing."""
+    rows = registry["dq_value_finite_census"].fn(spark, SF_DIR).collect()
+    assert rows, "census returned no groups"
+    for r in rows:
+        assert r.n_null == 0 and r.n_nan == 0, r
+        assert r.n_posinf == 0 and r.n_neginf == 0, r

@@ -596,6 +596,7 @@ def test_reservoir_sample_is_partial_topk_not_global_sort(spark, registry):
     "key,read_schema",
     [
         ("dq_payload_type_census", "struct<event_type:string,props:string>"),
+        ("dq_value_finite_census", "struct<event_type:string,value:double>"),
         ("sample_poisson_bootstrap", "struct<o_orderkey:bigint,o_totalprice:double>"),
         ("vec_hnsw_level_plan", "struct<vec_id:bigint>"),
         ("llm_truncation_loss", "struct<text:string>"),

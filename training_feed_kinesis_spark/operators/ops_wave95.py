@@ -667,3 +667,73 @@ def llm_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ctx_len")
     )
+
+
+@register(
+    "dq_value_finite_census",
+    CAT_DQ,
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(SUM(CASE WHEN isnan(value) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nan,
+           CAST(SUM(CASE WHEN value = 'Infinity'::DOUBLE THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_posinf,
+           CAST(SUM(CASE WHEN value = '-Infinity'::DOUBLE THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_neginf,
+           ROUND(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                           AND NOT isinf(value) THEN value END), 4)
+             AS finite_sum,
+           MIN(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                     AND NOT isinf(value) THEN value END) AS finite_min,
+           MAX(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                     AND NOT isinf(value) THEN value END) AS finite_max
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def dq_value_finite_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Special-float admission census over the measure column: per
+    event_type, counts of NULL / NaN / +Inf / -Inf values plus the
+    finite-only SUM/MIN/MAX. This is the gate that must run before any
+    statistical consumer of ``value``, because the engines fail
+    NON-COMPARABLY on NaN input: DuckDB STDDEV/VAR/CORR hard-error
+    ("Out of Range"), Spark returns NaN (probe 2026-08-14) — and a
+    SUM silently NaN-poisons its whole group either way. The census
+    spells every predicate two-valued (NaN = Inf comparisons are false,
+    never NULL, in both engines; NULL short-circuits via IS NOT NULL),
+    so its own arithmetic never touches a special value.
+
+    Scale shape: ONE pruned scan of (event_type, value), one
+    map-side-combinable aggregate — same census ladder as
+    dq_payload_type_census. The special-float corruption fixture
+    (tests/test_null_injection.py) proves every counter fires and that
+    the planted corpus leaves the finite_* stats exactly equal to the
+    clean-row subset."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    nan = F.isnan(v)
+    pinf = v == F.lit(float("inf"))
+    ninf = v == F.lit(float("-inf"))
+    fin = F.when(v.isNotNull() & ~nan & ~pinf & ~ninf, v)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(v.isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null"),
+            F.sum(F.when(nan, 1).otherwise(0)).cast("bigint").alias("n_nan"),
+            F.sum(F.when(pinf, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_posinf"),
+            F.sum(F.when(ninf, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_neginf"),
+            F.round(F.sum(fin), 4).alias("finite_sum"),
+            F.min(fin).alias("finite_min"),
+            F.max(fin).alias("finite_max"),
+        )
+        .orderBy("event_type")
+    )
