@@ -20,7 +20,7 @@ Two split regimes, matched to each operator's invariance contract:
   unseen row, REGARDLESS of where the batch boundaries fall. That
   boundary-independence is the property under test.
 
-45 seeded splits total (5 seeds × 9 keys), each compared to the DuckDB
+50 seeded splits total (5 seeds × 10 keys), each compared to the DuckDB
 oracle on the clean corpus. The round-6 extension widens the matrix to
 every oracled replay consumer whose invariance contract is clean:
 complete-mode aggregations (sliding windows, windowed top-k, the
@@ -61,6 +61,9 @@ FUZZ_KEYS = {
     "join_stream_static": ("ordered", "any"),  # stateless join → complete agg
     "stream_chained_aggs": ("ordered", "chunked"),  # append mode: needs order
     "stream_dedup_watermark": ("doubled", "any"),  # 400d delay ⊇ corpus span
+    # per-key monotone fold (count+max, NoTimeout), final = max over the
+    # cumulative update emissions — batching cannot change the totals
+    "stream_stateful": ("ordered", "any"),
 }
 
 
