@@ -930,8 +930,8 @@ SPECIAL_FLOAT_CONSUMERS = [
 
 @pytest.fixture(scope="module")
 def specialfloat_sf(tmp_path_factory):
-    """~3% NaN, ~2.7% +Inf, ~2.4% -Inf planted in events.value on
-    disjoint-precedence slivers (NaN wins ties)."""
+    """~3% NaN, ~2.7% +Inf, ~2.4% -Inf, ~2.3% NULL planted in
+    events.value on disjoint-precedence slivers (NaN wins ties)."""
     d = tmp_path_factory.mktemp("nanfsf")
     for t in TABLES:
         if t != "events":
@@ -943,6 +943,7 @@ def specialfloat_sf(tmp_path_factory):
             CASE WHEN event_id % 31 = 1 THEN 'NaN'::DOUBLE
                  WHEN event_id % 37 = 2 THEN 'Infinity'::DOUBLE
                  WHEN event_id % 41 = 3 THEN '-Infinity'::DOUBLE
+                 WHEN event_id % 43 = 4 THEN NULL
                  ELSE value END AS value)
           FROM read_parquet('{SF_DIR}/events.parquet')
         ) TO '{d}/events.parquet' (FORMAT PARQUET)
@@ -987,7 +988,7 @@ def test_finite_census_detects_planted_specials(
     assert tot["n_nan"] > 0
     assert tot["n_posinf"] > 0
     assert tot["n_neginf"] > 0
-    assert tot["n_null"] == 0
+    assert tot["n_null"] > 0
     for r in rows:
         if r.finite_min is not None:
             assert math.isfinite(r.finite_min) and math.isfinite(r.finite_max)
