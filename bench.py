@@ -142,8 +142,13 @@ def main() -> None:
         try:
             with open(benches[-1]) as f:
                 doc = json.load(f)
-            # the driver wraps our JSON line under "parsed"
-            prev = (doc.get("parsed") or doc).get("queries", {}) or {}
+            # the driver wraps our JSON line under "parsed"; only
+            # comparable recordings count — a prior round taken at a
+            # different sf would mark every query ">15% regressed" (or
+            # make the guard silently vacuous) and burn the retry budget
+            parsed = doc.get("parsed") or doc
+            if parsed.get("sf") == sf:
+                prev = parsed.get("queries", {}) or {}
         except (OSError, ValueError, AttributeError):
             prev = {}
     retried: dict[str, int] = {}

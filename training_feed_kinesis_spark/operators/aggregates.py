@@ -54,7 +54,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.expr("SUM(CAST(l_quantity AS BIGINT))").alias("sq"),
+            F.expr("SUM(CAST(FLOOR(l_quantity) AS BIGINT))").alias("sq"),
             F.expr(f"SUM({cents})").alias("s0"),
             F.expr(f"SUM({cents} * {d100})").alias("sd"),
             F.expr(f"SUM({cents} * {t100})").alias("st"),
@@ -83,9 +83,11 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The oracle mirrors the integer-cents component spelling term for term.
-# DuckDB's CAST(double AS BIGINT) rounds where Spark's truncates —
-# harmless here ONLY because every cast operand is ROUND(x*100, 0), an
-# exact integral double, never a fractional one. DuckDB SUM(BIGINT)
+# DuckDB's CAST(double AS BIGINT) rounds where Spark's truncates — every
+# cast operand is therefore made exactly integral FIRST: the money terms
+# via ROUND(x*100, 0), the quantity via FLOOR (identity on the integral
+# l_quantity domain, and the §5.3.6b house spelling that stays exact if
+# the domain ever grows fractional values). DuckDB SUM(BIGINT)
 # widens to HUGEINT, so the post-agg recombination needs no explicit
 # DECIMAL cast there; both engines cast the same exact integer to DOUBLE
 # (IEEE nearest) and run the same fixed-order divisions.
@@ -94,7 +96,7 @@ WITH comp AS (
   SELECT
     l_returnflag,
     l_linestatus,
-    SUM(CAST(l_quantity AS BIGINT)) AS sq,
+    SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sq,
     SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS s0,
     SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
         * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS sd,

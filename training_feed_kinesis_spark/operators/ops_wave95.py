@@ -683,8 +683,10 @@ def llm_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS BIGINT) AS n_posinf,
            CAST(SUM(CASE WHEN value = '-Infinity'::DOUBLE THEN 1 ELSE 0 END)
              AS BIGINT) AS n_neginf,
-           ROUND(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value)
-                           AND NOT isinf(value) THEN value END), 4)
+           ROUND(CAST(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                           AND NOT isinf(value)
+                           THEN CAST(ROUND(value * 100, 0) AS BIGINT) END)
+                      AS DOUBLE) / 100.0, 4)
              AS finite_sum,
            MIN(CASE WHEN value IS NOT NULL AND NOT isnan(value)
                      AND NOT isinf(value) THEN value END) AS finite_min,
@@ -717,6 +719,15 @@ def dq_value_finite_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinf = v == F.lit(float("inf"))
     ninf = v == F.lit(float("-inf"))
     fin = F.when(v.isNotNull() & ~nan & ~pinf & ~ninf, v)
+    # finite_sum goes through integer cents (value is a 2-decimal money
+    # domain, same as l_extendedprice): a BIGINT sum is reduction-order
+    # independent, where ROUND(SUM(double), 4) would inherit the engines'
+    # different partition/sequential reduction orders — the float-hash
+    # divergence class the flagship rewrite eliminated (SURVEY §5.3.6b).
+    fin_cents = F.when(
+        v.isNotNull() & ~nan & ~pinf & ~ninf,
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"),
+    )
     return (
         ev.groupBy("event_type")
         .agg(
@@ -731,7 +742,9 @@ def dq_value_finite_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(ninf, 1).otherwise(0))
             .cast("bigint")
             .alias("n_neginf"),
-            F.round(F.sum(fin), 4).alias("finite_sum"),
+            F.round(F.sum(fin_cents).cast("double") / 100.0, 4).alias(
+                "finite_sum"
+            ),
             F.min(fin).alias("finite_min"),
             F.max(fin).alias("finite_max"),
         )
