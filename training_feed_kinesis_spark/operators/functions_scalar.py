@@ -137,7 +137,7 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(LOG10(l_extendedprice), 4)                AS price_log10,
            ROUND(SQRT(l_quantity), 4)                      AS qty_sqrt,
            CAST(SIGN(l_discount - 0.05) AS INT)            AS disc_sign,
-           CAST(l_quantity AS INT) % 7                     AS qty_mod7
+           CAST(FLOOR(l_quantity) AS INT) % 7              AS qty_mod7
     FROM lineitem WHERE l_linenumber = 2
     """,
 )
@@ -158,7 +158,7 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log10("l_extendedprice"), 4).alias("price_log10"),
         F.round(F.sqrt("l_quantity"), 4).alias("qty_sqrt"),
         F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
-        F.pmod(F.col("l_quantity").cast("int"), F.lit(7)).alias("qty_mod7"),
+        F.pmod(F.floor("l_quantity").cast("int"), F.lit(7)).alias("qty_mod7"),
     )
 
 

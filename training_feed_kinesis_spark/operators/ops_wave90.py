@@ -170,8 +170,11 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QBAND = "CAST(l_quantity AS INT) DIV 10"
-_QBAND_DUCK = "CAST(l_quantity AS INT) // 10"
+# FLOOR-first before the INT cast (§5.3.6b): Spark's bare CAST truncates
+# where DuckDB's rounds, so the band edges diverge the day l_quantity
+# grows fractional values. FLOOR is identity on today's integral domain.
+_QBAND = "CAST(FLOOR(l_quantity) AS INT) DIV 10"
+_QBAND_DUCK = "CAST(FLOOR(l_quantity) AS INT) // 10"
 _DBAND = "CAST(ROUND(l_discount * 100, 0) AS INT)"
 _BUCKET = (
     "CAST(strpos('0123456789abcdef', substr(md5(l_orderkey::VARCHAR || '-'"
@@ -271,7 +274,7 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     rows_ = li.select(
         F.expr(_BUCKET_SPARK).alias("bkt"),
-        F.expr("CAST(l_quantity AS INT) DIV 10").alias("qb"),
+        F.expr(_QBAND).alias("qb"),
         F.expr(_DBAND).alias("db"),
         F.expr(_LABEL_SQL).alias("y"),
     )
