@@ -725,6 +725,92 @@ def test_star_censuses_detect_dim_corruption(
     assert rows["orders"].dup_excess == 0
 
 
+# Corruption class 4 (round 6) — FRACTIONAL MEASURES. The §5.3.6b trap
+# (Spark's CAST(double AS INT) truncates where DuckDB's rounds) is
+# invisible on today's integral l_quantity domain: a bare cast passes
+# every differential and diverges only the day the domain grows
+# fractional values. This fixture grows it now — binary-exact quarters
+# (+0.25/+0.5/+0.75 on ~75% of lineitem rows) — so any bare cast that
+# sneaks back in fails here instead of in production. Quarters keep
+# every SUM bit-exact in any reduction order (2 fraction bits,
+# magnitudes far below 2^51), so the replay keeps the exact comparator.
+FRACTIONAL_CONSUMERS = STAR_CONSUMERS + [
+    "fn_math",  # qty_mod7: the site this class caught in round 6
+    "ml_learning_curve",  # quantity-band feature: second caught site
+]
+
+
+@pytest.fixture(scope="module")
+def star_fractional_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("starfracsf")
+    for t in TABLES:
+        if t != "lineitem":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (
+            l_quantity + CASE (l_orderkey + l_linenumber) % 4
+              WHEN 0 THEN 0.25 WHEN 1 THEN 0.5 WHEN 2 THEN 0.75
+              ELSE 0 END AS l_quantity)
+          FROM read_parquet('{SF_DIR}/lineitem.parquet')
+        ) TO '{d}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_star_fractional(star_fractional_sf):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{star_fractional_sf}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", FRACTIONAL_CONSUMERS)
+def test_star_ops_survive_fractional_measures(
+    key, spark, registry, star_fractional_sf, duck_star_fractional
+):
+    spec = registry[key]
+    assert spec.oracle is not None, key
+    assert_matches_oracle(
+        spec.fn(spark, star_fractional_sf), duck_star_fractional, spec.oracle
+    )
+
+
+def test_fractional_fixture_exposes_bare_cast(
+    spark, star_fractional_sf, duck_star_fractional
+):
+    """Non-vacuity proof: on this fixture the outlawed bare-cast spelling
+    MUST diverge across engines (Spark truncates every quarter down;
+    DuckDB rounds the .75s up), while the FLOOR-first house spelling
+    agrees exactly — i.e. the fixture really exercises the trap the
+    consumer replay above guards against."""
+    from training_feed_kinesis_spark.tables import load_table
+
+    load_table(spark, star_fractional_sf, "lineitem").createOrReplaceTempView(
+        "li_frac"
+    )
+    bare = "SELECT SUM(CAST(l_quantity AS BIGINT)) AS s FROM {t}"
+    spark_bare = spark.sql(bare.format(t="li_frac")).collect()[0].s
+    duck_bare = duck_star_fractional.execute(
+        bare.format(t="lineitem")
+    ).fetchone()[0]
+    assert spark_bare != duck_bare
+
+    good = "SELECT SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS s FROM {t}"
+    spark_good = spark.sql(good.format(t="li_frac")).collect()[0].s
+    duck_good = duck_star_fractional.execute(
+        good.format(t="lineitem")
+    ).fetchone()[0]
+    assert spark_good == duck_good
+
+
 # --- planted PII redaction proof (wave 95) ----------------------------------
 
 

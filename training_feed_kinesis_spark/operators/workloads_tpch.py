@@ -203,30 +203,56 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact-integer amount at scale 4e4 (the flagship's §5.3.6b discipline):
+# amount = ext*(1-disc) - 0.01*retail*qty becomes
+#   4*ext_cents*(100-disc_pct) - retail_cents*qty4
+# with every factor made exactly integral first (money is a 2-decimal
+# domain, quantity at most quarter-granular, so ROUND captures each
+# exactly). The BIGINT sum is reduction-order independent — the double
+# spelling flipped ROUND(...,4) boundaries on 8/70 groups under the
+# fractional-measures fixture — and the final half-away rounding is
+# integer arithmetic spelled identically on both engines (both DIV and
+# // truncate toward zero, probe-verified), so profit is bit-identical
+# under ANY partitioning. Per-group sums stay far below 2^63 through
+# sf1000; beyond that, shard by o_year first (flagship scale note).
+_Q9_AMOUNT = (
+    "4 * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))"
+    " - CAST(ROUND(p_retailprice * 100, 0) AS BIGINT)"
+    " * CAST(ROUND(l_quantity * 4, 0) AS BIGINT)"
+)
+
+
 @register(
     "q9_product_profit",
     CAT,
-    """
-    SELECT n_name, o_year, ROUND(SUM(amount), 4) AS profit
+    f"""
+    SELECT n_name, o_year,
+           CAST((s + CASE WHEN s >= 0 THEN 2 ELSE -2 END) // 4 AS DOUBLE)
+             / 10000.0 AS profit
     FROM (
-      SELECT n_name, year(o_orderdate) AS o_year,
-             l_extendedprice * (1 - l_discount)
-               - 0.01 * p_retailprice * l_quantity AS amount
-      FROM part
-      JOIN lineitem ON p_partkey = l_partkey
-      JOIN supplier ON s_suppkey = l_suppkey
-      JOIN orders   ON o_orderkey = l_orderkey
-      JOIN nation   ON s_nationkey = n_nationkey
-      WHERE p_name LIKE '%gear%'
-    ) profit
-    GROUP BY n_name, o_year
+      SELECT n_name, o_year, SUM(amount_s) AS s
+      FROM (
+        SELECT n_name, year(o_orderdate) AS o_year,
+               {_Q9_AMOUNT} AS amount_s
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%gear%'
+      ) amounts
+      GROUP BY n_name, o_year
+    ) sums
     """,
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit per supplier-nation per year for one product
     family. partsupp is absent, so supply cost is proxied as
     ``0.01 * p_retailprice * l_quantity``. The LIKE filter prunes part
-    before the fact join; supplier⋈nation broadcasts.
+    before the fact join; supplier⋈nation broadcasts. Profit is summed
+    in exact scaled integers (see _Q9_AMOUNT) so the result is
+    deterministic under any partitioning/reduction order.
     """
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
     n = load_table(spark, sf_dir, "nation")
@@ -242,13 +268,21 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_name",
             F.year("o_orderdate").alias("o_year"),
-            (
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                - 0.01 * F.col("p_retailprice") * F.col("l_quantity")
-            ).alias("amount"),
+            F.expr(_Q9_AMOUNT).alias("amount_s"),
         )
         .groupBy("n_name", "o_year")
-        .agg(F.round(F.sum("amount"), 4).alias("profit"))
+        .agg(F.sum("amount_s").alias("s"))
+        .select(
+            "n_name",
+            "o_year",
+            (
+                F.expr(
+                    "CAST((s + CASE WHEN s >= 0 THEN 2 ELSE -2 END) DIV 4"
+                    " AS DOUBLE)"
+                )
+                / 10000.0
+            ).alias("profit"),
+        )
     )
 
 
