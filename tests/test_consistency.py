@@ -1026,3 +1026,13 @@ def test_dedup_tier_census_nonvacuous_and_monotone(spark, registry):
     assert r["dups_raw"] + r["extra_bag"] + r["extra_set"] == (
         r["n_docs"] - r["distinct_set"]
     ), r
+
+
+def test_rev_s_constants_identical():
+    """workloads._REV_S is a textual duplicate of workloads_tpch._REV_S
+    (an import would flip the modules' registration order, which the
+    driver's sample-window rotation keys off). Pin them equal so the
+    spellings can't drift apart."""
+    from training_feed_kinesis_spark.operators import workloads, workloads_tpch
+
+    assert workloads._REV_S == workloads_tpch._REV_S

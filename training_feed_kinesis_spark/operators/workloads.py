@@ -17,13 +17,25 @@ from ..tables import load_table
 
 CAT = "2.M workloads"
 
+# Exact scale-1e4 revenue term — same spelling as workloads_tpch._REV_S
+# (kept textually duplicated rather than imported: this module registers
+# BEFORE workloads_tpch in registry._OPERATOR_MODULES, and an import
+# would flip the two modules' registration order, which the driver's
+# sample-window rotation keys off). See workloads_tpch.py for the full
+# §5.3.6b rationale; tests/test_consistency.py pins the two constants
+# equal.
+_REV_S = (
+    "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))"
+)
+
 
 @register(
     "q3_shipping_priority",
     CAT,
-    """
+    f"""
     SELECT o_orderkey, o_orderdate,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           CAST(SUM({_REV_S}) AS DOUBLE) / 10000.0 AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -56,9 +68,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+            (F.sum(F.expr(_REV_S)).cast("double") / 10000.0).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
@@ -68,9 +78,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q10_returned_items",
     CAT,
-    """
+    f"""
     SELECT c_custkey, c_name, n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(SUM({_REV_S}) AS DOUBLE) / 10000.0 AS revenue,
            COUNT(*) AS n_items
     FROM customer
     JOIN nation   ON c_nationkey = n_nationkey
@@ -98,9 +108,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue"),
+            (F.sum(F.expr(_REV_S)).cast("double") / 10000.0).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -262,9 +270,9 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_local_supplier",
     CAT,
-    """
+    f"""
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           CAST(SUM({_REV_S}) AS DOUBLE) / 10000.0 AS revenue
     FROM region
     JOIN nation   ON n_regionkey = r_regionkey
     JOIN customer ON c_nationkey = n_nationkey
@@ -307,9 +315,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+            (F.sum(F.expr(_REV_S)).cast("double") / 10000.0).alias("revenue")
         )
     )
 
@@ -373,7 +379,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey,
              MAX(o_orderdate) AS last_order,
              COUNT(*) AS freq,
-             ROUND(SUM(o_totalprice), 4) AS monetary
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS monetary
       FROM orders GROUP BY o_custkey),
     scored AS (
       SELECT o_custkey,
@@ -387,12 +393,14 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: recency/frequency/monetary quintiles per customer,
-    reported as segment-cell sizes. Ranking keys are ROUNDED before ntile
-    (raw double sums order differently across engines at the ulp level —
-    SURVEY §5.3.1 applied to ORDER BY, not just output) with custkey
-    tiebreaks. Scale note: global ntile = single-partition window over one
-    row per CUSTOMER (already aggregated — fine far beyond 100 TB of
-    orders); past that, quantile edges come from approx_percentile.
+    reported as segment-cell sizes. The monetary ranking key is an EXACT
+    integer-cents sum (raw double sums order differently across engines at
+    the ulp level, and ROUNDED sums can still split a boundary-straddling
+    pair — SURVEY §5.3.1/§5.3.6b applied to ORDER BY, not just output)
+    with custkey tiebreaks. Scale note: global ntile = single-partition
+    window over one row per CUSTOMER (already aggregated — fine far beyond
+    100 TB of orders); past that, quantile edges come from
+    approx_percentile.
     """
     from pyspark.sql.window import Window as W
 
@@ -400,7 +408,9 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("freq"),
-        F.round(F.sum("o_totalprice"), 4).alias("monetary"),
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")).alias(
+            "monetary"
+        ),
     )
     scored = rfm.select(
         F.ntile(5).over(W.orderBy("last_order", "o_custkey")).alias("r_score"),
@@ -463,50 +473,57 @@ def events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT,
     """
     WITH cust AS (
-      SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS rev
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
       FROM orders GROUP BY o_custkey),
     ranked AS (
-      SELECT rev, ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+      SELECT rev_c, ntile(10) OVER (ORDER BY rev_c DESC, o_custkey) AS decile
       FROM cust)
     SELECT decile, COUNT(*) AS n_customers,
-           ROUND(SUM(rev), 4) AS decile_rev,
-           ROUND(SUM(rev) / (SELECT SUM(rev) FROM cust), 4) AS rev_share
+           CAST(SUM(rev_c) AS DOUBLE) / 100.0 AS decile_rev,
+           ROUND(CAST(SUM(rev_c) AS DOUBLE)
+                 / CAST((SELECT SUM(rev_c) FROM cust) AS DOUBLE), 4)
+             AS rev_share
     FROM ranked GROUP BY decile
     """,
 )
 def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration (Pareto) report: customers bucketed into
     revenue deciles, each decile's share of total — the 80/20 check run on
-    any feed. Ranking key is the ROUNDED per-customer revenue with custkey
-    tiebreak (engine-stable); the grand total is a broadcast scalar; the
-    decile window runs over one row per customer (already aggregated).
+    any feed. Ranking key is the EXACT integer-cents per-customer revenue
+    with custkey tiebreak (engine-stable under any reduction order); the
+    grand total is a broadcast scalar; the decile window runs over one row
+    per customer (already aggregated).
     """
     from pyspark.sql.window import Window as W
 
     o = load_table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 4).alias("rev")
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")).alias(
+            "rev_c"
+        )
     )
-    total = cust.agg(F.sum("rev").alias("tot"))
+    total = cust.agg(F.sum("rev_c").alias("tot"))
     ranked = cust.select(
-        "rev",
+        "rev_c",
         F.ntile(10)
-        .over(W.orderBy(F.col("rev").desc(), F.col("o_custkey")))
+        .over(W.orderBy(F.col("rev_c").desc(), F.col("o_custkey")))
         .alias("decile"),
     )
     return (
         ranked.groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("rev"), 4).alias("decile_rev"),
-            F.sum("rev").alias("_raw"),
+            F.sum("rev_c").alias("_raw"),
         )
         .crossJoin(F.broadcast(total))
         .select(
             "decile",
             "n_customers",
-            "decile_rev",
-            F.round(F.col("_raw") / F.col("tot"), 4).alias("rev_share"),
+            (F.col("_raw").cast("double") / 100.0).alias("decile_rev"),
+            F.round(
+                F.col("_raw").cast("double") / F.col("tot").cast("double"), 4
+            ).alias("rev_share"),
         )
     )
 

@@ -33,6 +33,25 @@ def _volume():
     return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume")
 
 
+# Exact scale-1e4 revenue term (§5.3.6b, the agg_basic/q9 discipline):
+# l_extendedprice and l_discount are 2-decimal domains, so
+# ext_cents * (100 - disc_pct) is an exact BIGINT and its SUM is
+# reduction-order independent — the double SUM(volume) flips ROUND(,4)
+# boundaries under cross-engine reduction order. The post-agg
+# CAST(SUM AS DOUBLE)/1e4 runs on bit-identical integers on both
+# engines, and ROUND(double) is half-away on both (probe-verified), so
+# every consumer below is deterministic under ANY partitioning. The
+# spelling is valid in BOTH dialects verbatim.
+_REV_S = (
+    "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))"
+)
+
+
+def _volume_s():
+    return F.expr(_REV_S).alias("volume_s")
+
+
 @register(
     "q4_order_priority",
     CAT,
@@ -72,12 +91,13 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q7_volume_shipping",
     CAT,
-    """
-    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 4) AS revenue
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume_s) AS DOUBLE) / 10000.0 AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l_shipdate) AS l_year,
-             l_extendedprice * (1 - l_discount) AS volume
+             {_REV_S} AS volume_s
       FROM supplier
       JOIN lineitem ON s_suppkey = l_suppkey
       JOIN orders   ON o_orderkey = l_orderkey
@@ -126,23 +146,26 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
             "cust_nation",
             F.year("l_shipdate").alias("l_year"),
-            _volume(),
+            _volume_s(),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 4).alias("revenue"))
+        .agg(
+            (F.sum("volume_s").cast("double") / 10000.0).alias("revenue")
+        )
     )
 
 
 @register(
     "q8_market_share",
     CAT,
-    """
+    f"""
     SELECT o_year,
-           ROUND(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
-                 / SUM(volume), 4) AS mkt_share
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume_s
+                               ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(volume_s) AS DOUBLE), 4) AS mkt_share
     FROM (
       SELECT year(o_orderdate) AS o_year,
-             l_extendedprice * (1 - l_discount) AS volume,
+             {_REV_S} AS volume_s,
              n2.n_name AS supp_nation
       FROM part
       JOIN lineitem ON p_partkey = l_partkey
@@ -187,16 +210,16 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey, "left_semi")
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .select(F.year("o_orderdate").alias("o_year"), _volume(), "supp_nation")
+        .select(F.year("o_orderdate").alias("o_year"), _volume_s(), "supp_nation")
         .groupBy("o_year")
         .agg(
             F.round(
                 F.sum(
-                    F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(
-                        0.0
-                    )
-                )
-                / F.sum("volume"),
+                    F.when(
+                        F.col("supp_nation") == "NATION_5", F.col("volume_s")
+                    ).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum("volume_s").cast("double"),
                 4,
             ).alias("mkt_share")
         )
@@ -335,11 +358,11 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     CAT,
-    """
+    f"""
     SELECT ROUND(
-      100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-            / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+      100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_S}
+                            ELSE 0 END) AS DOUBLE)
+            / CAST(SUM({_REV_S}) AS DOUBLE), 4) AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-09-01'
       AND l_shipdate <  TIMESTAMP '1997-10-01'
@@ -353,14 +376,16 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
     )
     p = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_s = F.expr(_REV_S)
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev_s).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum(rev_s).cast("double"),
                 4,
             ).alias("promo_revenue")
         )
@@ -370,10 +395,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q15_top_supplier",
     CAT,
-    """
+    f"""
     WITH rev AS (
       SELECT l_suppkey AS supplier_no,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+             CAST(SUM({_REV_S}) AS DOUBLE) / 10000.0 AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -396,9 +421,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-            "total_revenue"
-        )
+        (F.sum(F.expr(_REV_S)).cast("double") / 10000.0).alias("total_revenue")
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     s = load_table(spark, sf_dir, "supplier")
@@ -448,7 +471,8 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q17_small_quantity",
     CAT,
     """
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+    SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                      AS DOUBLE) / 700.0, 4) AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#3'
       AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
@@ -472,15 +496,23 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(p, li.l_partkey == p.p_partkey)
         .join(per_part, li.l_partkey == F.col("ap_key"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)")
+                ).cast("double")
+                / 700.0,
+                4,
+            ).alias("avg_yearly")
+        )
     )
 
 
 @register(
     "q19_disjunctive_revenue",
     CAT,
-    """
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    f"""
+    SELECT CAST(SUM({_REV_S}) AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
            AND l_quantity BETWEEN 1 AND 11)
@@ -518,9 +550,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-            "revenue"
-        )
+        (F.sum(F.expr(_REV_S)).cast("double") / 10000.0).alias("revenue")
     )
 
 
@@ -599,12 +629,15 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT,
     """
     WITH avg_bal AS (
-      SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS ab_cents
+      FROM customer WHERE c_acctbal > 0.0
     )
     SELECT c_mktsegment, COUNT(*) AS numcust,
-           ROUND(SUM(c_acctbal), 4) AS totacctbal
+           CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS totacctbal
     FROM customer, avg_bal
-    WHERE c_acctbal > ab
+    WHERE CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) > ab_cents
       AND NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey
                         AND o_orderdate >= TIMESTAMP '2000-01-01')
@@ -620,20 +653,26 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes only orders rows surviving the pushed date filter.
     """
     c = load_table(spark, sf_dir, "customer")
+    # The average-balance threshold is computed from exact integer cents
+    # (2-decimal money domain): the division runs on bit-identical
+    # integers on both engines, so the boundary row set — customers whose
+    # balance straddles the mean within an ulp — is identical too.
+    bal_cents = F.expr("CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)")
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("ab")
+        (F.sum(bal_cents).cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("ab_cents")
     )
     recent = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= "2000-01-01"
     )
     return (
         c.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("ab"))
+        .filter(bal_cents > F.col("ab_cents"))
         .join(recent, F.col("c_custkey") == recent.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+            (F.sum(bal_cents).cast("double") / 100.0).alias("totacctbal"),
         )
     )
 
@@ -642,7 +681,9 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q6_forecast_revenue",
     CAT,
     """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                    * CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -665,9 +706,15 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
-                "revenue"
-            )
+            (
+                F.sum(
+                    F.expr(
+                        "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+                        " * CAST(ROUND(l_discount * 100, 0) AS BIGINT)"
+                    )
+                ).cast("double")
+                / 10000.0
+            ).alias("revenue")
         )
     )
 
