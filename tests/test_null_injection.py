@@ -1011,6 +1011,16 @@ SPECIAL_FLOAT_CONSUMERS = [
     "join_stream_static",
     "stream_cdc_merge",
     "dq_value_finite_census",
+    # Ordering-sensitive consumers: both engines sort NaN GREATEST
+    # (above +Inf, below NULLS LAST — probe r6), so rank/lag/top-k over
+    # a polluted value column still agree row-for-row. RANGE frames are
+    # intentionally absent: a NaN ordering key poisons the frame-bound
+    # arithmetic itself (NaN ± x), which is the census gate's job.
+    "win_ranking",
+    "win_lag_lead",
+    "win_frame_rows",
+    "win_value",
+    "topk_per_group",
 ]
 
 
