@@ -44,6 +44,7 @@ GENERATORS = {
     "setop": tf.gen_setop_query,
     "having": tf.gen_having_query,
     "composite": tf.gen_composite_query,
+    "subquery": tf.gen_subquery_query,
 }
 
 

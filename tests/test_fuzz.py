@@ -361,3 +361,70 @@ def test_fuzz_composite_query(seed, spark_composite_views, duck):
     assert_matches_oracle(
         spark_composite_views.sql(sql), duck, sql, float_tol=2e-4
     )
+
+
+# --- IN / EXISTS subquery fuzzing (round 6) ---------------------------------
+# The semi/anti-join decorrelation path: none of the other generators
+# produce subqueries, yet IN / NOT IN / EXISTS / NOT EXISTS each plan as
+# a different join (left-semi, left-anti, correlated semi, correlated
+# anti) with their own null-handling traps. Kept to non-NULL key columns
+# (l_orderkey / o_orderkey) so NOT IN's three-valued-NULL semantics —
+# identical in both engines but vacuous-empty the moment a NULL enters
+# the subquery — can't mask real divergence. Scalar subqueries compare
+# against MAX/MIN only (exact, order-independent); AVG scalars would
+# re-introduce the reduction-order boundary class the §5.3.6b campaign
+# removed.
+
+N_SUBQUERY_CASES = 12
+
+
+def gen_subquery_query(seed: int) -> str:
+    rng = random.Random(40_000 + seed)
+    pred_l = _predicate(rng, _LINEITEM_NUM, _LINEITEM_STR)
+    pred_o = _predicate(rng, _ORDERS_NUM, _ORDERS_STR)
+    keys = ", ".join(
+        rng.sample(["o_orderstatus", "o_orderpriority"], k=rng.randint(1, 2))
+    )
+    shape = rng.choice(["in", "not_in", "exists", "not_exists", "scalar"])
+    if shape == "in":
+        where = (
+            f"o_orderkey IN (SELECT l_orderkey FROM lineitem "
+            f"WHERE {pred_l})"
+        )
+    elif shape == "not_in":
+        where = (
+            f"o_orderkey NOT IN (SELECT l_orderkey FROM lineitem "
+            f"WHERE {pred_l})"
+        )
+    elif shape == "exists":
+        where = (
+            f"EXISTS (SELECT 1 FROM lineitem "
+            f"WHERE l_orderkey = o_orderkey AND ({pred_l}))"
+        )
+    elif shape == "not_exists":
+        where = (
+            f"NOT EXISTS (SELECT 1 FROM lineitem "
+            f"WHERE l_orderkey = o_orderkey AND ({pred_l}))"
+        )
+    else:
+        agg = rng.choice(["MAX", "MIN"])
+        op = rng.choice(["<", ">="])
+        where = (
+            f"o_totalprice {op} 0.5 * (SELECT {agg}(o_totalprice) "
+            f"FROM orders WHERE {pred_o})"
+        )
+        pred_o = _predicate(rng, _ORDERS_NUM, _ORDERS_STR)
+    return (
+        f"SELECT {keys}, COUNT(*) AS n, "
+        # CAST ... AS DOUBLE before the division: a bare 100.0 literal is
+        # DECIMAL to Spark, and BIGINT/DECIMAL stays Decimal-typed
+        f"CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)"
+        f" / 100.0 AS s "
+        f"FROM orders WHERE ({pred_o}) AND ({where}) GROUP BY {keys}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(N_SUBQUERY_CASES))
+def test_fuzz_subquery_query(seed, spark_join_views, duck):
+    sql = gen_subquery_query(seed)
+    assert_matches_oracle(spark_join_views.sql(sql), duck, sql, float_tol=2e-4)
