@@ -737,6 +737,23 @@ def test_star_censuses_detect_dim_corruption(
 FRACTIONAL_CONSUMERS = STAR_CONSUMERS + [
     "fn_math",  # qty_mod7: the site this class caught in round 6
     "ml_learning_curve",  # quantity-band feature: second caught site
+    # the rest of the TPC-H sweep: every shape reading quantity or money
+    # (q9/q11 were caught by this very replay and respelled in exact
+    # integers; quantity double-sums stay exact because quarters carry
+    # only 2 fraction bits)
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q11_important_parts",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_stock_suppliers",
+    "q22_idle_customers",
 ]
 
 

@@ -314,16 +314,18 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT,
     """
     WITH partval AS (
-      SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS val
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                 * CAST(ROUND(l_quantity * 4, 0) AS BIGINT)) AS val_s
       FROM lineitem
       JOIN supplier ON s_suppkey = l_suppkey
       JOIN nation   ON s_nationkey = n_nationkey
       WHERE n_name IN ('NATION_3', 'NATION_7')
       GROUP BY l_partkey
     )
-    SELECT l_partkey, ROUND(val, 4) AS val
+    SELECT l_partkey, ROUND(CAST(val_s AS DOUBLE) / 400.0, 4) AS val
     FROM partval
-    WHERE val > (SELECT 0.001 * SUM(val) FROM partval)
+    WHERE 1000 * val_s > (SELECT SUM(val_s) FROM partval)
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,16 +344,28 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n), F.col("s_nationkey") == n.n_nationkey, "left_semi"
     )
     li = load_table(spark, sf_dir, "lineitem")
+    # val_s = ext_cents * qty_quarters (exact scale-400 integer,
+    # §5.3.6b): both the per-part sums and the 0.001-of-total threshold
+    # comparison (1000*val_s > total_s) run entirely in integers, so the
+    # "important" part SET — not just the printed values — is identical
+    # under any reduction order on both engines.
+    val_s = F.expr(
+        "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+        " * CAST(ROUND(l_quantity * 4, 0) AS BIGINT)"
+    )
     partval = (
         li.join(F.broadcast(s.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("val"))
+        .agg(F.sum(val_s).alias("val_s"))
     )
-    threshold = partval.agg((F.sum("val") * 0.001).alias("thresh"))
+    threshold = partval.agg(F.sum("val_s").alias("total_s"))
     return (
         partval.crossJoin(F.broadcast(threshold))
-        .filter(F.col("val") > F.col("thresh"))
-        .select("l_partkey", F.round("val", 4).alias("val"))
+        .filter(F.col("val_s") * 1000 > F.col("total_s"))
+        .select(
+            "l_partkey",
+            F.round(F.col("val_s").cast("double") / 400.0, 4).alias("val"),
+        )
     )
 
 
