@@ -247,7 +247,8 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT r_name, n_name,
            COUNT(*)                  AS n_customers,
-           ROUND(SUM(c_acctbal), 4)  AS total_bal
+           CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100.0                 AS total_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -263,7 +264,12 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     return joined.rollup("r_name", "n_name").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        # exact integer cents (§5.3.6b): order-independent sum
+        (
+            F.sum(F.expr("CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)"))
+            .cast("double")
+            / 100.0
+        ).alias("total_bal"),
     )
 
 
@@ -273,7 +279,8 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*)                    AS n_orders,
-           ROUND(SUM(o_totalprice), 4) AS total_price
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100.0                   AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -282,7 +289,12 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        # exact integer cents (§5.3.6b): order-independent sum
+        (
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("double")
+            / 100.0
+        ).alias("total_price"),
     )
 
 

@@ -71,12 +71,13 @@ def sql_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_inline_values",
     CAT_SQL,
     """
-    WITH wt(o_orderpriority, weight) AS (
-      VALUES ('1-URGENT', 4.0), ('2-HIGH', 2.0), ('3-MEDIUM', 1.0),
-             ('4-NOT SPECIFIED', 0.5), ('5-LOW', 0.25)
+    WITH wt(o_orderpriority, weight_x4) AS (
+      VALUES ('1-URGENT', 16), ('2-HIGH', 8), ('3-MEDIUM', 4),
+             ('4-NOT SPECIFIED', 2), ('5-LOW', 1)
     )
     SELECT o_orderstatus,
-           ROUND(SUM(o_totalprice * weight), 4) AS weighted_value,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                    * weight_x4) AS DOUBLE) / 400.0 AS weighted_value,
            COUNT(*)::BIGINT AS n
     FROM orders JOIN wt USING (o_orderpriority)
     GROUP BY o_orderstatus
@@ -89,23 +90,30 @@ def sql_inline_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     side, and the weights live in the query where they're reviewable.
     """
     o = load_table(spark, sf_dir, "orders")
+    # Quarter-granular weights carried as integer weight×4 so the
+    # weighted sum is an exact scale-400 integer (§5.3.6b) — the double
+    # spelling's sum was reduction-order dependent.
     wt = spark.createDataFrame(
         [
-            ("1-URGENT", 4.0),
-            ("2-HIGH", 2.0),
-            ("3-MEDIUM", 1.0),
-            ("4-NOT SPECIFIED", 0.5),
-            ("5-LOW", 0.25),
+            ("1-URGENT", 16),
+            ("2-HIGH", 8),
+            ("3-MEDIUM", 4),
+            ("4-NOT SPECIFIED", 2),
+            ("5-LOW", 1),
         ],
-        "o_orderpriority string, weight double",
+        "o_orderpriority string, weight_x4 int",
     )
     return (
         o.join(F.broadcast(wt), "o_orderpriority")
         .groupBy("o_orderstatus")
         .agg(
-            F.round(F.sum(F.col("o_totalprice") * F.col("weight")), 4).alias(
-                "weighted_value"
-            ),
+            (
+                F.sum(
+                    F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")
+                    * F.col("weight_x4")
+                ).cast("double")
+                / 400.0
+            ).alias("weighted_value"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -115,7 +123,9 @@ def sql_inline_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_sorted_zonemap",
     CAT_SINK,
     """
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue,
            COUNT(*)::BIGINT AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -146,8 +156,15 @@ def sink_sorted_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            # exact scale-1e4 integer revenue (§5.3.6b)
+            (
+                F.sum(
+                    F.expr(
+                        "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+                        " * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))"
+                    )
+                ).cast("double")
+                / 10000.0
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
@@ -159,7 +176,8 @@ def sink_sorted_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT_SQL,
     """
     SELECT r_name, COUNT(*)::BIGINT AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -203,7 +221,8 @@ def cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = spark.sql(
             """
             SELECT r_name, COUNT(*) AS n_orders,
-                   ROUND(SUM(o_totalprice), 2) AS total
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS total
             FROM cbo_region
             JOIN cbo_nation ON n_regionkey = r_regionkey
             JOIN cbo_customer ON c_nationkey = n_nationkey

@@ -44,7 +44,8 @@ CAT_TS = "2.L time-series analytics"
     """
     WITH fact AS (
       SELECT year(l_shipdate)::INT AS shipyear, l_returnflag,
-             l_extendedprice * (1 - l_discount) AS rev
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS rev_s
       FROM lineitem
     ),
     dim AS (
@@ -52,7 +53,7 @@ CAT_TS = "2.L time-series analytics"
       WHERE year(o_orderdate) BETWEEN 1996 AND 1997
     )
     SELECT shipyear, l_returnflag, COUNT(*)::BIGINT AS n,
-           ROUND(SUM(rev), 4) AS revenue
+           CAST(SUM(rev_s) AS DOUBLE) / 10000.0 AS revenue
     FROM fact JOIN dim ON fact.shipyear = dim.yr
     GROUP BY shipyear, l_returnflag
     """,
@@ -71,12 +72,18 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deterministic per-sf scratch path, reused across invocations (a
     # mkdtemp per call would accumulate full fact copies under .scratch/);
     # the _READY marker guards against a partial dir from a crashed writer.
+    # v2: the fact copy carries the exact scale-1e4 integer revenue term
+    # (§5.3.6b) instead of a per-row double — the dir tag busts the
+    # _READY cache of the old-schema copy
     sf_tag = sf_dir.strip("/").split("/")[-1].replace(".", "_")
-    out = os.path.join(SCRATCH, f"dpp_fact_{sf_tag}")
+    out = os.path.join(SCRATCH, f"dpp_fact_v2_{sf_tag}")
     li = load_table(spark, sf_dir, "lineitem").select(
         F.year("l_shipdate").cast("int").alias("shipyear"),
         "l_returnflag",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        F.expr(
+            "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+            " * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))"
+        ).alias("rev_s"),
     )
     if not os.path.isfile(os.path.join(out, "_READY")):
         li.write.mode("overwrite").partitionBy("shipyear").parquet(out)
@@ -94,7 +101,7 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("shipyear", "l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("rev"), 4).alias("revenue"),
+            (F.sum("rev_s").cast("double") / 10000.0).alias("revenue"),
         )
         .select(
             F.col("shipyear").cast("int").alias("shipyear"),
@@ -144,8 +151,16 @@ def bloom_join(spark: SparkSession, sf_dir: str):
             .groupBy("o_orderpriority", "l_returnflag")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.round(
-                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                # exact scale-1e4 integer revenue (§5.3.6b)
+                (
+                    F.sum(
+                        F.expr(
+                            "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+                            " * (100 - CAST(ROUND(l_discount * 100, 0)"
+                            " AS BIGINT))"
+                        )
+                    ).cast("double")
+                    / 10000.0
                 ).alias("revenue"),
             )
         )
@@ -163,7 +178,9 @@ def bloom_join(spark: SparkSession, sf_dir: str):
     CAT_JOIN,
     """
     SELECT o_orderpriority, l_returnflag, COUNT(*)::BIGINT AS n,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderpriority = '1-URGENT'
     GROUP BY o_orderpriority, l_returnflag

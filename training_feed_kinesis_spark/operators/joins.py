@@ -46,7 +46,8 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT,
     """
     SELECT r_name, c_mktsegment, COUNT(*) AS n_customers,
-           ROUND(SUM(c_acctbal), 4) AS total_bal
+           CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -66,7 +67,12 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+            # exact integer cents (§5.3.6b): order-independent sum
+            (
+                F.sum(F.expr("CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)"))
+                .cast("double")
+                / 100.0
+            ).alias("total_bal"),
         )
     )
 
@@ -293,7 +299,9 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT,
     """
     SELECT r_name, n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue,
            COUNT(*) AS n_lineitems
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -325,8 +333,15 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            # exact scale-1e4 integer revenue (§5.3.6b)
+            (
+                F.sum(
+                    F.expr(
+                        "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+                        " * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))"
+                    )
+                ).cast("double")
+                / 10000.0
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
