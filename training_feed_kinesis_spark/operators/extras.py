@@ -343,13 +343,15 @@ def orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH g AS (
       SELECT l_returnflag, l_linestatus,
-             SUM(l_extendedprice) AS grp_rev
+             SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS grp_c
       FROM lineitem GROUP BY l_returnflag, l_linestatus)
     SELECT l_returnflag, l_linestatus,
-           ROUND(grp_rev, 4) AS group_rev,
-           ROUND(grp_rev / SUM(grp_rev) OVER (PARTITION BY l_returnflag), 4)
-             AS share_in_flag,
-           ROUND(grp_rev / SUM(grp_rev) OVER (), 4) AS share_total
+           CAST(grp_c AS DOUBLE) / 100.0 AS group_rev,
+           ROUND(CAST(grp_c AS DOUBLE)
+                 / CAST(SUM(grp_c) OVER (PARTITION BY l_returnflag)
+                        AS DOUBLE), 4) AS share_in_flag,
+           ROUND(CAST(grp_c AS DOUBLE) / CAST(SUM(grp_c) OVER () AS DOUBLE),
+                 4) AS share_total
     FROM g
     """,
 )
@@ -363,20 +365,25 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     li = load_table(spark, sf_dir, "lineitem")
+    # exact integer cents (§5.3.6b): sums and both ratio denominators
+    # run on bit-identical integers on both engines
     g = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum("l_extendedprice").alias("grp_rev")
+        F.sum(F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"))
+        .alias("grp_c")
     )
     return g.select(
         "l_returnflag",
         "l_linestatus",
-        F.round("grp_rev", 4).alias("group_rev"),
+        (F.col("grp_c").cast("double") / 100.0).alias("group_rev"),
         F.round(
-            F.col("grp_rev")
-            / F.sum("grp_rev").over(W.partitionBy("l_returnflag")),
+            F.col("grp_c").cast("double")
+            / F.sum("grp_c").over(W.partitionBy("l_returnflag")).cast("double"),
             4,
         ).alias("share_in_flag"),
         F.round(
-            F.col("grp_rev") / F.sum("grp_rev").over(W.partitionBy()), 4
+            F.col("grp_c").cast("double")
+            / F.sum("grp_c").over(W.partitionBy()).cast("double"),
+            4,
         ).alias("share_total"),
     )
 

@@ -37,7 +37,8 @@ def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
       WHERE mon < TIMESTAMP '2001-08-01'
     )
     SELECT spine.mon, COUNT(o_orderkey) AS n_orders,
-           ROUND(COALESCE(SUM(o_totalprice), 0.0), 4) AS total
+           CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)),
+                         0) AS DOUBLE) / 100.0 AS total
     FROM spine LEFT JOIN orders ON date_trunc('month', o_orderdate) = spine.mon
     GROUP BY spine.mon
     """,
@@ -61,7 +62,9 @@ def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE mon < TIMESTAMP '2001-08-01'
         )
         SELECT spine.mon, COUNT(o_orderkey) AS n_orders,
-               ROUND(COALESCE(SUM(o_totalprice), 0.0D), 4) AS total
+               CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100, 0)
+                                      AS BIGINT)), 0) AS DOUBLE)
+                 / 100.0 AS total
         FROM spine LEFT JOIN orders ON date_trunc('MONTH', o_orderdate) = spine.mon
         GROUP BY spine.mon
         """

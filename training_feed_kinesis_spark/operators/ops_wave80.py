@@ -39,7 +39,8 @@ CAT_SINK = "2.A scans/sources/sinks"
     CAT_SQL,
     """
     SELECT o_orderpriority, COUNT(*)::BIGINT AS n,
-           ROUND(SUM(o_totalprice), 4) AS total
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total
     FROM orders
     WHERE o_orderstatus = 'F' AND o_totalprice > 50000.0
     GROUP BY o_orderpriority
@@ -59,7 +60,8 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmpl = (
         "SELECT o_orderpriority, COUNT(*) AS n,"
-        " ROUND(SUM(o_totalprice), 4) AS total"
+        " CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)"
+        " / 100.0 AS total"
         " FROM orders_ei WHERE o_orderstatus = ? AND o_totalprice > ?"
         " GROUP BY o_orderpriority"
     )
@@ -74,13 +76,14 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT_SQL,
     """
     WITH per_region AS (
-      SELECT n.n_regionkey AS rk, ROUND(SUM(c.c_acctbal), 4) AS bal
+      SELECT n.n_regionkey AS rk,
+             SUM(CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT)) AS bal_c
       FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
       GROUP BY 1
     )
     SELECT COUNT(*)::BIGINT AS n_regions,
-           ROUND(SUM(bal), 4) AS total_bal,
-           ROUND(MAX(bal), 4) AS max_bal
+           CAST(SUM(bal_c) AS DOUBLE) / 100.0 AS total_bal,
+           CAST(MAX(bal_c) AS DOUBLE) / 100.0 AS max_bal
     FROM per_region
     """,
 )
@@ -108,23 +111,26 @@ def sql_scripting_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
             BEGIN
               DECLARE n_regions BIGINT DEFAULT 0;
-              DECLARE total_bal DOUBLE DEFAULT 0.0;
-              DECLARE max_bal DOUBLE DEFAULT CAST('-inf' AS DOUBLE);
+              DECLARE total_c BIGINT DEFAULT 0;
+              DECLARE max_c BIGINT DEFAULT -9223372036854775807;
               FOR r AS
-                SELECT n.n_regionkey AS rk, ROUND(SUM(c.c_acctbal), 4) AS bal
+                SELECT n.n_regionkey AS rk,
+                       SUM(CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT))
+                         AS bal_c
                 FROM customer_scr c
                 JOIN nation_scr n ON n.n_nationkey = c.c_nationkey
                 GROUP BY n.n_regionkey
                 ORDER BY n.n_regionkey
               DO
                 SET n_regions = n_regions + 1;
-                SET total_bal = total_bal + r.bal;
-                IF r.bal > max_bal THEN
-                  SET max_bal = r.bal;
+                SET total_c = total_c + r.bal_c;
+                IF r.bal_c > max_c THEN
+                  SET max_c = r.bal_c;
                 END IF;
               END FOR;
-              SELECT n_regions, ROUND(total_bal, 4) AS total_bal,
-                     ROUND(max_bal, 4) AS max_bal;
+              SELECT n_regions,
+                     CAST(total_c AS DOUBLE) / 100.0 AS total_bal,
+                     CAST(max_c AS DOUBLE) / 100.0 AS max_bal;
             END
             """
         )
@@ -140,7 +146,8 @@ def sql_scripting_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT_SINK,
     """
     SELECT l_partkey, COUNT(*)::BIGINT AS n,
-           ROUND(SUM(l_extendedprice), 4) AS total
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                AS DOUBLE) / 100.0 AS total
     FROM lineitem
     WHERE l_partkey % 97 = 7
     GROUP BY l_partkey
@@ -176,6 +183,11 @@ def sink_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_extendedprice"), 4).alias("total"),
+            (
+                F.sum(
+                    F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)")
+                ).cast("double")
+                / 100.0
+            ).alias("total"),
         )
     )

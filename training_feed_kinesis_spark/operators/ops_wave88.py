@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
+from .aggregates import FLAGSHIP_ORACLE, flagship
 
 CAT_SQL = "2.L modern SQL surface"
 CAT_WORK = "2.L workloads"
@@ -55,8 +56,10 @@ WEEK_BUCKET_SPARK = (
     """
     SELECT l_returnflag,
            COUNT(*)::BIGINT AS n,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)
-                     * (1 + l_tax)), 4) AS charged
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+                    * (100 + CAST(ROUND(l_tax * 100, 0) AS BIGINT)))
+                AS DOUBLE) / 1000000.0 AS charged
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -75,17 +78,21 @@ def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
         "lineitem_udf"
     )
+    # the UDF returns the exact scale-1e6 integer charge term (§5.3.6b)
+    # so the SUM is reduction-order independent on both engines
     spark.sql(
-        "CREATE OR REPLACE TEMPORARY FUNCTION tfk_charge("
-        "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE"
-        " RETURN p * (1 - d) * (1 + t)"
+        "CREATE OR REPLACE TEMPORARY FUNCTION tfk_charge_s("
+        "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS BIGINT"
+        " RETURN CAST(ROUND(p * 100, 0) AS BIGINT)"
+        " * (100 - CAST(ROUND(d * 100, 0) AS BIGINT))"
+        " * (100 + CAST(ROUND(t * 100, 0) AS BIGINT))"
     )
     return spark.sql(
         """
         SELECT l_returnflag,
                COUNT(*) AS n,
-               ROUND(SUM(tfk_charge(l_extendedprice, l_discount, l_tax)), 4)
-                 AS charged
+               CAST(SUM(tfk_charge_s(l_extendedprice, l_discount, l_tax))
+                    AS DOUBLE) / 1000000.0 AS charged
         FROM lineitem_udf
         GROUP BY l_returnflag
         """
@@ -128,58 +135,19 @@ def sql_udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q1_pricing_summary",
     CAT_WORK,
-    """
-    SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 4) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)
-             AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)
-             AS sum_charge,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
-           COUNT(*)::BIGINT AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-    GROUP BY l_returnflag, l_linestatus
-    """,
+    FLAGSHIP_ORACLE,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 (pricing summary report) as a registry key: the
-    sargable date filter reaches the parquet scan, the eight aggregates
-    hash-aggregate with map-side partials, and every DOUBLE output is
-    4-dp rounded per the §5.3 discipline. This exact query has been the
-    entry() smoke flagship since round 1 (__spark_entry__.entry); the
-    registry key makes it individually sampleable by the driver's
-    correctness gate like every other TPC-H shape.
+    """TPC-H Q1 (pricing summary report) as a registry key: delegates to
+    the flagship implementation (aggregates.flagship) so the registry
+    key and the entry() smoke flagship can never drift apart — in
+    particular both carry the §5.3.6b exact-integer-cents component
+    sums, where this key's original double-sum spelling remained
+    reduction-order dependent.
 
-    Scale shape: scan → filter → partial/final hash aggregate over a
-    6-group key space — the canonical one-pass report."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                4,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
+    Scale shape: scan → sargable filter → partial/final hash aggregate
+    over a 6-group key space — the canonical one-pass report."""
+    return flagship(spark, sf_dir)
 
 
 @register(

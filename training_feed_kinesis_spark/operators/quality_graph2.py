@@ -154,7 +154,8 @@ def llm_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey, o_custkey,
            COUNT(*) OVER w AS n_orders_90d,
-           ROUND(SUM(o_totalprice) OVER w, 4) AS spend_90d
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER w
+                AS DOUBLE) / 100.0 AS spend_90d
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
                  RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
@@ -181,7 +182,14 @@ def win_frame_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         F.count(F.lit(1)).over(w).alias("n_orders_90d"),
-        F.round(F.sum("o_totalprice").over(w), 4).alias("spend_90d"),
+        # exact integer cents (§5.3.6b): frame sums of integers are
+        # identical no matter how the frame is accumulated
+        (
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .over(w)
+            .cast("double")
+            / 100.0
+        ).alias("spend_90d"),
     )
 
 

@@ -42,12 +42,15 @@ CAT_FN = "2.H scalar functions"
     WITH q AS (
       SELECT EXTRACT(year FROM l_shipdate)::INT AS yr,
              EXTRACT(quarter FROM l_shipdate)::INT AS qtr,
-             SUM(l_extendedprice * (1 - l_discount)) AS rev
+             SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS rev_s
       FROM lineitem GROUP BY 1, 2
     )
-    SELECT yr, qtr, ROUND(rev, 4) AS revenue,
-           ROUND(100.0 * (rev - lag(rev) OVER (PARTITION BY qtr ORDER BY yr))
-                 / lag(rev) OVER (PARTITION BY qtr ORDER BY yr), 4) AS yoy_pct
+    SELECT yr, qtr, CAST(rev_s AS DOUBLE) / 10000.0 AS revenue,
+           ROUND(100.0 * CAST(rev_s - lag(rev_s)
+                              OVER (PARTITION BY qtr ORDER BY yr) AS DOUBLE)
+                 / CAST(lag(rev_s) OVER (PARTITION BY qtr ORDER BY yr)
+                        AS DOUBLE), 4) AS yoy_pct
     FROM q
     """,
 )
@@ -58,18 +61,30 @@ def ts_yoy_same_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     window PARTITIONED BY quarter ORDER BY year over ~24 rows.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # exact scale-1e4 integer revenue (§5.3.6b): the YoY ratio divides
+    # bit-identical integer lags on both engines
     q = li.groupBy(
         F.year("l_shipdate").alias("yr"), F.quarter("l_shipdate").alias("qtr")
     ).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+        F.sum(
+            F.expr(
+                "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+                " * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))"
+            )
+        ).alias("rev_s")
     )
     w = Window.partitionBy("qtr").orderBy("yr")
-    prev = F.lag("rev").over(w)
+    prev = F.lag("rev_s").over(w)
     return q.select(
         "yr",
         "qtr",
-        F.round("rev", 4).alias("revenue"),
-        F.round(F.lit(100.0) * (F.col("rev") - prev) / prev, 4).alias("yoy_pct"),
+        (F.col("rev_s").cast("double") / 10000.0).alias("revenue"),
+        F.round(
+            F.lit(100.0)
+            * (F.col("rev_s") - prev).cast("double")
+            / prev.cast("double"),
+            4,
+        ).alias("yoy_pct"),
     )
 
 
@@ -93,6 +108,12 @@ def customer_clv_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     in years), aged against the corpus's latest order date. The anchor
     date is an aggregate joined back as a broadcast scalar (no driver
     round-trip), then CLV is one hash-agg over the fact table.
+
+    Residual float class (documented, not fixable by §5.3.6b): the exp
+    decay factor is inherently non-integerizable, so the SUM stays a
+    double and is reduction-order dependent in the last ulps. Exposure
+    is per-CUSTOMER sums (tens of addends), far below the 4dp rounding
+    grain — unlike the fact-wide sums the exact-cents campaign removed.
     """
     o = load_table(spark, sf_dir, "orders")
     mx = o.agg(F.max("o_orderdate").alias("md"))
@@ -120,7 +141,8 @@ def customer_clv_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*)::BIGINT AS n_customers,
            MIN(c_custkey)::BIGINT AS min_key,
            MAX(c_custkey)::BIGINT AS max_key,
-           ROUND(SUM(c_acctbal), 4) AS shard_balance
+           CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS shard_balance
     FROM customer
     GROUP BY 1
     """,
@@ -146,7 +168,11 @@ def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             F.min("c_custkey").alias("min_key"),
             F.max("c_custkey").alias("max_key"),
-            F.round(F.sum("c_acctbal"), 4).alias("shard_balance"),
+            (
+                F.sum(F.expr("CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)"))
+                .cast("double")
+                / 100.0
+            ).alias("shard_balance"),
         )
     )
 
@@ -204,7 +230,8 @@ def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     g AS (
       SELECT age_bucket, COUNT(*)::BIGINT AS n_orders,
-             ROUND(SUM(o_totalprice), 2) AS total_value
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS total_value
       FROM b GROUP BY age_bucket
     ),
     t AS (SELECT SUM(n_orders) AS nt FROM g)
@@ -239,7 +266,11 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = b.groupBy("age_bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        (
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("double")
+            / 100.0
+        ).alias("total_value"),
     )
     t = g.agg(F.sum("n_orders").alias("nt"))
     return g.crossJoin(F.broadcast(t)).select(

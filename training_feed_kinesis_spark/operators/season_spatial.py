@@ -112,12 +112,13 @@ def ts_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
       SELECT strftime(o_orderdate, '%Y-%m') AS month,
-             ROUND(SUM(o_totalprice), 2) AS rev
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
       FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
     )
-    SELECT month, rev,
-           ROUND(rev / FIRST_VALUE(rev) OVER (ORDER BY month) * 100, 4)
-             AS idx100
+    SELECT month, CAST(rev_c AS DOUBLE) / 100.0 AS rev,
+           ROUND(CAST(rev_c AS DOUBLE)
+                 / CAST(FIRST_VALUE(rev_c) OVER (ORDER BY month) AS DOUBLE)
+                 * 100, 4) AS idx100
     FROM m
     """,
 )
@@ -129,14 +130,22 @@ def ts_index_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
     §5.3.6).
     """
     o = load_table(spark, sf_dir, "orders")
+    # exact integer cents (§5.3.6b): the rebased index divides
+    # bit-identical integers on both engines
     m = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("rev")
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+        .alias("rev_c")
     )
     w = Window.orderBy("month")
     return m.select(
         "month",
-        "rev",
-        F.round(F.col("rev") / F.first("rev").over(w) * 100, 4).alias("idx100"),
+        (F.col("rev_c").cast("double") / 100.0).alias("rev"),
+        F.round(
+            F.col("rev_c").cast("double")
+            / F.first("rev_c").over(w).cast("double")
+            * 100,
+            4,
+        ).alias("idx100"),
     )
 
 

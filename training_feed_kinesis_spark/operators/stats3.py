@@ -397,7 +397,8 @@ def revenue_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH monthly AS (
       SELECT (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS mi,
-             ROUND(SUM(o_totalprice), 4) AS y
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS y
       FROM orders GROUP BY 1
     ),
     slopes AS (
@@ -432,7 +433,15 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
         .cast("bigint")
         .alias("mi")
-    ).agg(F.round(F.sum("o_totalprice"), 4).alias("y"))
+    ).agg(
+        # exact integer cents (§5.3.6b): the pairwise slopes divide
+        # bit-identical y values on both engines
+        (
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("double")
+            / 100.0
+        ).alias("y")
+    )
     a = monthly.alias("a")
     b = monthly.alias("b")
     slopes = a.join(b, F.col("a.mi") < F.col("b.mi")).select(

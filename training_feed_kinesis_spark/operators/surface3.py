@@ -135,7 +135,9 @@ def fn_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT r_name, n_name,
-             SUM(l_extendedprice * (1 - l_discount)) AS revenue
+             SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+               AS rev_s
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey
@@ -146,7 +148,7 @@ def fn_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT COALESCE(r_name, '(all)') AS region,
              COALESCE(n_name, '(all)') AS nation,
              (r_name IS NULL)::INT * 2 + (n_name IS NULL)::INT AS grain,
-             ROUND(revenue, 4) AS revenue
+             CAST(rev_s AS DOUBLE) / 10000.0 AS revenue
       FROM rev
     )
     SELECT region, nation, grain, revenue,
@@ -173,9 +175,14 @@ def rollup_rank_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
         .rollup("r_name", "n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "rev"
-            )
+            # exact scale-1e4 integer revenue (§5.3.6b): the rank window
+            # below orders on bit-identical values on both engines
+            F.sum(
+                F.expr(
+                    "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+                    " * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))"
+                )
+            ).alias("rev_s")
         )
     )
     flagged = rev.select(
@@ -185,7 +192,7 @@ def rollup_rank_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_name").isNull().cast("int") * 2
             + F.col("n_name").isNull().cast("int")
         ).alias("grain"),
-        F.round("rev", 4).alias("revenue"),
+        (F.col("rev_s").cast("double") / 10000.0).alias("revenue"),
     )
     w = Window.partitionBy("grain").orderBy(
         F.col("revenue").desc(), "region", "nation"

@@ -131,13 +131,16 @@ def cached_rollups(spark: SparkSession, sf_dir: str):
         .groupBy("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("o_totalprice").alias("total"),
+            # exact integer cents (§5.3.6b): the cached intermediate and
+            # both dependent rollups stay order-independent
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .alias("total_c"),
         )
         .cache()
     )
     by_status = base.groupBy("o_orderstatus").agg(
         F.sum("n").cast("bigint").alias("n_orders"),
-        F.round(F.sum("total"), 4).alias("revenue"),
+        (F.sum("total_c").cast("double") / 100.0).alias("revenue"),
     ).select(
         F.lit("by_status").alias("grain"),
         F.col("o_orderstatus").alias("key"),
@@ -146,7 +149,7 @@ def cached_rollups(spark: SparkSession, sf_dir: str):
     )
     by_prio = base.groupBy("o_orderpriority").agg(
         F.sum("n").cast("bigint").alias("n_orders"),
-        F.round(F.sum("total"), 4).alias("revenue"),
+        (F.sum("total_c").cast("double") / 100.0).alias("revenue"),
     ).select(
         F.lit("by_priority").alias("grain"),
         F.col("o_orderpriority").alias("key"),
@@ -162,16 +165,18 @@ def cached_rollups(spark: SparkSession, sf_dir: str):
     """
     WITH base AS (
       SELECT o_orderstatus, o_orderpriority, COUNT(*)::BIGINT AS n,
-             SUM(o_totalprice) AS total
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS total_c
       FROM orders WHERE year(o_orderdate) >= 1996
       GROUP BY 1, 2
     )
     SELECT 'by_status' AS grain, o_orderstatus AS key,
-           SUM(n)::BIGINT AS n_orders, ROUND(SUM(total), 4) AS revenue
+           SUM(n)::BIGINT AS n_orders,
+           CAST(SUM(total_c) AS DOUBLE) / 100.0 AS revenue
     FROM base GROUP BY o_orderstatus
     UNION ALL
     SELECT 'by_priority' AS grain, o_orderpriority AS key,
-           SUM(n)::BIGINT AS n_orders, ROUND(SUM(total), 4) AS revenue
+           SUM(n)::BIGINT AS n_orders,
+           CAST(SUM(total_c) AS DOUBLE) / 100.0 AS revenue
     FROM base GROUP BY o_orderpriority
     """,
 )
@@ -199,7 +204,8 @@ def scan_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT_SQL,
     """
     SELECT o_orderpriority, COUNT(*)::BIGINT AS n,
-           ROUND(SUM(o_totalprice), 4) AS revenue
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS revenue
     FROM orders
     WHERE o_orderstatus = 'F' AND o_totalprice > 1000.0
     GROUP BY o_orderpriority
@@ -216,7 +222,8 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderpriority, COUNT(*) AS n,
-               ROUND(SUM(o_totalprice), 4) AS revenue
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS revenue
         FROM orders_v
         WHERE o_orderstatus = :status AND o_totalprice > :minprice
         GROUP BY o_orderpriority

@@ -95,13 +95,14 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH weekly AS (
       SELECT date_trunc('week', l_shipdate) AS wk,
-             SUM(l_extendedprice * (1 - l_discount)) AS wr
+             SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS wr_s
       FROM lineitem GROUP BY date_trunc('week', l_shipdate)
     )
     SELECT strftime(wk, '%Y-%m-%d') AS week_start,
-           ROUND(wr, 4) AS revenue,
-           ROUND(100.0 * (wr - lag(wr) OVER (ORDER BY wk))
-                 / lag(wr) OVER (ORDER BY wk), 4) AS wow_pct
+           CAST(wr_s AS DOUBLE) / 10000.0 AS revenue,
+           ROUND(100.0 * CAST(wr_s - lag(wr_s) OVER (ORDER BY wk) AS DOUBLE)
+                 / CAST(lag(wr_s) OVER (ORDER BY wk) AS DOUBLE), 4) AS wow_pct
     FROM weekly
     """,
 )
@@ -113,15 +114,27 @@ def ts_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     date_trunc('week') dialects are ISO-Monday, verified.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # exact scale-1e4 integer revenue (§5.3.6b): the WoW ratio divides
+    # bit-identical integer lags on both engines
     weekly = li.groupBy(F.date_trunc("week", "l_shipdate").alias("wk")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("wr")
+        F.sum(
+            F.expr(
+                "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+                " * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))"
+            )
+        ).alias("wr_s")
     )
     w = Window.orderBy("wk")
-    prev = F.lag("wr").over(w)
+    prev = F.lag("wr_s").over(w)
     return weekly.select(
         F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
-        F.round("wr", 4).alias("revenue"),
-        F.round(F.lit(100.0) * (F.col("wr") - prev) / prev, 4).alias("wow_pct"),
+        (F.col("wr_s").cast("double") / 10000.0).alias("revenue"),
+        F.round(
+            F.lit(100.0)
+            * (F.col("wr_s") - prev).cast("double")
+            / prev.cast("double"),
+            4,
+        ).alias("wow_pct"),
     )
 
 
