@@ -1036,3 +1036,34 @@ def test_rev_s_constants_identical():
     from training_feed_kinesis_spark.operators import workloads, workloads_tpch
 
     assert workloads._REV_S == workloads_tpch._REV_S
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "agg_basic",
+        "q9_product_profit",
+        "q11_important_parts",
+        "q3_shipping_priority",
+        "rollup_rank_report",
+        "revenue_pareto",
+    ],
+)
+def test_money_results_partition_invariant(spark, registry, key):
+    """The §5.3.6b campaign's core claim, pinned: exact-integer money
+    arithmetic makes these results BIT-identical under different shuffle
+    partition counts (different reduction orders). A double-sum spelling
+    regressing into any of these keys shows up here as a last-ulp (or
+    ROUND-boundary) difference between the two runs."""
+    spec = registry[key]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def run(n):
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            return sorted(repr(r) for r in spec.fn(spark, SF_DIR).collect())
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    a, b = run(3), run(17)
+    assert a == b
