@@ -262,14 +262,16 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = c.join(
         F.broadcast(n), c.c_nationkey == n.n_nationkey
     ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-    return joined.rollup("r_name", "n_name").agg(
+    # exact integer cents (§5.3.6b), projected before the rollup so the
+    # term is computed once per row, not once per Expand duplicate
+    projected = joined.select(
+        "r_name",
+        "n_name",
+        F.expr("CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)").alias("bal_c"),
+    )
+    return projected.rollup("r_name", "n_name").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        # exact integer cents (§5.3.6b): order-independent sum
-        (
-            F.sum(F.expr("CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)"))
-            .cast("double")
-            / 100.0
-        ).alias("total_bal"),
+        (F.sum("bal_c").cast("double") / 100.0).alias("total_bal"),
     )
 
 
@@ -287,14 +289,16 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
+    # exact integer cents (§5.3.6b), projected before the cube so the
+    # term is computed once per row, not once per Expand duplicate (4x)
+    projected = o.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("pr_c"),
+    )
+    return projected.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        # exact integer cents (§5.3.6b): order-independent sum
-        (
-            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
-            .cast("double")
-            / 100.0
-        ).alias("total_price"),
+        (F.sum("pr_c").cast("double") / 100.0).alias("total_price"),
     )
 
 

@@ -173,17 +173,19 @@ def rollup_rank_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(su, li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
-        .rollup("r_name", "n_name")
-        .agg(
-            # exact scale-1e4 integer revenue (§5.3.6b): the rank window
-            # below orders on bit-identical values on both engines
-            F.sum(
-                F.expr(
-                    "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
-                    " * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))"
-                )
-            ).alias("rev_s")
+        # exact scale-1e4 integer revenue (§5.3.6b), projected BEFORE the
+        # rollup so the term is computed once per input row, not once per
+        # Expand duplicate (3x here — measured +0.2 s at bench sf)
+        .select(
+            "r_name",
+            "n_name",
+            F.expr(
+                "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+                " * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))"
+            ).alias("rev_s"),
         )
+        .rollup("r_name", "n_name")
+        .agg(F.sum("rev_s").alias("rev_s"))
     )
     flagged = rev.select(
         F.coalesce("r_name", F.lit("(all)")).alias("region"),
