@@ -45,6 +45,7 @@ GENERATORS = {
     "having": tf.gen_having_query,
     "composite": tf.gen_composite_query,
     "subquery": tf.gen_subquery_query,
+    "frame": tf.gen_frame_query,
 }
 
 

@@ -200,7 +200,9 @@ def gen_setop_query(seed: int) -> str:
     table = rng.choice(["lineitem", "events"])
     if table == "lineitem":
         num_cols, str_cols = _LINEITEM_NUM, _LINEITEM_STR
-        proj = "l_returnflag, l_linestatus, CAST(l_quantity AS INT) AS q"
+        # FLOOR before the cast (§5.3.6b): bare CAST(double AS INT)
+        # truncates in Spark and rounds in DuckDB
+        proj = "l_returnflag, l_linestatus, CAST(FLOOR(l_quantity) AS INT) AS q"
     else:
         num_cols, str_cols = _EVENTS_NUM, _EVENTS_STR
         proj = "event_type, user_id % 7 AS bucket"
@@ -428,3 +430,51 @@ def gen_subquery_query(seed: int) -> str:
 def test_fuzz_subquery_query(seed, spark_join_views, duck):
     sql = gen_subquery_query(seed)
     assert_matches_oracle(spark_join_views.sql(sql), duck, sql, float_tol=2e-4)
+
+
+# --- window FRAME fuzzing (round 6) -----------------------------------------
+# The frame path (ROWS/RANGE BETWEEN) is the one window surface the base
+# window fuzz pins to a single fixed cumulative frame. ROWS frames get a
+# unique total order (event_id tiebreak); RANGE frames order by exact
+# integer cents so peer groups and integer offsets mean the same thing
+# to both engines, and frame SUMs aggregate BIGINTs — exact in any
+# accumulation order the engines choose.
+
+N_FRAME_CASES = 12
+
+_CENTS = "CAST(ROUND(value * 100, 0) AS BIGINT)"
+
+
+def gen_frame_query(seed: int) -> str:
+    rng = random.Random(50_000 + seed)
+    pred = _predicate(rng, _EVENTS_NUM, _EVENTS_STR)
+    part = rng.choice(["user_id", "event_type", "user_id, event_type"])
+    kind = rng.choice(["count", "sum", "min", "max"])
+    if rng.random() < 0.5:
+        a, b = rng.randint(0, 5), rng.randint(0, 5)
+        frame = f"ROWS BETWEEN {a} PRECEDING AND {b} FOLLOWING"
+        over = f"PARTITION BY {part} ORDER BY ts, event_id {frame}"
+    else:
+        off = rng.choice([100, 500, 1000, 5000])
+        tail = rng.choice(["CURRENT ROW", f"{off} FOLLOWING"])
+        frame = f"RANGE BETWEEN {off} PRECEDING AND {tail}"
+        over = f"PARTITION BY {part} ORDER BY {_CENTS} {frame}"
+    if kind == "count":
+        w = f"COUNT(*) OVER ({over})"
+    elif kind == "sum":
+        # post-cast to DOUBLE: DuckDB widens windowed SUM(BIGINT) to
+        # HUGEINT (pandas float) where Spark keeps int64 — the same
+        # representation-class trap the registered keys cast away
+        w = f"CAST(SUM({_CENTS}) OVER ({over}) AS DOUBLE) / 100.0"
+    else:
+        w = f"{kind.upper()}({_CENTS}) OVER ({over})"
+    return (
+        f"SELECT event_id, user_id, {w} AS w "
+        f"FROM events WHERE ({pred})"
+    )
+
+
+@pytest.mark.parametrize("seed", range(N_FRAME_CASES))
+def test_fuzz_frame_query(seed, spark_views, duck):
+    sql = gen_frame_query(seed)
+    assert_matches_oracle(spark_views.sql(sql), duck, sql, float_tol=2e-4)
