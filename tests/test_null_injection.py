@@ -1116,3 +1116,94 @@ def test_finite_census_clean_corpus_reports_clean(spark, registry):
     for r in rows:
         assert r.n_null == 0 and r.n_nan == 0, r
         assert r.n_posinf == 0 and r.n_neginf == 0, r
+
+
+# --- corruption class: EMPTY CORPUS (round 6) --------------------------------
+# A filter chain, a dead upstream, or a fresh deployment hands every
+# operator zero rows. A full-registry census (r6) found 504/537 oracled
+# keys already empty-clean and three defect families; the fixed keys are
+# replayed here permanently. The one ENGINE divergence found — Spark
+# ROLLUP/CUBE/GROUPING SETS return zero rows over an empty relation
+# where DuckDB (standard-correctly) emits the grand-total row — cannot
+# be fixed spelling-side and is pinned as a documented precondition
+# below.
+
+EMPTY_CLEAN_CONSUMERS = [
+    # the keys the census caught and r6 fixed (NULL-vs-0 COUNT FILTER
+    # mirrors, ANSI zero-divisors, fabricated rows from global aggs)
+    "sql_scripting_batch",
+    "ml_conformal_interval",
+    "vec_pca_power",
+    "dq_orphan_census",
+    "fn_luhn",
+    "events_sequence_regex",
+    "events_ab_srm_check",
+    "events_cart_abandonment",
+    "events_poisson_two_rate",
+    "sink_parquet_codecs",
+    "agg_approx_percentile_bound",
+    # representative always-were-clean keys across the §2 families
+    "agg_basic",
+    "agg_stats",
+    "filter_compare",
+    "join_inner",
+    "join_left",
+    "win_ranking",
+    "topk_per_group",
+    "set_union_all",
+    "fn_string",
+    "q3_shipping_priority",
+    "q22_idle_customers",
+    "q11_important_parts",
+    "revenue_pareto",
+    "customer_rfm",
+    "llm_dedup_exact",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf(tmp_path_factory):
+    """Schema-only copies of every table (parquet schemas preserved)."""
+    d = tmp_path_factory.mktemp("emptysf")
+    for t in TABLES:
+        duckdb.execute(
+            f"COPY (SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f" WHERE 1=0) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_empty(empty_sf):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{empty_sf}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", EMPTY_CLEAN_CONSUMERS)
+def test_ops_survive_empty_corpus(key, spark, registry, empty_sf, duck_empty):
+    spec = registry[key]
+    assert spec.oracle is not None, key
+    assert_matches_oracle(spec.fn(spark, empty_sf), duck_empty, spec.oracle)
+
+
+def test_grouping_sets_empty_divergence_pinned(spark, duck_empty):
+    """Document-by-test: over an EMPTY relation Spark's grouping-sets
+    family returns ZERO rows while DuckDB emits the SQL-standard
+    grand-total row (COUNT=0). agg_rollup/agg_cube/agg_grouping_sets/
+    rollup_rank_report/ts_rollup_hierarchy therefore carry a non-empty-
+    input precondition. If this assert ever flips, Spark fixed the
+    divergence — drop the precondition and add those keys to the
+    empty-clean replay above."""
+    spark.sql("SELECT 1 AS a WHERE 1=0").createOrReplaceTempView(
+        "empty_probe"
+    )
+    q = "SELECT a, COUNT(*) AS n FROM empty_probe GROUP BY ROLLUP(a)"
+    assert spark.sql(q).count() == 0
+    duck_empty.execute("CREATE OR REPLACE VIEW empty_probe AS SELECT 1 AS a WHERE 1=0")
+    assert len(duck_empty.execute(q).fetchall()) == 1

@@ -256,6 +256,10 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRECONDITION (empty-corpus census r6, applies to the whole
+    grouping-sets family): over an EMPTY input Spark returns zero rows
+    while DuckDB emits the SQL-standard grand-total row — pinned by
+    tests/test_null_injection.py::test_grouping_sets_empty_divergence_pinned."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")

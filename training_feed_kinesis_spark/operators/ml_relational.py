@@ -203,6 +203,11 @@ def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     for row in parts.collect():
         gram += np.asarray(row["g"], dtype=np.float64)
     gram = gram.reshape(_DIM, _DIM)
+    if not gram.any():
+        # empty corpus: the oracle's CTE chain (correctly) yields no
+        # rows; the zero Gram matrix would otherwise fabricate 64 NaN
+        # loadings (0/0 normalization) — empty-corpus census r6
+        return spark.createDataFrame([], "dim INT, component DOUBLE")
     v = np.full(_DIM, 1.0 / _DIM**0.5)
     for _ in range(3):
         z = gram @ v

@@ -64,11 +64,12 @@ def _assign_spark():
       FROM assigned
     )
     SELECT n_a, n_b,
-           ROUND((n_a - n / 2.0) * (n_a - n / 2.0) / (n / 2.0)
-                 + (n_b - n / 2.0) * (n_b - n / 2.0) / (n / 2.0), 4) AS chi2,
-           ((n_a - n / 2.0) * (n_a - n / 2.0) / (n / 2.0)
-            + (n_b - n / 2.0) * (n_b - n / 2.0) / (n / 2.0)) > 3.841
-             AS srm_detected
+           ROUND((n_a - n / 2.0) * (n_a - n / 2.0) / (NULLIF(n, 0) / 2.0)
+                 + (n_b - n / 2.0) * (n_b - n / 2.0) / (NULLIF(n, 0) / 2.0),
+                 4) AS chi2,
+           ((n_a - n / 2.0) * (n_a - n / 2.0) / (NULLIF(n, 0) / 2.0)
+            + (n_b - n / 2.0) * (n_b - n / 2.0) / (NULLIF(n, 0) / 2.0))
+             > 3.841 AS srm_detected
     FROM arms
     """,
 )
@@ -86,18 +87,28 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = ev.groupBy("user_id").agg(
         F.first(_assign_spark()).alias("variant")
     )
+    # COALESCE: the oracle's COUNT FILTER arms are 0 over an empty
+    # corpus where SUM is NULL (empty-corpus census r6)
     arms = assigned.agg(
-        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)), F.lit(0)
+        )
         .cast("bigint")
         .alias("n_a"),
-        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)), F.lit(0)
+        )
         .cast("bigint")
         .alias("n_b"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+    # NULLIF the divisor: n = 0 over an empty corpus means chi2 is NULL
+    # on both engines rather than an ANSI divide-by-zero error
+    # (empty-corpus census r6)
     da = F.col("n_a") - F.col("n") / 2.0
     db = F.col("n_b") - F.col("n") / 2.0
-    chi2 = da * da / (F.col("n") / 2.0) + db * db / (F.col("n") / 2.0)
+    half = F.expr("NULLIF(n, 0) / 2.0")
+    chi2 = da * da / half + db * db / half
     return arms.select(
         "n_a",
         "n_b",

@@ -119,10 +119,16 @@ def fn_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked = nums.select(
         "acct", F.expr("luhn_check(acct)").alias("ok")
     )
+    # COALESCE(.., 0): SUM over an empty slice is NULL where the
+    # oracle's COUNT FILTER gives 0 (empty-corpus census r6)
     return checked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_checked"),
-        F.sum(F.col("ok").cast("int")).cast("bigint").alias("n_valid"),
-        F.sum((~F.col("ok")).cast("int")).cast("bigint").alias("n_invalid"),
+        F.coalesce(F.sum(F.col("ok").cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("n_valid"),
+        F.coalesce(F.sum((~F.col("ok")).cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("n_invalid"),
         F.min(F.when(F.col("ok"), F.col("acct"))).alias("first_valid"),
     )
 
@@ -196,4 +202,13 @@ def sink_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_df = rows[0]
     for r in rows[1:]:
         out_df = out_df.unionByName(r)
-    return out_df.select("codec", "n_rows", "content_digest")
+    # no rows -> no digest: DuckDB's string_agg over an empty set is
+    # NULL (md5(NULL) = NULL) where array_join(empty) is '' and would
+    # digest to d41d8... (empty-corpus census r6)
+    return out_df.select(
+        "codec",
+        "n_rows",
+        F.when(F.col("n_rows") > 0, F.col("content_digest")).alias(
+            "content_digest"
+        ),
+    )

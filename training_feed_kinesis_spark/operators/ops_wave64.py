@@ -115,7 +115,11 @@ def events_sequence_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched = F.col("seq").rlike(_PATTERN)
     return strings.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
-        F.sum(matched.cast("int")).cast("bigint").alias("n_matched"),
+        # COALESCE: the oracle's COUNT FILTER is 0 over an empty corpus
+        # where SUM is NULL (empty-corpus census r6)
+        F.coalesce(F.sum(matched.cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("n_matched"),
         F.sum(F.when(matched, F.col("n_events")).otherwise(0))
         .cast("bigint")
         .alias("matched_events"),

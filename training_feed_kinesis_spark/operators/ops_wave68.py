@@ -134,6 +134,12 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("coverage_pct", "half_width"),
         "n_calibration",
+    ).filter(
+        # no calibration rows -> no intervals: the global agg always
+        # emits one row, but the oracle's GROUP BY (correctly) emits
+        # none over an empty calibration half — align to it instead of
+        # fabricating three NULL-width rows (empty-corpus census r6)
+        F.col("n_calibration") > 0
     ).select("coverage_pct", "n_calibration", "half_width")
 
 

@@ -61,7 +61,8 @@ CAT_TEXT = "2.J llm-pipeline (text)"
                 THEN click_value ELSE 0 END), 4) AS abandoned_value,
       CAST((2 * COUNT(*) FILTER (WHERE clicked = 1 AND purchased = 0) * 10000
             + COUNT(*) FILTER (WHERE clicked = 1))
-           // (2 * COUNT(*) FILTER (WHERE clicked = 1)) AS BIGINT) / 10000.0
+           // (2 * NULLIF(COUNT(*) FILTER (WHERE clicked = 1), 0))
+           AS BIGINT) / 10000.0
         AS abandonment_rate
     FROM flags
     """,
@@ -107,10 +108,18 @@ def events_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("click_value"),
     )
     abandoned = (F.col("clicked") == 1) & (F.col("purchased") == 0)
+    # COALESCE the COUNT-FILTER mirrors and NULLIF the rate divisor:
+    # over an EMPTY corpus the oracle's COUNT FILTER arms are 0 and its
+    # integer // NULL yields NULL, where a bare SUM is NULL and Spark's
+    # ANSI div-by-zero would hard-error (empty-corpus census r6)
     return flags.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
-        F.sum(F.col("clicked")).cast("bigint").alias("n_engaged"),
-        F.sum(abandoned.cast("int")).cast("bigint").alias("n_abandoned"),
+        F.coalesce(F.sum(F.col("clicked")), F.lit(0))
+        .cast("bigint")
+        .alias("n_engaged"),
+        F.coalesce(F.sum(abandoned.cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("n_abandoned"),
         F.round(
             F.sum(F.when(abandoned, F.col("click_value")).otherwise(0.0)), 4
         ).alias("abandoned_value"),
@@ -120,7 +129,10 @@ def events_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_abandoned",
         "abandoned_value",
         (
-            F.expr("(2 * n_abandoned * 10000 + n_engaged) div (2 * n_engaged)")
+            F.expr(
+                "(2 * n_abandoned * 10000 + n_engaged)"
+                " div (2 * NULLIF(n_engaged, 0))"
+            )
             .cast("bigint")
             / 10000.0
         ).alias("abandonment_rate"),

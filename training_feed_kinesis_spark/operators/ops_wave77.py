@@ -219,14 +219,17 @@ def agg_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ABS(100 * {r} - {pct} * n) <= n DIV 100 + 100"
         )
 
+    # COALESCE: over an empty corpus n is 0 (not NULL) and the bound
+    # checks are vacuously TRUE, matching the oracle's literals
+    # (empty-corpus census r6)
     return ranks.select(
-        F.col("n").cast("long").alias("n"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         F.round(F.expr("element_at(ep, 1)"), 4).alias("exact_p50"),
         F.round(F.expr("element_at(ep, 2)"), 4).alias("exact_p90"),
         F.round(F.expr("element_at(ep, 3)"), 4).alias("exact_p99"),
-        ok("r50", 50).alias("within_p50"),
-        ok("r90", 90).alias("within_p90"),
-        ok("r99", 99).alias("within_p99"),
+        F.coalesce(ok("r50", 50), F.lit(True)).alias("within_p50"),
+        F.coalesce(ok("r90", 90), F.lit(True)).alias("within_p90"),
+        F.coalesce(ok("r99", 99), F.lit(True)).alias("within_p99"),
     )
 
 

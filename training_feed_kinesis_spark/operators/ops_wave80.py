@@ -129,8 +129,12 @@ def sql_scripting_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 END IF;
               END FOR;
               SELECT n_regions,
-                     CAST(total_c AS DOUBLE) / 100.0 AS total_bal,
-                     CAST(max_c AS DOUBLE) / 100.0 AS max_bal;
+                     CASE WHEN n_regions = 0 THEN NULL
+                          ELSE CAST(total_c AS DOUBLE) / 100.0
+                     END AS total_bal,
+                     CASE WHEN n_regions = 0 THEN NULL
+                          ELSE CAST(max_c AS DOUBLE) / 100.0
+                     END AS max_bal;
             END
             """
         )

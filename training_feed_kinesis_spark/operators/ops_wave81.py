@@ -300,13 +300,13 @@ def orders_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT k1 AS purchases_biz, k2 AS purchases_off,
            CAST(d * 9 AS BIGINT) AS hours_biz,
            CAST(d * 15 AS BIGINT) AS hours_off,
-           ROUND(CAST(k1 AS DOUBLE) / (d * 9), 4) AS rate_biz,
-           ROUND(CAST(k2 AS DOUBLE) / (d * 15), 4) AS rate_off,
-           ROUND((CAST(k1 AS DOUBLE) / (d * 9)
-                  - CAST(k2 AS DOUBLE) / (d * 15))
-                 / sqrt(CAST(k1 AS DOUBLE) / pow(d * 9.0, 2)
-                        + CAST(k2 AS DOUBLE) / pow(d * 15.0, 2)), 4)
-             AS wald_z
+           ROUND(CAST(k1 AS DOUBLE) / (NULLIF(d, 0) * 9), 4) AS rate_biz,
+           ROUND(CAST(k2 AS DOUBLE) / (NULLIF(d, 0) * 15), 4) AS rate_off,
+           ROUND((CAST(k1 AS DOUBLE) / (NULLIF(d, 0) * 9)
+                  - CAST(k2 AS DOUBLE) / (NULLIF(d, 0) * 15))
+                 / sqrt(CAST(k1 AS DOUBLE) / pow(NULLIF(d, 0) * 9.0, 2)
+                        + CAST(k2 AS DOUBLE) / pow(NULLIF(d, 0) * 15.0, 2)),
+                 4) AS wald_z
     FROM cnt CROSS JOIN days
     """,
 )
@@ -327,15 +327,25 @@ def events_poisson_two_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slot"
         )
     )
+    # COALESCE: the oracle's COUNT FILTER arms are 0 over an empty
+    # corpus where SUM is NULL (empty-corpus census r6)
     cnt = lab.agg(
-        F.sum(F.when(F.col("slot") == "biz", 1).otherwise(0)).alias("k1"),
-        F.sum(F.when(F.col("slot") == "off", 1).otherwise(0)).alias("k2"),
+        F.coalesce(
+            F.sum(F.when(F.col("slot") == "biz", 1).otherwise(0)), F.lit(0)
+        ).alias("k1"),
+        F.coalesce(
+            F.sum(F.when(F.col("slot") == "off", 1).otherwise(0)), F.lit(0)
+        ).alias("k2"),
     )
     days = ev.agg(
         F.countDistinct(F.date_trunc("day", "ts")).alias("d")
     )
-    r1 = F.col("k1").cast("double") / (F.col("d") * 9)
-    r2 = F.col("k2").cast("double") / (F.col("d") * 15)
+    # NULLIF the exposure divisor: d = 0 over an empty corpus means the
+    # rates are NULL on both engines rather than an ANSI
+    # divide-by-zero error (empty-corpus census r6)
+    d_nz = F.expr("NULLIF(d, 0)")
+    r1 = F.col("k1").cast("double") / (d_nz * 9)
+    r2 = F.col("k2").cast("double") / (d_nz * 15)
     return cnt.crossJoin(F.broadcast(days)).select(
         F.col("k1").alias("purchases_biz"),
         F.col("k2").alias("purchases_off"),
@@ -346,8 +356,8 @@ def events_poisson_two_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (r1 - r2)
             / F.sqrt(
-                F.col("k1").cast("double") / F.pow(F.col("d") * 9.0, 2)
-                + F.col("k2").cast("double") / F.pow(F.col("d") * 15.0, 2)
+                F.col("k1").cast("double") / F.pow(d_nz * 9.0, 2)
+                + F.col("k2").cast("double") / F.pow(d_nz * 15.0, 2)
             ),
             4,
         ).alias("wald_z"),

@@ -209,14 +209,21 @@ def dq_orphan_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pkeys = parent.distinct()
         joined = child.join(pkeys, child.k == pkeys.pk, "left")
+        # COALESCE(.., 0): SUM over an EMPTY child is NULL where the
+        # oracle's COUNT subqueries give 0 (empty-corpus census r6)
         stats = joined.agg(
             F.count(F.lit(1)).alias("n_child"),
-            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)), F.lit(0)
+            )
             .cast("bigint")
             .alias("n_null_key"),
-            F.sum(
-                F.when(F.col("k").isNotNull() & F.col("pk").isNull(), 1)
-                .otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("k").isNotNull() & F.col("pk").isNull(), 1)
+                    .otherwise(0)
+                ),
+                F.lit(0),
             )
             .cast("bigint")
             .alias("n_orphan"),
