@@ -1142,6 +1142,13 @@ EMPTY_CLEAN_CONSUMERS = [
     "events_poisson_two_rate",
     "sink_parquet_codecs",
     "agg_approx_percentile_bound",
+    # scratch-path keys: explicit read-back schemas (an empty write
+    # leaves nothing to infer from) and a no-files guard for binaryFile
+    "sink_partitioned",
+    "scan_pruned_partitions",
+    "sink_dynamic_overwrite",
+    "source_binary_files",
+    "join_dpp_partitioned",
     # representative always-were-clean keys across the §2 families
     "agg_basic",
     "agg_stats",

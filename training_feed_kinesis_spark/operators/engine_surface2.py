@@ -89,7 +89,9 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.write.mode("overwrite").partitionBy("shipyear").parquet(out)
         with open(os.path.join(out, "_READY"), "w") as f:
             f.write("ok")
-    fact = spark.read.parquet(out)
+    # explicit schema: an EMPTY input writes no partition dirs and
+    # schema inference would fail (empty-corpus census r6)
+    fact = spark.read.schema(li.schema).parquet(out)
     dim = (
         load_table(spark, sf_dir, "orders")
         .select(F.year("o_orderdate").cast("bigint").alias("yr"))

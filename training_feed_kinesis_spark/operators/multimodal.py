@@ -405,6 +405,13 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows:
         with open(os.path.join(out, f"doc_{r['doc_id']:05d}.bin"), "wb") as f:
             f.write(bytes(r["payload"]))
+    if not rows:
+        # EMPTY corpus writes no .bin files and the glob load would
+        # throw PATH_NOT_FOUND (empty-corpus census r6); the oracle
+        # (correctly) yields zero rows
+        return spark.createDataFrame(
+            [], "doc_id BIGINT, n_bytes INT, payload_hex STRING"
+        )
     files = spark.read.format("binaryFile").load(f"{out}/*.bin")
     return files.select(
         F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)

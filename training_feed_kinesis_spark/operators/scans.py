@@ -125,7 +125,9 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
     agg.write.mode("overwrite").partitionBy("event_type").parquet(out)
-    back = spark.read.parquet(out)
+    # explicit schema: an EMPTY input writes no partition dirs and
+    # schema inference would fail (empty-corpus census r6)
+    back = spark.read.schema(agg.schema).parquet(out)
     # partition value decodes as string from the path; restore declared type+order
     return back.select(
         F.col("event_type").cast("string").alias("event_type"), "user_id", "n"
@@ -340,7 +342,9 @@ def scan_pruned_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("total_value"),
     )
     agg.write.mode("overwrite").partitionBy("event_type").parquet(out)
-    back = spark.read.parquet(out).filter(
+    # explicit schema: an EMPTY input writes no partition dirs and
+    # schema inference would fail (empty-corpus census r6)
+    back = spark.read.schema(agg.schema).parquet(out).filter(
         F.col("event_type").isin("purchase", "signup")
     )
     return back.select(

@@ -188,7 +188,9 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    back = spark.read.parquet(out)
+    # explicit schema: an EMPTY input writes no partition dirs and
+    # schema inference would fail (empty-corpus census r6)
+    back = spark.read.schema(ev.schema).parquet(out)
     return back.groupBy(F.col("d").cast("bigint").alias("d")).agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 4).alias("total")
     )
