@@ -1149,6 +1149,18 @@ EMPTY_CLEAN_CONSUMERS = [
     "sink_dynamic_overwrite",
     "source_binary_files",
     "join_dpp_partitioned",
+    # iterative/ratio keys: zero-node teleport guard, NULLIF'd
+    # dup-rate and precision/recall denominators
+    "graph_pagerank",
+    "llm_data_card",
+    "llm_dedup_method_matrix",
+    # Still loud-fail-on-empty BY DESIGN (documented, not replayed):
+    # the iterative series/vector algorithms whose oracles also
+    # error or have nothing to emit — ts_croston, ts_holt_linear,
+    # ts_holt_winters, ts_turning_points (DuckDB-side sqrt error),
+    # vec_farthest_first_init, vec_mmr_rerank,
+    # events_attribution_markov_removal, source_kinesis_pyds.
+    # A loud error beats a fabricated answer; each needs real input.
     # representative always-were-clean keys across the §2 families
     "agg_basic",
     "agg_stats",

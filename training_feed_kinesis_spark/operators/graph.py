@@ -279,6 +279,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = norm.cache()
     nodes = nodes.cache()
     n = nodes.count()  # domain-sized (5); fixes the teleport term
+    if n == 0:
+        # EMPTY corpus: no transitions, no graph — the oracle's CTE
+        # chain (correctly) yields zero rows; the 1/n teleport term
+        # would otherwise raise ZeroDivisionError (census r6)
+        return spark.createDataFrame(
+            [], "event_type STRING, pagerank DOUBLE"
+        )
     pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
     for _ in range(_PR_ITERS):
         contrib = norm.join(pr, norm.src == pr.node).select(

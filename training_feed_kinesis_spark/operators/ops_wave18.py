@@ -116,7 +116,7 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'n_docs' AS metric, n_docs AS value FROM m
       UNION ALL SELECT 'n_langs', n_langs FROM m
       UNION ALL SELECT 'n_sources', n_sources FROM m
-      UNION ALL SELECT 'dup_rate', 1 - n_unique / n_docs FROM m
+      UNION ALL SELECT 'dup_rate', 1 - n_unique / NULLIF(n_docs, 0) FROM m
       UNION ALL SELECT 'mean_chars', mean_chars FROM m
       UNION ALL SELECT 'median_chars', median_chars FROM m
       UNION ALL SELECT 'total_tokens', total_tokens FROM m
@@ -160,7 +160,9 @@ def llm_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'n_docs', n_docs, "
         "'n_langs', n_langs, "
         "'n_sources', n_sources, "
-        "'dup_rate', 1 - n_unique / n_docs, "
+        # NULLIF: 0/0 over an empty corpus is NULL on both engines, not
+        # an ANSI divide-by-zero error (empty-corpus census r6)
+        "'dup_rate', 1 - n_unique / NULLIF(n_docs, 0), "
         "'mean_chars', mean_chars, "
         "'median_chars', median_chars, "
         "'total_tokens', total_tokens, "

@@ -49,12 +49,14 @@ def _method_stats_sql(name: str, cte: str) -> str:
            CAST((2 * (SELECT COUNT(*) FROM {cte} m JOIN truth t
                         ON t.a_id = m.a_id AND t.b_id = m.b_id) * 10000
                  + (SELECT COUNT(*) FROM {cte}))
-                // (2 * (SELECT COUNT(*) FROM {cte})) AS BIGINT) / 10000.0
+                // (2 * NULLIF((SELECT COUNT(*) FROM {cte}), 0))
+                AS BIGINT) / 10000.0
              AS precision,
            CAST((2 * (SELECT COUNT(*) FROM {cte} m JOIN truth t
                         ON t.a_id = m.a_id AND t.b_id = m.b_id) * 10000
                  + (SELECT COUNT(*) FROM truth))
-                // (2 * (SELECT COUNT(*) FROM truth)) AS BIGINT) / 10000.0
+                // (2 * NULLIF((SELECT COUNT(*) FROM truth), 0))
+                AS BIGINT) / 10000.0
              AS recall
     """
 
@@ -112,12 +114,19 @@ def llm_dedup_method_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pred",
             "n_truth",
             "tp",
+            # NULLIF the denominators: zero predicted/truth pairs (empty
+            # corpus) means precision/recall are NULL on both engines
+            # rather than an ANSI divide-by-zero error (census r6)
             (
-                F.expr("(2 * tp * 10000 + n_pred) div (2 * n_pred)").cast("bigint")
+                F.expr(
+                    "(2 * tp * 10000 + n_pred) div (2 * NULLIF(n_pred, 0))"
+                ).cast("bigint")
                 / 10000.0
             ).alias("precision"),
             (
-                F.expr("(2 * tp * 10000 + n_truth) div (2 * n_truth)").cast("bigint")
+                F.expr(
+                    "(2 * tp * 10000 + n_truth) div (2 * NULLIF(n_truth, 0))"
+                ).cast("bigint")
                 / 10000.0
             ).alias("recall"),
         )
