@@ -839,19 +839,25 @@ def test_codec_sizes_reported_and_content_identical(spark, registry):
     import glob
     import os
 
+    from training_feed_kinesis_spark.operators.scans import SCRATCH
+
+    # snapshot-and-diff instead of glob-latest: any OTHER invocation of
+    # the key (e.g. the empty-corpus replay) also writes codec_* scratch
+    # dirs, and "latest by name" may pick one of those up
+    before = set(glob.glob(os.path.join(SCRATCH, "codec_*")))
     rows = registry["sink_parquet_codecs"].fn(spark, SF_DIR).collect()
     digests = {r["codec"]: r["content_digest"] for r in rows}
     assert len(set(digests.values())) == 1, digests
-    from training_feed_kinesis_spark.operators.scans import SCRATCH
+    new_dirs = set(glob.glob(os.path.join(SCRATCH, "codec_*"))) - before
 
     sizes = {}
     for codec in ("snappy", "zstd", "gzip"):
-        dirs = sorted(glob.glob(os.path.join(SCRATCH, f"codec_{codec}_*")))
+        dirs = [d for d in new_dirs if f"codec_{codec}_" in d]
         assert dirs, codec
-        latest = dirs[-1]
         sizes[codec] = sum(
-            os.path.getsize(os.path.join(latest, f))
-            for f in os.listdir(latest)
+            os.path.getsize(os.path.join(d, f))
+            for d in dirs
+            for f in os.listdir(d)
             if f.endswith(".parquet")
         )
     assert all(v > 0 for v in sizes.values()), sizes
