@@ -1,5 +1,7 @@
-"""Deep differential fuzz runner: fresh-seed tranches of the six
-tests/test_fuzz.py generators, Spark vs DuckDB, outside the CI budget.
+"""Deep differential fuzz runner: fresh-seed tranches of the
+tests/test_fuzz.py generators (eight: query, join, window, setop,
+having, composite +30k, subquery +40k, frame +50k — each applies its
+own seed base), Spark vs DuckDB, outside the CI budget.
 
 The CI suite pins small seed ranges (0..N per generator) so the
 regression cost stays bounded; the deep pass that found the HAVING

@@ -1063,13 +1063,24 @@ def test_money_results_partition_invariant(spark, registry, key):
     ROUND-boundary) difference between the two runs."""
     spec = registry[key]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_coalesce = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true"
+    )
 
     def run(n):
+        # coalescing OFF: at test scale AQE would merge both the 3- and
+        # 17-partition shuffles down to the same post-shuffle layout,
+        # giving both runs the same reduction order and making the pin
+        # vacuous (code review r6)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
         try:
             return sorted(repr(r) for r in spec.fn(spark, SF_DIR).collect())
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce
+            )
 
     a, b = run(3), run(17)
     assert a == b

@@ -54,7 +54,9 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.expr("SUM(CAST(FLOOR(l_quantity) AS BIGINT))").alias("sq"),
+            F.expr("SUM(CAST(ROUND(l_quantity * 4, 0) AS BIGINT))").alias(
+                "sq4"
+            ),
             F.expr(f"SUM({cents})").alias("s0"),
             F.expr(f"SUM({cents} * {d100})").alias("sd"),
             F.expr(f"SUM({cents} * {t100})").alias("st"),
@@ -65,7 +67,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "l_returnflag",
             "l_linestatus",
-            "ROUND(CAST(sq AS DOUBLE), 4) AS sum_qty",
+            "ROUND(CAST(sq4 AS DOUBLE) / 4.0, 4) AS sum_qty",
             "ROUND(CAST(s0 AS DOUBLE) / 100.0, 4) AS sum_base_price",
             "ROUND(CAST(CAST(s0 AS DECIMAL(38,0)) * 100 - sd AS DOUBLE)"
             " / 10000.0, 4) AS sum_disc_price",
@@ -73,7 +75,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + CAST(st AS DECIMAL(38,0)) * 100"
             " - CAST(sd AS DECIMAL(38,0)) * 100 - sdt AS DOUBLE)"
             " / 1000000.0, 4) AS sum_charge",
-            "ROUND(CAST(sq AS DOUBLE) / n, 4) AS avg_qty",
+            "ROUND(CAST(sq4 AS DOUBLE) / 4.0 / n, 4) AS avg_qty",
             "ROUND(CAST(s0 AS DOUBLE) / 100.0 / n, 4) AS avg_price",
             "ROUND(CAST(sdisc AS DOUBLE) / 100.0 / n, 4) AS avg_disc",
             "n AS count_order",
@@ -85,9 +87,10 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The oracle mirrors the integer-cents component spelling term for term.
 # DuckDB's CAST(double AS BIGINT) rounds where Spark's truncates — every
 # cast operand is therefore made exactly integral FIRST: the money terms
-# via ROUND(x*100, 0), the quantity via FLOOR (identity on the integral
-# l_quantity domain, and the §5.3.6b house spelling that stays exact if
-# the domain ever grows fractional values). DuckDB SUM(BIGINT)
+# via ROUND(x*100, 0), the quantity via ROUND(x*4, 0) quarter-scaling
+# (identity×4 on the integral l_quantity domain, exact on quarter-
+# granular fractional domains, and — unlike a FLOOR — sum_qty stays the
+# TRUE quantity sum, not a sum of floors). DuckDB SUM(BIGINT)
 # widens to HUGEINT, so the post-agg recombination needs no explicit
 # DECIMAL cast there; both engines cast the same exact integer to DOUBLE
 # (IEEE nearest) and run the same fixed-order divisions.
@@ -96,7 +99,7 @@ WITH comp AS (
   SELECT
     l_returnflag,
     l_linestatus,
-    SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sq,
+    SUM(CAST(ROUND(l_quantity * 4, 0) AS BIGINT)) AS sq4,
     SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS s0,
     SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
         * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS sd,
@@ -114,12 +117,12 @@ WITH comp AS (
 SELECT
   l_returnflag,
   l_linestatus,
-  ROUND(CAST(sq AS DOUBLE), 4) AS sum_qty,
+  ROUND(CAST(sq4 AS DOUBLE) / 4.0, 4) AS sum_qty,
   ROUND(CAST(s0 AS DOUBLE) / 100.0, 4) AS sum_base_price,
   ROUND(CAST(s0 * 100 - sd AS DOUBLE) / 10000.0, 4) AS sum_disc_price,
   ROUND(CAST(s0 * 10000 + st * 100 - sd * 100 - sdt AS DOUBLE)
         / 1000000.0, 4) AS sum_charge,
-  ROUND(CAST(sq AS DOUBLE) / n, 4) AS avg_qty,
+  ROUND(CAST(sq4 AS DOUBLE) / 4.0 / n, 4) AS avg_qty,
   ROUND(CAST(s0 AS DOUBLE) / 100.0 / n, 4) AS avg_price,
   ROUND(CAST(sdisc AS DOUBLE) / 100.0 / n, 4) AS avg_disc,
   n AS count_order

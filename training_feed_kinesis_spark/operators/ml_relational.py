@@ -199,15 +199,20 @@ def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield pd.DataFrame({"g": [(x.T @ x).ravel().tolist()]})
 
     parts = emb.select("embedding").mapInPandas(gram_partials, "g array<double>")
+    partials = parts.collect()
+    if not partials:
+        # empty corpus (no Arrow batches at all): the oracle's CTE chain
+        # (correctly) yields no rows; proceeding would fabricate 64 NaN
+        # loadings from the 0/0 normalization. Guarding on PARTIALS, not
+        # gram content: a non-empty corpus of all-zero vectors still has
+        # input rows, and there the oracle emits 64 NULL-ish loadings —
+        # which the NaN normalization path below matches (census r6,
+        # refined by code review).
+        return spark.createDataFrame([], "dim INT, component DOUBLE")
     gram = np.zeros(_DIM * _DIM, dtype=np.float64)
-    for row in parts.collect():
+    for row in partials:
         gram += np.asarray(row["g"], dtype=np.float64)
     gram = gram.reshape(_DIM, _DIM)
-    if not gram.any():
-        # empty corpus: the oracle's CTE chain (correctly) yields no
-        # rows; the zero Gram matrix would otherwise fabricate 64 NaN
-        # loadings (0/0 normalization) — empty-corpus census r6
-        return spark.createDataFrame([], "dim INT, component DOUBLE")
     v = np.full(_DIM, 1.0 / _DIM**0.5)
     for _ in range(3):
         z = gram @ v

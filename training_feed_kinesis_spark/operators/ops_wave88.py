@@ -74,7 +74,14 @@ def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     just arithmetic (§2.K's udf_python documents the slow path; this
     is the fast one). The oracle inlines the same expression.
 
-    Scale shape: identical plan to writing the expression inline."""
+    Scale shape: identical plan to writing the expression inline.
+    Overflow headroom (code review r6): the scale-1e6 term averages
+    ~4e10/row, so a single SUM(BIGINT) per returnflag group holds to
+    ~2e8 rows/group (sf≈140 lineitem) — Spark ANSI then errors loudly
+    (never wraps) while DuckDB widens to HUGEINT. Past that, use the
+    flagship's component decomposition (s0/sd/st/sdt BIGINT sums +
+    DECIMAL(38,0) recombination), which this demo key keeps simple on
+    purpose."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
         "lineitem_udf"
     )

@@ -176,9 +176,15 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("ts").alias("d"), F.col("value").alias("v")
     )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # the FULL write runs in STATIC mode so it truncates the reused
+    # deterministic dir — under dynamic mode a shrunken/empty corpus
+    # would leave stale day partitions from a previous invocation in
+    # place (code review r6); only the day-5/6 restatement exercises
+    # the dynamic contract under test
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
     try:
         ev.write.mode("overwrite").partitionBy("d").parquet(out)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             ev.filter(F.col("d").isin(5, 6))
             .withColumn("v", F.col("v") * 2)
