@@ -1084,3 +1084,43 @@ def test_money_results_partition_invariant(spark, registry, key):
 
     a, b = run(3), run(17)
     assert a == b
+
+
+def test_dup_span_census_nonvacuous_and_bounded(spark, registry):
+    """llm_dup_span_census must DISCRIMINATE on this corpus: some but not
+    all documents carry a cross-doc 24-char span (at SPAN_K=24 roughly
+    half do — at 12 every doc shares vocabulary-level grams and the
+    census degenerates). Spans must stay inside their document and the
+    merged-span accounting must be internally consistent."""
+    from training_feed_kinesis_spark.operators.ops_wave96 import SPAN_K
+    from training_feed_kinesis_spark.tables import load_table
+
+    rows = registry["llm_dup_span_census"].fn(spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert 0 < len(rows) < n_docs, (len(rows), n_docs)
+    for r in rows:
+        assert r["n_spans"] >= 1, r
+        # each merged span is at least one full gram long
+        assert r["dup_chars"] >= SPAN_K * 1, r
+        assert r["dup_chars"] <= r["doc_len"], r
+        assert 0 < r["dup_frac_x1e4"] <= 10000, r
+
+
+def test_twostage_rerank_dominates_sq8(spark, registry):
+    """Two-stage retrieval (SQ8 shortlist of 25 → exact rerank) can never
+    recall FEWER exact top-5 neighbors than plain SQ8 top-5: the
+    shortlist is a superset of the code-ranking top-5, and the exact
+    rerank always surfaces any true top-5 member the shortlist contains.
+    A violation means the two keys' stage-1 rankings drifted apart."""
+    two = {
+        r["probe"]: r["hits"]
+        for r in registry["vec_twostage_rerank"].fn(spark, SF_DIR).collect()
+    }
+    sq8 = {
+        r["probe"]: r["hits"]
+        for r in registry["vec_sq8_recall"].fn(spark, SF_DIR).collect()
+    }
+    assert set(two) == set(sq8) and len(two) == 10, (two, sq8)
+    assert all(two[p] >= sq8[p] for p in two), (two, sq8)
+    # non-vacuity: the rerank must actually recover something
+    assert sum(two.values()) > 0, two
