@@ -620,3 +620,33 @@ def test_wave95_census_ops_are_single_scan_map_side(
     if key != "llm_truncation_loss":
         assert "BroadcastNestedLoopJoin" not in plan, plan
     assert f"ReadSchema: {read_schema}" in plan, plan
+
+
+def test_dup_span_census_text_never_shuffles(spark, registry):
+    """llm_dup_span_census: the gram relation must carry (doc_id, pos,
+    hash) — never document text — through both shuffles, the shared-gram
+    reduction must be map-side combinable (partial_min/partial_max
+    combiners for the MIN<>MAX distinct-doc test), and the probe must be
+    a left-semi hash join on the hash key. Text appearing below an
+    Exchange means a multi-KB string rides every gram row at 100 TB."""
+    plan = _plan(registry["llm_dup_span_census"].fn(spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_min" in plan and "partial_max" in plan, plan
+    # ReadSchema pruned to the two columns the census needs
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+
+
+def test_twostage_rerank_probes_broadcast(spark, registry):
+    """vec_twostage_rerank: both the shortlist scan and the exact panel
+    must probe via BROADCAST of the 10-probe panel over the corpus scan
+    (the llm_sim_topk shape) — a shuffle join keyed on nothing would
+    plan a cartesian at corpus scale. The per-probe top-S cut is a
+    bounded window, so no global sort of N·Q pairs may appear."""
+    plan = _plan(registry["vec_twostage_rerank"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
