@@ -180,6 +180,10 @@ TEXT_CONSUMERS = [
     "llm_fingerprint",
     "llm_lang_profile",
     "hist_doclen",
+    # the substring-span census shingles raw characters, so the repeated
+    # 'spam '×200 docs become near-fully duplicated spans across docs —
+    # exactly the pathological-repetition case span merging must survive
+    "llm_dup_span_census",
 ]
 
 
