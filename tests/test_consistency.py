@@ -1124,3 +1124,19 @@ def test_twostage_rerank_dominates_sq8(spark, registry):
     assert all(two[p] >= sq8[p] for p in two), (two, sq8)
     # non-vacuity: the rerank must actually recover something
     assert sum(two.values()) > 0, two
+
+
+def test_dup_span_census_hashed_grams_equivalent(spark, registry, monkeypatch):
+    """llm_dup_span_census's TFK_HASH_SHINGLES=1 path (8-byte xxhash64
+    gram keys — the 100 TB shuffle spelling) must produce IDENTICAL
+    results to the md5-hex oracle path, and the hashed plan must really
+    shuffle BIGINT keys (xxhash64 below the exchange), not strings."""
+    fn = registry["llm_dup_span_census"].fn
+    monkeypatch.delenv("TFK_HASH_SHINGLES", raising=False)
+    plain = sorted(tuple(r) for r in fn(spark, SF_DIR).collect())
+    monkeypatch.setenv("TFK_HASH_SHINGLES", "1")
+    hashed_df = fn(spark, SF_DIR)
+    hashed = sorted(tuple(r) for r in hashed_df.collect())
+    assert plain and plain == hashed
+    plan = hashed_df._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan, plan

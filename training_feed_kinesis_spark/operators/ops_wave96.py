@@ -22,6 +22,8 @@ BASELINE.json:6.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -106,7 +108,9 @@ def llm_dup_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     spelling of COUNT(DISTINCT doc)≥2 with O(1) combiner state).
 
     Scale shape: grams carry (doc_id, pos, 64-bit hash) — never text —
-    so the big relation is ~corpus_chars rows of 24 bytes. The shared
+    so the big relation is ~corpus_chars rows of 24 bytes
+    (``TFK_HASH_SHINGLES=1`` swaps the 16-hex-char string key for an
+    8-byte xxhash64 BIGINT, the llm_contamination discipline). The shared
     set reduces map-side (MIN/MAX combiners), the probe is a semi-join
     on the hash, and the island window shuffles only hit positions
     (duplicated regions, a small fraction of the corpus). The suffix
@@ -132,8 +136,22 @@ def llm_dup_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "doc_len",
             "pos",
-            F.substring(
-                F.md5(F.expr(f"substring(lt, pos, {SPAN_K})")), 1, _GH_HEX
+            # TFK_HASH_SHINGLES=1 (same flag as llm_contamination): key
+            # grams by an 8-byte xxhash64 BIGINT instead of a 16-char hex
+            # string — halves the width of both shuffles with identical
+            # results barring a 64-bit collision between DISTINCT grams
+            # (≈n²/2⁶⁵). Off by default only because xxhash64 has no
+            # DuckDB twin and the md5 spelling is what the oracle checks;
+            # equivalence is pinned by
+            # test_dup_span_census_hashed_grams_equivalent.
+            (
+                F.xxhash64(F.expr(f"substring(lt, pos, {SPAN_K})"))
+                if _os.environ.get("TFK_HASH_SHINGLES") == "1"
+                else F.substring(
+                    F.md5(F.expr(f"substring(lt, pos, {SPAN_K})")),
+                    1,
+                    _GH_HEX,
+                )
             ).alias("gh"),
         )
     )
