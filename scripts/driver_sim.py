@@ -2,14 +2,45 @@
 run entry() at sf0.001, then every queries()[k] at sf0.01 vs oracle_sql()[k]
 through DuckDB views — order-insensitive value compare. Usage:
     python scripts/driver_sim.py [key ...]
+    python scripts/driver_sim.py --chunk 150 [key ...]
+
+--chunk N runs the sweep in fresh JVMs of N keys each. A 555-key sweep
+at sf0.1 in ONE JVM exhausts the default heap around key ~300 even with
+the every-25-keys cache clear (observed round 6: OOM on llm_winnow_pairs
+after 305 greens — accumulated broadcast/state/codegen residue, not any
+single key; every key passes in a fresh JVM). The REAL driver runs only
+a 50-key window per round, so per-key fidelity is what matters; chunking
+bounds JVM lifetime without changing any per-key behavior.
 """
 import sys, math, time
 sys.path.insert(0, "/root/repo")
-import duckdb
-from pyspark.sql import SparkSession
 
 import os as _os
 SF = _os.environ.get("TFK_SIM_SF_DIR", "/root/testdata/sf0.01")
+
+if len(sys.argv) > 2 and sys.argv[1] == "--chunk":
+    import subprocess
+    _n = int(sys.argv[2])
+    _keys = sys.argv[3:]
+    if not _keys:
+        from training_feed_kinesis_spark import registry as _reg
+        _keys = sorted(_reg.load_all())
+    _bad = 0
+    for _j in range(0, len(_keys), _n):
+        _chunk = _keys[_j:_j + _n]
+        _rc = subprocess.call(
+            [sys.executable, _os.path.abspath(__file__), *_chunk]
+        )
+        print(
+            f"--- chunk {_j // _n + 1}: keys {_j + 1}..{_j + len(_chunk)}"
+            f" rc={_rc} ---",
+            flush=True,
+        )
+        _bad += 1 if _rc else 0
+    sys.exit(1 if _bad else 0)
+
+import duckdb
+from pyspark.sql import SparkSession
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def norm(v):

@@ -405,16 +405,20 @@ def llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fps_short.unionByName(fps_long)
 
 
+SIMHASH_BITS = 64  # Manku et al. (WWW 2007) production width
 _SIMHASH_SQL = f"""
     WITH tok AS (
       SELECT DISTINCT doc_id, unnest(list_distinct({_TOK_SQL})) AS token
       FROM documents
     ),
+    tokh AS (
+      SELECT doc_id, md5(token) || md5(token || '#') AS h FROM tok
+    ),
     weights AS (
       SELECT doc_id, bitpos,
-             CASE WHEN strpos('89abcdef', substr(md5(token), bitpos, 1)) > 0
+             CASE WHEN strpos('89abcdef', substr(h, bitpos, 1)) > 0
                   THEN 1 ELSE -1 END AS w
-      FROM tok, (SELECT unnest(range(1, 17)) AS bitpos)
+      FROM tokh, (SELECT unnest(range(1, {SIMHASH_BITS + 1})) AS bitpos)
     ),
     bits AS (
       SELECT doc_id, bitpos,
@@ -422,35 +426,46 @@ _SIMHASH_SQL = f"""
       FROM weights GROUP BY doc_id, bitpos
     )
     SELECT doc_id,
-           string_agg(bit::VARCHAR, '' ORDER BY bitpos) AS simhash16
+           string_agg(bit::VARCHAR, '' ORDER BY bitpos) AS simhash64
     FROM bits GROUP BY doc_id
 """
 
 
 @register("llm_simhash", CAT, _SIMHASH_SQL)
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash (Charikar 2002 random-hyperplane sketch): per token,
-    hex digit j of md5 votes ±1 on bit j; the
-    sign of the vote sum is bit j. Near-dup docs differ in few bits →
-    Hamming-ball lookup. md5-derived bits keep it engine-portable (oracled);
-    a production 64-bit variant would use xxhash64 (JVM-side, faster) and a
-    rows-only check. Scale: explode(tokens)×16 rows shuffle as (doc, bitpos)
+    """64-bit SimHash (Charikar 2002 random-hyperplane sketch at the
+    Manku et al. WWW 2007 production width): per token, hex digit j of a
+    64-hex-char token hash (md5(t)||md5(t||'#'), computed ONCE per token
+    before the bit explode) votes ±1 on bit j; the sign of the vote sum
+    is bit j. Near-dup docs differ in few bits → Hamming-ball lookup.
+    md5-derived bits keep it engine-portable (oracled); a production
+    variant would use two xxhash64 calls (JVM-side, faster) — same
+    shape. 16 bits looked cheaper but made the PAIRS key quadratic: a
+    4-bit pigeonhole block has 16 possible values, so every 16th doc
+    pair collides and candidate generation degenerates toward n²/16
+    (measured 268 s at sf0.1; with 16-bit blocks a collision almost
+    always IS a near-dup). Scale: explode(tokens)×64 rows shuffle as (doc, bitpos)
     ints — the text itself never shuffles."""
     d = parallelize(load_table(spark, sf_dir, "documents"))
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.expr(_TOK))).alias("token")
     ).distinct()
-    bitpos = F.explode(F.sequence(F.lit(1), F.lit(16))).alias("bitpos")
-    weights = tok.select(
+    tokh = tok.select(
         "doc_id",
-        bitpos,
-        "token",
+        F.concat(
+            F.md5("token"), F.md5(F.concat(F.col("token"), F.lit("#")))
+        ).alias("h"),
+    )
+    weights = tokh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.lit(SIMHASH_BITS))).alias("bitpos"),
+        "h",
     ).select(
         "doc_id",
         "bitpos",
         F.when(
             F.instr(
-                F.lit("89abcdef"), F.substring(F.md5("token"), F.col("bitpos"), 1)
+                F.lit("89abcdef"), F.expr("substring(h, bitpos, 1)")
             )
             > 0,
             1,
@@ -468,14 +483,15 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s.bit.cast("string"),
             ),
             "",
-        ).alias("simhash16")
+        ).alias("simhash64")
     )
 
 
-HAMMING_MAX = 3  # SimHash near-dup radius (16-bit sketch)
+HAMMING_MAX = 3   # SimHash near-dup radius (Manku et al.'s k=3 on 64 bits)
+_SIM_BLK = SIMHASH_BITS // 4  # 4 pigeonhole blocks of 16 bits each
 
 _HAMMING_SQL = (
-    "list_sum(list_transform(range(1, 17), i -> CASE WHEN "
+    f"list_sum(list_transform(range(1, {SIMHASH_BITS + 1}), i -> CASE WHEN "
     "substr({a}, i, 1) != substr({b}, i, 1) THEN 1 ELSE 0 END))"
 )
 
@@ -486,12 +502,13 @@ _HAMMING_SQL = (
     f"""
     WITH sigs AS ({_SIMHASH_SQL}),
     blocks AS (
-      SELECT doc_id, simhash16, k, substr(simhash16, 1 + k * 4, 4) AS blk
+      SELECT doc_id, simhash64, k,
+             substr(simhash64, 1 + k * {_SIM_BLK}, {_SIM_BLK}) AS blk
       FROM sigs, (SELECT unnest(range(0, 4)) AS k)
     ),
     cands AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-             a.simhash16 AS sig_a, b.simhash16 AS sig_b
+             a.simhash64 AS sig_a, b.simhash64 AS sig_b
       FROM blocks a JOIN blocks b
         ON a.k = b.k AND a.blk = b.blk AND a.doc_id <= b.doc_id
     )
@@ -502,47 +519,88 @@ _HAMMING_SQL = (
     """,
 )
 def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup PAIRS: Hamming-ball search over the 16-bit sketch,
+    """SimHash near-dup PAIRS: Hamming-ball search over the 64-bit sketch,
     completing the sketch→candidates→verify ladder for the SimHash family
     (mirror of llm_dedup_near for MinHash).
 
-    Candidate generation is pigeonhole block-matching: split the signature
-    into 4 nibbles — any two signatures within Hamming distance 3 agree on
-    at least one nibble, so an equi-join on (block_idx, block_value) finds
-    every qualifying pair with zero distance computations outside the
-    candidate set. Self-pairs (distance 0) keep the oracle non-trivially
-    non-empty on the no-duplicate fixture corpus. At 100 TB: 4 rows shuffle
-    per doc (16 bytes each), the join is hash-partitioned on uniform sketch
-    blocks, and verification is a fixed 16-step char compare per candidate —
-    the same candidates ≪ n² argument as LSH banding."""
-    sigs = llm_simhash(spark, sf_dir)
+    Candidate generation is pigeonhole block-matching (Manku et al.,
+    WWW 2007): split the signature into 4 blocks of 16 bits — any two
+    signatures within Hamming distance 3 agree on at least one block, so
+    an equi-join on (block_idx, block_value) finds every qualifying pair
+    with zero distance computations outside the candidate set. Block
+    width is the load-bearing scale choice: a 16-bit sketch's 4-bit
+    blocks have only 16 values, so every ~16th doc pair collides and the
+    join degenerates toward n²/16 (measured 268 s at sf0.1); 16-bit
+    blocks collide at ~2⁻¹⁶ and the same query runs in ~1.4 s with a
+    candidate set ≈ the true near-dups. Self-pairs (distance 0) keep the
+    oracle non-trivially non-empty on the no-duplicate fixture corpus.
+    At 100 TB: 4 rows shuffle per doc, the join is hash-partitioned on
+    near-uniform sketch blocks, and verification is a fixed 64-step char
+    compare per candidate — the same candidates ≪ n² argument as LSH
+    banding."""
+    # cache: the self-join references sigs on BOTH sides, and Spark
+    # re-executes a DataFrame subtree per reference (no CTE dedup) —
+    # uncached, the 64×tokens sketch aggregation runs twice and dominated
+    # the key (the production shape persists sketches once anyway; the
+    # relation is n_docs × 64 chars, trivially memory-resident).
+    # The sketch stays a bit-string (the oracled contract); for the
+    # verify stage each signature is re-read as 4× 16-bit BIGINT blocks
+    # so Hamming distance is 4 XOR+bit_count ops per pair instead of 64
+    # substr compares — on a shared-vocabulary corpus the candidate set
+    # is millions of pairs, and the candidate→verify path must stay
+    # narrow: dedup runs on bare (a_id, b_id) id pairs, signatures are
+    # re-attached afterwards by broadcasting the n_docs-row block table.
+    sigs = llm_simhash(spark, sf_dir).cache()
+    binted = sigs.select(
+        "doc_id",
+        *[
+            F.conv(
+                F.expr(f"substr(simhash64, {1 + k * _SIM_BLK}, {_SIM_BLK})"),
+                2,
+                10,
+            )
+            .cast("bigint")
+            .alias(f"i{k}")
+            for k in range(4)
+        ],
+    )
     blocks = sigs.select(
         "doc_id",
-        "simhash16",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+        "simhash64",
     ).select(
         "doc_id",
-        "simhash16",
         "k",
-        F.expr("substr(simhash16, 1 + k * 4, 4)").alias("blk"),
+        F.expr(f"substr(simhash64, 1 + k * {_SIM_BLK}, {_SIM_BLK})").alias(
+            "blk"
+        ),
     )
-    a = blocks.select(
-        F.col("doc_id").alias("a_id"), F.col("simhash16").alias("sig_a"), "k", "blk"
-    )
-    b = blocks.select(
-        F.col("doc_id").alias("b_id"), F.col("simhash16").alias("sig_b"), "k", "blk"
-    )
+    a = blocks.select(F.col("doc_id").alias("a_id"), "k", "blk")
+    b = blocks.select(F.col("doc_id").alias("b_id"), "k", "blk")
     cands = (
         a.join(b, ["k", "blk"])
         .filter(F.col("a_id") <= F.col("b_id"))
-        .select("a_id", "b_id", "sig_a", "sig_b")
+        .select("a_id", "b_id")
         .distinct()
     )
+    av = F.broadcast(
+        binted.select(
+            F.col("doc_id").alias("a_id"),
+            *[F.col(f"i{k}").alias(f"a{k}") for k in range(4)],
+        )
+    )
+    bv = F.broadcast(
+        binted.select(
+            F.col("doc_id").alias("b_id"),
+            *[F.col(f"i{k}").alias(f"b{k}") for k in range(4)],
+        )
+    )
     hamming = F.expr(
-        "aggregate(sequence(1, 16), 0, (acc, i) -> acc + "
-        "CASE WHEN substr(sig_a, i, 1) != substr(sig_b, i, 1) THEN 1 ELSE 0 END)"
+        " + ".join(f"bit_count(a{k} ^ b{k})" for k in range(4))
     )
     return (
-        cands.select("a_id", "b_id", hamming.cast("bigint").alias("hamming"))
+        cands.join(av, "a_id")
+        .join(bv, "b_id")
+        .select("a_id", "b_id", hamming.cast("bigint").alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_MAX)
     )
