@@ -217,6 +217,10 @@ _PRIORITY_KEYS = [
     "ts_page_hinkley", "llm_pack_chunks", "events_path_topk",
     "q12_shipmode_priority", "sql_group_by_all",
     # --- 50-key window boundary; below = round-7 front-of-line ---
+    # (staged to a FULL 50 at the end of round 6: the 30 entries staged
+    # mid-round plus the next 20 never-driver-sampled oracled keys in
+    # registration order — round 7 rotates by moving this block to the
+    # front and staging a fresh block for round 8)
     "sql_distinct_on", "stat_chi2_independence", "dq_benford",
     "ts_gap_islands", "events_anomaly_mad", "agg_weighted_median",
     "vec_label_centroid_sim", "llm_chunk_overlap", "llm_repetition_score",
@@ -227,6 +231,13 @@ _PRIORITY_KEYS = [
     "ml_tree_split", "ml_logreg_step", "ml_knn_classify",
     "ml_precision_at_k", "stat_ttest_welch", "events_hour_heatmap",
     "revenue_abc_class", "ts_theil_sen", "customer_gini",
+    "join_dpp_partitioned", "join_bloom_filter", "llm_ngram_novelty",
+    "ts_cross_correlation", "ml_kfold_assign", "vec_norm_outliers",
+    "vec_dim_stats", "llm_quality_gopher", "win_frame_time_range",
+    "graph_link_predict", "ts_burstiness", "llm_lsh_recall",
+    "stream_fanout_sinks", "customer_migration_matrix",
+    "stat_bootstrap_ci", "events_user_similarity", "scan_cache_reuse",
+    "sql_parameterized", "vec_pq_error", "agg_countmin",
 ]
 
 
