@@ -1230,3 +1230,102 @@ def test_grouping_sets_empty_divergence_pinned(spark, duck_empty):
     assert spark.sql(q).count() == 0
     duck_empty.execute("CREATE OR REPLACE VIEW empty_probe AS SELECT 1 AS a WHERE 1=0")
     assert len(duck_empty.execute(q).fetchall()) == 1
+
+
+# Corruption class 7 (round 6, final session) — NULL ATTRIBUTE slivers.
+# Every prior class dirtied payloads, measures, keys, or text; the
+# low-cardinality attribute columns the sampling/mixture/quality
+# families GROUP and STRATIFY on (documents.lang, documents.source,
+# embeddings.label) have never carried NULLs. NULL group keys form
+# their own group identically in both engines, but ratio/stratum/
+# centroid math built on top can diverge (NULL-stratum shares, NTILE
+# over NULL keys, centroids of the NULL-label group).
+
+ATTR_TEXT_CONSUMERS = [
+    "llm_lang_profile",
+    "llm_lang_id",
+    "corpus_mix",
+    "hist_doclen",
+    "sample_per_group",
+    "split_train_test",
+    "llm_source_winrate",
+    "llm_crosssource_dup",
+    "llm_mixture_temperature",
+    "sample_stratified_neyman",
+]
+
+ATTR_LABEL_CONSUMERS = [
+    "vec_label_centroid_sim",
+    "ml_knn_classify",
+    "ml_precision_at_k",
+    "ml_kfold_assign",
+    "llm_sim_topk",
+    "llm_embed_stats",
+    # same vote-tiebreak shape as ml_knn_classify (whose NULLS-order
+    # divergence this replay caught) — pinned NULLS LAST both engines
+    "ml_knn_eval",
+]
+
+
+@pytest.fixture(scope="module")
+def attr_null_sf(tmp_path_factory):
+    """~6% NULL lang and ~6% NULL source in documents (disjoint-ish
+    slivers), ~6% NULL label in embeddings; text/vectors untouched."""
+    d = tmp_path_factory.mktemp("attrnullsf")
+    for t in TABLES:
+        if t not in ("documents", "embeddings"):
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN doc_id % 17 = 3 THEN NULL ELSE lang END AS lang,
+            CASE WHEN doc_id % 19 = 5 THEN NULL ELSE source END AS source)
+          FROM read_parquet('{SF_DIR}/documents.parquet')
+        ) TO '{d}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN vec_id % 17 = 3 THEN NULL ELSE label END AS label)
+          FROM read_parquet('{SF_DIR}/embeddings.parquet')
+        ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_attr_null(attr_null_sf):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{attr_null_sf}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", ATTR_TEXT_CONSUMERS)
+def test_doc_attr_ops_survive_null_lang_source(
+    key, spark, registry, attr_null_sf, duck_attr_null
+):
+    spec = registry[key]
+    assert spec.oracle is not None, key
+    assert_matches_oracle(
+        spec.fn(spark, attr_null_sf), duck_attr_null, spec.oracle
+    )
+
+
+@pytest.mark.parametrize("key", ATTR_LABEL_CONSUMERS)
+def test_embedding_ops_survive_null_label(
+    key, spark, registry, attr_null_sf, duck_attr_null
+):
+    spec = registry[key]
+    assert spec.oracle is not None, key
+    assert_matches_oracle(
+        spec.fn(spark, attr_null_sf), duck_attr_null, spec.oracle
+    )

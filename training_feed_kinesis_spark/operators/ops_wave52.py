@@ -241,7 +241,7 @@ _KNN_K = 5
     pred AS (
       SELECT vec_id, true_label, cand_label AS pred_label,
              ROW_NUMBER() OVER (PARTITION BY vec_id
-                                ORDER BY v DESC, cand_label) AS pr
+                                ORDER BY v DESC, cand_label NULLS LAST) AS pr
       FROM votes
     )
     SELECT true_label AS label,
@@ -305,8 +305,11 @@ def ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     votes = topk.groupBy("a_id", "true_label", "cand_label").agg(
         F.count(F.lit(1)).alias("v")
     )
+    # NULLS LAST pinned both engines (Spark ASC = NULLS FIRST, DuckDB =
+    # NULLS LAST): same latent tie divergence the NULL-attribute replay
+    # caught in ml_knn_classify
     w_vote = Window.partitionBy("a_id").orderBy(
-        F.col("v").desc(), F.col("cand_label").asc()
+        F.col("v").desc(), F.col("cand_label").asc_nulls_last()
     )
     pred = votes.withColumn("pr", F.row_number().over(w_vote)).filter(
         F.col("pr") == 1

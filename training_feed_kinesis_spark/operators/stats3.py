@@ -128,7 +128,7 @@ def _knn_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN neighbor_label = true_label THEN 1 ELSE 0 END AS correct
     FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                ORDER BY n_votes DESC, neighbor_label ASC) AS vr
+                ORDER BY n_votes DESC, neighbor_label ASC NULLS LAST) AS vr
       FROM votes) WHERE vr = 1
     """,
 )
@@ -148,8 +148,12 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     votes = knn.groupBy("query_id", "true_label", "neighbor_label").agg(
         F.count(F.lit(1)).alias("n_votes")
     )
+    # NULLS LAST pinned on BOTH engines (Spark ASC defaults NULLS FIRST,
+    # DuckDB NULLS LAST): an unlabeled-neighbor vote group must lose a
+    # tie to any real label identically — caught by the NULL-attribute
+    # corruption replay (tests/test_null_injection.py class 7)
     w_vote = Window.partitionBy("query_id").orderBy(
-        F.col("n_votes").desc(), F.col("neighbor_label").asc()
+        F.col("n_votes").desc(), F.col("neighbor_label").asc_nulls_last()
     )
     return (
         votes.withColumn("vr", F.row_number().over(w_vote))
