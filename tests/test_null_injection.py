@@ -1252,6 +1252,15 @@ ATTR_TEXT_CONSUMERS = [
     "llm_crosssource_dup",
     "llm_mixture_temperature",
     "sample_stratified_neyman",
+    # the four this replay caught on first run, now NULL-safe: the
+    # codec keys serialize NULL attributes as EMPTY wire fields
+    # (concat_ws silently DROPS null fields, shifting columns; DuckDB
+    # || nulls the whole line), and the pivot∘unpivot identity is
+    # restricted to the enumerated pivot domain on both engines
+    "agg_unpivot",
+    "fn_csv",
+    "fn_str_to_map",
+    "source_text",
 ]
 
 ATTR_LABEL_CONSUMERS = [

@@ -468,10 +468,15 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_unpivot",
     "2.D aggregations",
-    # pivot∘unpivot must be the identity on the long form
+    # pivot∘unpivot must be the identity on the long form — over the
+    # ENUMERATED pivot domain: the pivot's column list IS a domain
+    # restriction, so the oracle restricts identically (a NULL or
+    # out-of-domain lang has no pivot column to land in; caught by the
+    # NULL-attribute corruption replay)
     """
     SELECT source, lang, COUNT(*) AS n_docs
-    FROM documents GROUP BY source, lang
+    FROM documents WHERE lang IN ('de', 'en', 'es', 'fr', 'zh')
+    GROUP BY source, lang
     """,
 )
 def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -479,7 +484,9 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     then unpivots back — proving pivot and unpivot are inverses, which is
     the property reporting pipelines rely on when they round-trip between
     matrix and tidy layouts. Empty cells (NULL after pivot) are dropped on
-    unpivot, restoring exactly the original long form."""
+    unpivot, restoring exactly the original long form. The identity holds
+    over the enumerated pivot domain; rows whose lang is NULL or outside
+    the pivot list are excluded on BOTH engines by construction."""
     d = load_table(spark, sf_dir, "documents")
     langs = ["de", "en", "es", "fr", "zh"]
     wide = d.groupBy("source").pivot("lang", langs).count()

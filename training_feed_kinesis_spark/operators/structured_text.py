@@ -80,15 +80,23 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_csv",
     CAT_FN,
+    # NULL-safe wire: a NULL field serializes as an EMPTY CSV field
+    # (COALESCE before ||), and an empty field parses back to NULL
+    # (NULLIF after split_part) — the standard CSV null convention,
+    # matching Spark's from_csv/to_csv defaults. Without the coalesce,
+    # DuckDB's || nulls the whole line while concat_ws silently DROPS
+    # the field and shifts columns (NULL-attribute corruption replay).
     """
     WITH line AS (
-      SELECT doc_id, lang || ',' || source || ',' || n_chars AS csv
+      SELECT doc_id,
+             COALESCE(lang, '') || ',' || COALESCE(source, '')
+               || ',' || n_chars AS csv
       FROM documents
     )
     SELECT doc_id,
-           split_part(csv, ',', 1) AS lang,
-           split_part(csv, ',', 2) AS source,
-           split_part(csv, ',', 3)::BIGINT AS n_chars,
+           NULLIF(split_part(csv, ',', 1), '') AS lang,
+           NULLIF(split_part(csv, ',', 2), '') AS source,
+           NULLIF(split_part(csv, ',', 3), '')::BIGINT AS n_chars,
            csv AS roundtrip
     FROM line
     """,
@@ -98,11 +106,19 @@ def fn_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     line; to_csv re-serializes the struct — the round-trip column proves
     codec inversion on every row. Both directions are Catalyst expressions
     (no file I/O, no Python); the oracle uses split_part on the same lines.
+    NULL fields ride the wire as empty fields (coalesce on write — Spark's
+    concat_ws would otherwise DROP the field and shift every column right)
+    and parse back to NULL, which is from_csv's own empty-field behavior.
     """
     docs = load_table(spark, sf_dir, "documents")
     line = docs.select(
         "doc_id",
-        F.concat_ws(",", "lang", "source", "n_chars").alias("csv"),
+        F.concat_ws(
+            ",",
+            F.coalesce(F.col("lang"), F.lit("")),
+            F.coalesce(F.col("source"), F.lit("")),
+            F.col("n_chars"),
+        ).alias("csv"),
     )
     parsed = line.select(
         "doc_id",
@@ -120,10 +136,17 @@ def fn_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_str_to_map",
     CAT_FN,
+    # NULL-safe wire: a NULL attribute serializes as an EMPTY k:v value
+    # ('lang:,src:x,...') — COALESCE on both engines, because Spark's
+    # concat and DuckDB's || both NULL the whole line otherwise and the
+    # oracle's constant n_keys=3 then diverges from size(NULL map)
+    # (NULL-attribute corruption replay). Empty values extract as ''
+    # identically via str_to_map and the [^,]* regexp.
     """
     WITH kv AS (
       SELECT doc_id,
-             'lang:' || lang || ',src:' || source || ',len:' || n_chars AS s
+             'lang:' || COALESCE(lang, '') || ',src:'
+               || COALESCE(source, '') || ',len:' || n_chars AS s
       FROM documents
     )
     SELECT doc_id,
@@ -137,16 +160,18 @@ def fn_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k:v string → MapType via str_to_map (the classic log-line attribute
     bag), then typed element_at access and map cardinality. The oracle
-    recovers each key by regexp from the identical wire string.
+    recovers each key by regexp from the identical wire string. NULL
+    attributes ride the wire as empty values (the log-line convention;
+    coalesced identically on both engines) and read back as ''.
     """
     docs = load_table(spark, sf_dir, "documents")
     kv = docs.select(
         "doc_id",
         F.concat(
             F.lit("lang:"),
-            F.col("lang"),
+            F.coalesce(F.col("lang"), F.lit("")),
             F.lit(",src:"),
-            F.col("source"),
+            F.coalesce(F.col("source"), F.lit("")),
             F.lit(",len:"),
             F.col("n_chars"),
         ).alias("s"),

@@ -222,15 +222,27 @@ def source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     out = scratch_dir("text_src_")
     docs = load_table(spark, sf_dir, "documents")
+    # NULL-safe wire: concat_ws DROPS null fields (shifting every later
+    # field left), so a NULL lang must ride as an EMPTY field and read
+    # back as NULL — the same empty-field convention as fn_csv (caught
+    # by the NULL-attribute corruption replay)
     docs.select(
-        F.concat_ws("\t", "doc_id", "lang", "text").alias("value")
+        F.concat_ws(
+            "\t",
+            "doc_id",
+            F.coalesce(F.col("lang"), F.lit("")),
+            "text",
+        ).alias("value")
     ).write.mode("overwrite").text(out)
     lines = spark.read.text(out)
     return lines.select(
         F.substring_index("value", "\t", 1).cast("bigint").alias("doc_id"),
-        F.substring_index(F.substring_index("value", "\t", 2), "\t", -1).alias(
-            "lang"
-        ),
+        F.nullif(
+            F.substring_index(
+                F.substring_index("value", "\t", 2), "\t", -1
+            ),
+            F.lit(""),
+        ).alias("lang"),
         F.length(
             F.expr("substring(value, length(substring_index(value, '\t', 2)) + 2)")
         ).cast("bigint").alias("n_chars_read"),
