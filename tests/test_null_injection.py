@@ -1338,3 +1338,93 @@ def test_embedding_ops_survive_null_label(
     assert_matches_oracle(
         spec.fn(spark, attr_null_sf), duck_attr_null, spec.oracle
     )
+
+
+# Corruption class 8 (round 6, final session) — NULL EVENT KEYS. The
+# fact table's own identity columns (events.user_id, events.event_type)
+# had never carried NULLs; an exhaustive 180-consumer sweep against
+# this fixture found 15 real divergences in one pass, all one of four
+# seams: (1) Spark NULLS FIRST vs DuckDB NULLS LAST in ordering
+# tiebreaks (RFM quintiles, kNN votes), (2) concat_ws dropping null
+# fields vs || nulling the whole string (digests, printf lines, seq
+# contexts, candidate-key composites), (3) equality joins dropping
+# null-key rows where a window spelling groups them (asof pair, bitmap
+# join-back, stream enrichments), (4) DuckDB arg_min/arg_max skipping
+# NULL value arguments where min_by/max_by return them. Every fix pins
+# ONE explicit spelling on both engines; this replay keeps them pinned.
+
+EVENT_KEY_CONSUMERS = [
+    # the 15 keys the class caught, now fixed
+    "agg_bitmap",
+    "agg_first_last",
+    "dq_candidate_keys",
+    "fn_printf",
+    "events_rfm_segmentation",
+    "events_seq_train_pairs",
+    "sink_parquet_codecs",
+    "ts_resample_gapfill",
+    "join_asof",
+    "join_asof_forward",
+    "join_stream_static",
+    "join_stream_scd2",
+    "join_stream_stream_outer",
+    "source_kinesis_pyds",
+    "source_kinesis_pyds_stream",
+    # always-were-clean representatives across the event families
+    "batch_sessionize",
+    "funnel_conversion",
+    "retention_cohorts",
+    "events_dau_wau",
+    "events_path_topk",
+    "events_markov",
+    "events_hour_heatmap",
+    "agg_mode",
+    "win_running_distinct",
+    "topk_per_group",
+]
+
+
+@pytest.fixture(scope="module")
+def event_key_null_sf(tmp_path_factory):
+    """~5% NULL event_type and ~4% NULL user_id in events (overlapping
+    slivers); ts/value/props untouched."""
+    d = tmp_path_factory.mktemp("evkeynullsf")
+    for t in TABLES:
+        if t != "events":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN event_id % 21 = 4 THEN NULL ELSE event_type END
+              AS event_type,
+            CASE WHEN event_id % 23 = 6 THEN NULL ELSE user_id END
+              AS user_id)
+          FROM read_parquet('{SF_DIR}/events.parquet')
+        ) TO '{d}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_event_key_null(event_key_null_sf):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{event_key_null_sf}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", EVENT_KEY_CONSUMERS)
+def test_event_ops_survive_null_keys(
+    key, spark, registry, event_key_null_sf, duck_event_key_null
+):
+    spec = registry[key]
+    assert spec.oracle is not None, key
+    assert_matches_oracle(
+        spec.fn(spark, event_key_null_sf), duck_event_key_null, spec.oracle
+    )

@@ -362,11 +362,18 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_first_last",
     "2.D aggregations",
-    # deterministic first/last: arg-min/max on the globally-unique event_id
+    # deterministic first/last: arg-min/max on the globally-unique
+    # event_id. The selected expression rides through a COALESCE sentinel
+    # because DuckDB's arg_min/arg_max SKIP rows whose value argument is
+    # NULL while Spark's min_by/max_by return them — "the event_type of
+    # the extremal event, even if unlabeled" is the intended semantics on
+    # both engines (caught by the NULL-attribute corruption replay)
     """
     SELECT user_id,
-           arg_min(event_type, event_id) AS first_type,
-           arg_max(event_type, event_id) AS last_type,
+           NULLIF(arg_min(COALESCE(event_type, '(null)'), event_id),
+                  '(null)') AS first_type,
+           NULLIF(arg_max(COALESCE(event_type, '(null)'), event_id),
+                  '(null)') AS last_type,
            ROUND(arg_min(value, event_id), 4) AS first_value,
            ROUND(arg_max(value, event_id), 4) AS last_value
     FROM events GROUP BY user_id
@@ -374,9 +381,14 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    et = F.coalesce(F.col("event_type"), F.lit("(null)"))
     return ev.groupBy("user_id").agg(
-        F.min_by("event_type", "event_id").alias("first_type"),
-        F.max_by("event_type", "event_id").alias("last_type"),
+        F.nullif(F.min_by(et, F.col("event_id")), F.lit("(null)")).alias(
+            "first_type"
+        ),
+        F.nullif(F.max_by(et, F.col("event_id")), F.lit("(null)")).alias(
+            "last_type"
+        ),
         F.round(F.min_by("value", "event_id"), 4).alias("first_value"),
         F.round(F.max_by("value", "event_id"), 4).alias("last_value"),
     )

@@ -218,7 +218,8 @@ def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
              FROM span)
     SELECT g.user_id, g.h, COALESCE(n, 0) AS n_events
-    FROM grid g LEFT JOIN hourly USING (user_id, h)
+    FROM grid g LEFT JOIN hourly hr
+      ON g.user_id IS NOT DISTINCT FROM hr.user_id AND g.h = hr.h
     """,
 )
 def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -289,8 +289,17 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             ignorenulls=True,
         ).over(w),
     )
+    # SQL join-equality semantics for NULL keys: a NULL-user purchase
+    # matches NO click (the ASOF JOIN oracle's p.user_id = c.user_id is
+    # never true on NULL), even though the window spelling groups the
+    # NULL partition together — suppress the carried value there
+    # (NULL-attribute corruption replay)
     return carried.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "click_ts"
+        "event_id",
+        "user_id",
+        F.when(F.col("user_id").isNotNull(), F.col("click_ts")).alias(
+            "click_ts"
+        ),
     )
 
 
@@ -590,8 +599,13 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window as W
 
+    # NULL-user rows excluded up front: inner ASOF equality (c.user_id =
+    # p.user_id) can never be true on a NULL key, but the window spelling
+    # would happily match NULL-user clicks to NULL-user purchases within
+    # the NULL partition (NULL-attribute corruption replay)
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
+        & F.col("user_id").isNotNull()
     )
     w = (
         W.partitionBy("user_id")

@@ -43,9 +43,12 @@ LTV_MAX_DAY = 14
     ),
     scored AS (
       SELECT user_id, recency_d, frequency, monetary,
-             NTILE(5) OVER (ORDER BY recency_d ASC, user_id ASC) AS r5,
-             NTILE(5) OVER (ORDER BY frequency DESC, user_id ASC) AS f5,
-             NTILE(5) OVER (ORDER BY monetary DESC, user_id ASC) AS m5
+             NTILE(5) OVER (ORDER BY recency_d ASC,
+                            user_id ASC NULLS LAST) AS r5,
+             NTILE(5) OVER (ORDER BY frequency DESC,
+                            user_id ASC NULLS LAST) AS f5,
+             NTILE(5) OVER (ORDER BY monetary DESC,
+                            user_id ASC NULLS LAST) AS m5
       FROM rfm
     )
     SELECT r5 * 100 + f5 * 10 + m5 AS segment,
@@ -78,14 +81,17 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 4).alias("monetary"),
     )
+    # user_id tiebreak pinned NULLS LAST on both engines (Spark ASC
+    # defaults NULLS FIRST, DuckDB NULLS LAST — a NULL-keyed user row
+    # would shift every quintile boundary by one; NULL-attribute replay)
     r5 = F.ntile(5).over(
-        Window.orderBy(F.col("recency_d").asc(), F.col("user_id").asc())
+        Window.orderBy(F.col("recency_d").asc(), F.col("user_id").asc_nulls_last())
     )
     f5 = F.ntile(5).over(
-        Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
+        Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc_nulls_last())
     )
     m5 = F.ntile(5).over(
-        Window.orderBy(F.col("monetary").desc(), F.col("user_id").asc())
+        Window.orderBy(F.col("monetary").desc(), F.col("user_id").asc_nulls_last())
     )
     scored = rfm.select(
         "recency_d",

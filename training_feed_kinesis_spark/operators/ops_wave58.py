@@ -147,8 +147,8 @@ _CODECS = ("snappy", "zstd", "gzip")
       FROM events WHERE event_id < 5000
     ),
     digest AS (
-      SELECT md5(string_agg(md5(event_id || '|' || event_type || '|' ||
-                                CAST(v AS VARCHAR)), ''
+      SELECT md5(string_agg(md5(event_id || '|' || COALESCE(event_type, '')
+                                || '|' || CAST(v AS VARCHAR)), ''
                             ORDER BY event_id)) AS content_digest,
              COUNT(*)::BIGINT AS n_rows
       FROM src
@@ -179,10 +179,17 @@ def sink_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = scratch_dir(f"codec_{codec}_")
         src.write.mode("overwrite").option("compression", codec).parquet(out)
         back = spark.read.parquet(out)
+        # COALESCE, not bare concat_ws: a NULL event_type must hash as an
+        # EMPTY field ('id||v') on both engines — concat_ws would drop
+        # the separator with the field while DuckDB's || drops the whole
+        # row from its digest (NULL-attribute replay)
         digest = back.select(
             F.md5(
                 F.concat_ws(
-                    "|", "event_id", "event_type", F.col("v").cast("string")
+                    "|",
+                    "event_id",
+                    F.coalesce(F.col("event_type"), F.lit("")),
+                    F.col("v").cast("string"),
                 )
             ).alias("h"),
             "event_id",

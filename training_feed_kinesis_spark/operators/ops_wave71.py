@@ -154,7 +154,20 @@ def dq_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = None
     for cols in _KEY_CANDIDATES:
-        expr = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        # the composite must be NULL when ANY component is NULL — a row
+        # with a NULL key part can never witness uniqueness, and DuckDB's
+        # || already NULL-propagates while concat_ws silently DROPS null
+        # parts, collapsing distinct composites (caught by the
+        # NULL-attribute corruption replay)
+        import functools
+
+        notnull = functools.reduce(
+            lambda a, b: a & b, [F.col(c).isNotNull() for c in cols]
+        )
+        expr = F.when(
+            notnull,
+            F.concat_ws("|", *[F.col(c).cast("string") for c in cols]),
+        )
         part = ev.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             F.countDistinct(expr).cast("bigint").alias("n_distinct"),

@@ -73,9 +73,13 @@ def join_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = v1.unionByName(v2)
     stream = replay_stream(spark, sf_dir, "ordered")
+    # null-SAFE key equality: the distinct-user dim legitimately carries
+    # a NULL-user version pair, and the oracle's CASE assigns NULL-keyed
+    # events a tier (bronze/silver) — a plain equality join would drop
+    # them instead (NULL-attribute corruption replay)
     enriched = stream.join(
         F.broadcast(dim),
-        (stream.user_id == dim.user_id)
+        stream.user_id.eqNullSafe(dim.user_id)
         & (stream.ts >= dim.valid_from)
         & (stream.ts < dim.valid_to),
     )

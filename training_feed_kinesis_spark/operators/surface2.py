@@ -113,8 +113,17 @@ def agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = daily.groupBy("event_type").agg(
         F.count_distinct("day").alias("active_days")
     )
-    return users.join(F.broadcast(days), "event_type").select(
-        "event_type", "exact_users", "active_days"
+    # null-SAFE join: a NULL event_type is a legitimate group on both
+    # sides, and a plain equality join silently drops it (caught by the
+    # NULL-attribute corruption replay)
+    d2 = F.broadcast(
+        days.select(
+            F.col("event_type").alias("et_d"), "active_days"
+        )
+    )
+    return (
+        users.join(d2, users.event_type.eqNullSafe(d2.et_d))
+        .select("event_type", "exact_users", "active_days")
     )
 
 
@@ -145,7 +154,8 @@ def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT_FN,
     """
     SELECT event_id,
-           printf('%s|%05d|%.4f', event_type, user_id, ROUND(value, 4)) AS line,
+           printf('%s|%05d|%.4f', COALESCE(event_type, '-'),
+                  COALESCE(user_id, -1), ROUND(value, 4)) AS line,
            printf('%08X', event_id) AS hex_id
     FROM events
     WHERE event_id < 500
@@ -156,7 +166,10 @@ def fn_printf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``format_string`` is JVM-side codegen. Doubles are pre-rounded to the
     printed precision so both engines format the identical decimal — %.4f
     of round(x,4) round-trips exactly; formatting unrounded doubles would
-    expose Java-vs-C half-way rounding divergence.
+    expose Java-vs-C half-way rounding divergence. NULL args are rendered
+    through explicit sentinels ('-' / -1) on BOTH engines: Java's
+    Formatter prints the text "null" where DuckDB's printf NULLs the whole
+    line (caught by the NULL-attribute corruption replay).
     """
     ev = load_table(spark, sf_dir, "events")
     return (
@@ -165,8 +178,8 @@ def fn_printf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.format_string(
                 "%s|%05d|%.4f",
-                F.col("event_type"),
-                F.col("user_id"),
+                F.coalesce(F.col("event_type"), F.lit("-")),
+                F.coalesce(F.col("user_id"), F.lit(-1)),
                 F.round(F.col("value"), 4),
             ).alias("line"),
             F.format_string("%08X", F.col("event_id")).alias("hex_id"),

@@ -80,7 +80,12 @@ try:  # Python Data Source API requires pyspark >= 4.0
                 pc.cast(t.column("ts"), pa.timestamp("us"), safe=False),
             )
             uid = t.column("user_id").to_pylist()
-            keys = [str(u) for u in uid]
+            # a record with no user id gets the EMPTY partition key (a
+            # real Kinesis put requires an explicit key; '' is the
+            # deterministic sentinel) — str(None) would smuggle the text
+            # 'None' into the hash while the SQL oracle's md5(NULL) NULLs
+            # the shard (NULL-attribute corruption replay)
+            keys = [str(u) if u is not None else "" for u in uid]
             shard = [
                 _shard_of_hex(hashlib.md5(k.encode()).hexdigest()[0])
                 for k in keys
@@ -138,7 +143,7 @@ def read_kinesis_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH sharded AS (
       SELECT (strpos('0123456789abcdef',
-                     substr(md5(user_id::VARCHAR), 1, 1)) - 1) % {N_SHARDS}
+                     substr(md5(COALESCE(user_id::VARCHAR, '')), 1, 1)) - 1) % {N_SHARDS}
                AS shard_id,
              event_type, value
       FROM events)
@@ -185,7 +190,8 @@ if _PYDS_AVAILABLE:
         seq: dict[int, int] = {}
         out = []
         for r in sorted(rows, key=lambda r: r["event_id"]):
-            key = str(r["user_id"])
+            # same empty-partition-key convention as the batch reader
+            key = str(r["user_id"]) if r["user_id"] is not None else ""
             sh = _shard_of_hex(hashlib.md5(key.encode()).hexdigest()[0])
             s = seq.get(sh, 0)
             seq[sh] = s + 1
@@ -246,7 +252,7 @@ if _PYDS_AVAILABLE:
     f"""
     WITH sharded AS (
       SELECT (strpos('0123456789abcdef',
-                     substr(md5(user_id::VARCHAR), 1, 1)) - 1) % {N_SHARDS}
+                     substr(md5(COALESCE(user_id::VARCHAR, '')), 1, 1)) - 1) % {N_SHARDS}
                AS shard_id,
              event_type, value
       FROM events)

@@ -376,7 +376,11 @@ def join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cohort", F.col("user_id") % 5)
     )
     stream = replay_stream(spark, sf_dir, "ordered")
-    enriched = stream.join(F.broadcast(cohorts), "user_id")
+    # LEFT enrichment: an unknown/NULL-keyed event keeps flowing with a
+    # NULL cohort instead of vanishing — an inner join here silently
+    # drops every null-key record (NULL-attribute corruption replay);
+    # on a fully-matched corpus left ≡ inner
+    enriched = stream.join(F.broadcast(cohorts), "user_id", "left")
     agg = enriched.groupBy("cohort").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value")
     )
@@ -556,7 +560,8 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT p.event_id AS p_event, c.event_id AS c_event,
            p.user_id AS p_user, p.ts AS p_ts, c.ts AS c_ts
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FROM (SELECT * FROM events
+          WHERE event_type = 'purchase' AND user_id IS NOT NULL) p
     LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON p.user_id = c.user_id
      AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
@@ -581,7 +586,12 @@ def join_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     own filter, and the global watermark is their minimum — a sentinel
     swallowed by either filter stalls eviction and the last unmatched
     purchases never flush (observed: exactly the final purchase row
-    missing)."""
+    missing).
+
+    NULL-keyed purchases are excluded on BOTH engines: the sentinel
+    strip-filter (user_id >= 0) is three-valued and removes them from
+    the Spark output, so the oracle's left side pins the same
+    `user_id IS NOT NULL` (NULL-attribute corruption replay)."""
     stream = replay_stream(spark, sf_dir, "ordered", sentinel=True)
     p = (
         stream.filter(
