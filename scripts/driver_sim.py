@@ -18,7 +18,17 @@ sys.path.insert(0, "/root/repo")
 import os as _os
 SF = _os.environ.get("TFK_SIM_SF_DIR", "/root/testdata/sf0.01")
 
-if len(sys.argv) > 2 and sys.argv[1] == "--chunk":
+if "--chunk" in sys.argv[1:]:
+    # --chunk must be argv[1] with an integer argument; anywhere else it
+    # would silently be treated as an operator key (and `--chunk` with no
+    # N used to fall through to normal mode the same way) — fail loudly.
+    if (
+        sys.argv[1] != "--chunk"
+        or len(sys.argv) < 3
+        or not sys.argv[2].lstrip("-").isdigit()
+        or int(sys.argv[2]) <= 0
+    ):
+        sys.exit(f"usage: {sys.argv[0]} [--chunk N] [key ...]  (N > 0)")
     import subprocess
     _n = int(sys.argv[2])
     _keys = sys.argv[3:]

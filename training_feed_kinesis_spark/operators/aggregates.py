@@ -367,13 +367,16 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # because DuckDB's arg_min/arg_max SKIP rows whose value argument is
     # NULL while Spark's min_by/max_by return them — "the event_type of
     # the extremal event, even if unlabeled" is the intended semantics on
-    # both engines (caught by the NULL-attribute corruption replay)
+    # both engines (caught by the NULL-attribute corruption replay).
+    # Sentinel is chr(1) (ASCII SOH), a control character outside any
+    # plausible event_type domain — a printable sentinel like '(null)'
+    # would silently map a legitimate value of that exact string to NULL
     """
     SELECT user_id,
-           NULLIF(arg_min(COALESCE(event_type, '(null)'), event_id),
-                  '(null)') AS first_type,
-           NULLIF(arg_max(COALESCE(event_type, '(null)'), event_id),
-                  '(null)') AS last_type,
+           NULLIF(arg_min(COALESCE(event_type, chr(1)), event_id),
+                  chr(1)) AS first_type,
+           NULLIF(arg_max(COALESCE(event_type, chr(1)), event_id),
+                  chr(1)) AS last_type,
            ROUND(arg_min(value, event_id), 4) AS first_value,
            ROUND(arg_max(value, event_id), 4) AS last_value
     FROM events GROUP BY user_id
@@ -381,12 +384,12 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    et = F.coalesce(F.col("event_type"), F.lit("(null)"))
+    et = F.coalesce(F.col("event_type"), F.lit("\x01"))
     return ev.groupBy("user_id").agg(
-        F.nullif(F.min_by(et, F.col("event_id")), F.lit("(null)")).alias(
+        F.nullif(F.min_by(et, F.col("event_id")), F.lit("\x01")).alias(
             "first_type"
         ),
-        F.nullif(F.max_by(et, F.col("event_id")), F.lit("(null)")).alias(
+        F.nullif(F.max_by(et, F.col("event_id")), F.lit("\x01")).alias(
             "last_type"
         ),
         F.round(F.min_by("value", "event_id"), 4).alias("first_value"),

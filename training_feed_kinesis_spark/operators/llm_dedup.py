@@ -538,11 +538,18 @@ def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-uniform sketch blocks, and verification is a fixed 64-step char
     compare per candidate — the same candidates ≪ n² argument as LSH
     banding."""
-    # cache: the self-join references sigs on BOTH sides, and Spark
-    # re-executes a DataFrame subtree per reference (no CTE dedup) —
-    # uncached, the 64×tokens sketch aggregation runs twice and dominated
-    # the key (the production shape persists sketches once anyway; the
-    # relation is n_docs × 64 chars, trivially memory-resident).
+    # localCheckpoint (NOT .cache()): the self-join references sigs on
+    # BOTH sides, and Spark re-executes a DataFrame subtree per reference
+    # (no CTE dedup) — unmaterialized, the 64×tokens sketch aggregation
+    # runs twice and dominated the key (the production shape persists
+    # sketches once anyway; the relation is n_docs × 64 chars, trivially
+    # memory-resident). A lazy localCheckpoint gets the same
+    # compute-once behavior, but its blocks are released by the
+    # ContextCleaner when the frame goes out of scope after the key's
+    # terminal action — a CacheManager .cache() entry is keyed by plan
+    # and lives until an explicit unpersist, so sketch relations from
+    # every key run in one JVM accumulate (the storage-residue class
+    # behind the round-6 555-key sweep OOM).
     # The sketch stays a bit-string (the oracled contract); for the
     # verify stage each signature is re-read as 4× 16-bit BIGINT blocks
     # so Hamming distance is 4 XOR+bit_count ops per pair instead of 64
@@ -550,7 +557,7 @@ def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is millions of pairs, and the candidate→verify path must stay
     # narrow: dedup runs on bare (a_id, b_id) id pairs, signatures are
     # re-attached afterwards by broadcasting the n_docs-row block table.
-    sigs = llm_simhash(spark, sf_dir).cache()
+    sigs = llm_simhash(spark, sf_dir).localCheckpoint(eager=False)
     binted = sigs.select(
         "doc_id",
         *[

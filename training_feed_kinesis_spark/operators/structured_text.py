@@ -109,6 +109,12 @@ def fn_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL fields ride the wire as empty fields (coalesce on write — Spark's
     concat_ws would otherwise DROP the field and shift every column right)
     and parse back to NULL, which is from_csv's own empty-field behavior.
+    Deliberate lossiness of the convention: a genuine empty-string field
+    also rides as an empty field, so ''-valued lang/source read back as
+    NULL — the round-trip is identity on the NULL-or-non-empty domain
+    only (same on both engines; quote fields if exact '' identity is
+    ever required). The same convention applies to fn_str_to_map and
+    source_text.
     """
     docs = load_table(spark, sf_dir, "documents")
     line = docs.select(

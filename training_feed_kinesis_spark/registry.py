@@ -191,53 +191,55 @@ def register(key: str, category: str, oracle: str | None = None):
 
 
 # The driver's correctness gate samples the FIRST 50 registered keys each
-# round. Round-6 rotation (VERDICT r5 item 1, fifth consecutive rotation):
-# all 50 slots are drawn from the 286 never-driver-verified oracled keys —
-# the 30 staged round-5 front-of-line entries, verbatim, plus the next 20
-# never-sampled oracled keys in registration order. Rows-only-by-design
-# keys are excluded (their slot is better spent on hash-checkable keys).
-# Entries past 50 are front-of-line for round 7.
+# round. Round-7 rotation (VERDICT r5 item 1 standing; sixth consecutive
+# rotation): all 50 slots are the block staged at the end of round 6 —
+# never-driver-verified oracled keys in registration order. Rows-only-by-
+# design keys are excluded (their slot is better spent on hash-checkable
+# keys). Entries past 50 are the staged round-8 front-of-line block.
+# Debt after this window lands: 248 - 50 = 198 never-driver-sampled.
 _PRIORITY_KEYS = [
-    # round-5 staged front-of-line, verbatim
-    "fn_str_to_map", "fn_url", "graph_degree", "graph_pagerank",
-    "ts_ewma", "ts_wow_growth", "join_interval_overlap", "ts_ohlc",
-    "win_rolling_median", "agg_product", "fn_width_bucket",
-    "rollup_rank_report", "source_text", "ml_kmeans_step",
-    "ml_linear_score", "vec_pca_power", "dq_profile", "assoc_rules",
-    "llm_zipf_slope", "llm_keywords_topk", "fn_sentences", "join_fuzzy",
-    "agg_corr_matrix", "attribution_last_touch", "sql_correlated_scalar",
-    "sql_inline_values", "sink_sorted_zonemap", "cbo_join_reorder",
-    "fn_mask", "agg_listagg",
-    # next-oldest never-driver-sampled oracled keys, registration order
-    "multimodal_dedup", "events_dau_wau", "ts_yoy_same_quarter",
-    "customer_clv_decay", "shard_assignment", "fn_collation_ci",
-    "orders_backlog_aging", "agg_percentile_multi", "fn_datetime_make",
-    "fn_json_array", "fn_array_setops", "dq_drift_psi",
-    "stat_ks_2sample", "agg_entropy_gini", "ts_autocorr",
-    "ts_page_hinkley", "llm_pack_chunks", "events_path_topk",
-    "q12_shipmode_priority", "sql_group_by_all",
-    # --- 50-key window boundary; below = round-7 front-of-line ---
-    # (staged to a FULL 50 at the end of round 6: the 30 entries staged
-    # mid-round plus the next 20 never-driver-sampled oracled keys in
-    # registration order — round 7 rotates by moving this block to the
-    # front and staging a fresh block for round 8)
+    # round-6 staged front-of-line, verbatim (the round-7 driver window)
     "sql_distinct_on", "stat_chi2_independence", "dq_benford",
     "ts_gap_islands", "events_anomaly_mad", "agg_weighted_median",
     "vec_label_centroid_sim", "llm_chunk_overlap", "llm_repetition_score",
     "llm_prefix_dedup", "ml_auc_rank", "ml_confusion",
     "ml_calibration_lift", "ml_feature_ig", "ml_naive_bayes",
     "fn_inline_structs", "ts_seasonal_dow", "ts_index_rebase",
-    "geo_grid_knn", "fn_zorder_tile", "events_seq_match",
-    "ml_tree_split", "ml_logreg_step", "ml_knn_classify",
-    "ml_precision_at_k", "stat_ttest_welch", "events_hour_heatmap",
-    "revenue_abc_class", "ts_theil_sen", "customer_gini",
-    "join_dpp_partitioned", "join_bloom_filter", "llm_ngram_novelty",
-    "ts_cross_correlation", "ml_kfold_assign", "vec_norm_outliers",
-    "vec_dim_stats", "llm_quality_gopher", "win_frame_time_range",
-    "graph_link_predict", "ts_burstiness", "llm_lsh_recall",
-    "stream_fanout_sinks", "customer_migration_matrix",
-    "stat_bootstrap_ci", "events_user_similarity", "scan_cache_reuse",
-    "sql_parameterized", "vec_pq_error", "agg_countmin",
+    "geo_grid_knn", "fn_zorder_tile", "events_seq_match", "ml_tree_split",
+    "ml_logreg_step", "ml_knn_classify", "ml_precision_at_k",
+    "stat_ttest_welch", "events_hour_heatmap", "revenue_abc_class",
+    "ts_theil_sen", "customer_gini", "join_dpp_partitioned",
+    "join_bloom_filter", "llm_ngram_novelty", "ts_cross_correlation",
+    "ml_kfold_assign", "vec_norm_outliers", "vec_dim_stats",
+    "llm_quality_gopher", "win_frame_time_range", "graph_link_predict",
+    "ts_burstiness", "llm_lsh_recall", "stream_fanout_sinks",
+    "customer_migration_matrix", "stat_bootstrap_ci",
+    "events_user_similarity", "scan_cache_reuse", "sql_parameterized",
+    "vec_pq_error", "agg_countmin",
+    # --- 50-key window boundary; below = staged round-8 front-of-line ---
+    # (next 50 never-driver-sampled oracled keys in registration order;
+    # round 8 rotates by moving this block to the front and staging a
+    # fresh block for round 9)
+    "llm_dsir_weight", "llm_tokenizer_fertility", "llm_minhash_est_error",
+    "stream_topk_windowed", "llm_perplexity_buckets",
+    "llm_crosssource_dup", "vec_trunc_recall", "stream_backfill_union",
+    "feature_pit_snapshot", "join_asof_nearest", "llm_stopshingle_jaccard",
+    "stat_mann_whitney", "sink_dynamic_overwrite", "llm_blocklist_filter",
+    "llm_hard_negatives", "llm_span_corruption", "stream_progress_metrics",
+    "retention_decay_fit", "llm_quality_length_confound",
+    "llm_semdedup_cell", "llm_readability_score", "llm_mattr",
+    "ml_ridge_closed_form", "ml_gbdt_stumps", "llm_preference_pairs",
+    "multimodal_frame_sample", "multimodal_audio_windows",
+    "graph_bfs_distance", "llm_ivf_build_manifest", "llm_ivf_query_router",
+    "llm_code_detect", "stream_quarantine_split", "llm_tokenizer_coverage",
+    "multimodal_resize_plan", "llm_dataloader_epoch_plan",
+    "llm_lsh_tuning_curve", "llm_shard_integrity", "events_cuped_adjust",
+    "llm_data_ablation_manifest", "events_power_analysis",
+    "llm_contamination_ngram_decay", "llm_dedup_quality_shift",
+    "vec_embedding_drift", "llm_vocab_overlap_matrix",
+    "llm_attention_cost_table", "events_funnel_window_sensitivity",
+    "ts_holt_linear", "events_feature_hashing", "events_did_estimator",
+    "llm_ngram_entropy_rate",
 ]
 
 
