@@ -1,0 +1,220 @@
+"""Wave-97 invariants: planted-fixture detection proofs and structural
+identities for the round-7 keys (the per-key differential vs DuckDB runs
+in test_operators.py; these prove the operators are NON-VACUOUS — the
+detectors fire on planted signal, the identities hold row-wise)."""
+
+from __future__ import annotations
+
+import shutil
+
+import duckdb
+import pytest
+
+from training_feed_kinesis_spark.registry import load_all
+
+from .conftest import SF_DIR, assert_matches_oracle
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events"
+    " documents embeddings"
+).split()
+
+_REGISTRY = load_all()
+
+
+# --- planted changepoint: CUSUM must alarm after the shift, never before ----
+
+
+@pytest.fixture(scope="module")
+def shifted_orders_sf(tmp_path_factory):
+    """Orders copy with a 3x level shift on the last ~quarter of days."""
+    d = tmp_path_factory.mktemp("cusumsf")
+    for t in TABLES:
+        if t != "orders":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CASE WHEN o_orderdate >= TIMESTAMP '1997-07-01'
+                      THEN o_totalprice * 3 ELSE o_totalprice END
+                   AS o_totalprice,
+                 o_orderdate, o_orderpriority
+          FROM read_parquet('{SF_DIR}/orders.parquet')
+        ) TO '{d}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+def test_cusum_alarms_only_after_planted_shift(spark, shifted_orders_sf):
+    rows = (
+        _REGISTRY["ts_cusum_changepoint"]
+        .fn(spark, shifted_orders_sf)
+        .collect()
+    )
+    alarmed = [r for r in rows if r["alarm"]]
+    assert alarmed, "planted 3x level shift must trip the CUSUM alarm"
+    import datetime
+
+    shift = datetime.date(1997, 7, 1)
+    assert all(
+        (r["day"].date() if hasattr(r["day"], "date") else r["day"])
+        >= shift
+        for r in alarmed
+    ), "no alarm may fire before the planted shift"
+
+
+def test_cusum_oracle_parity_on_planted_shift(spark, shifted_orders_sf):
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM"
+                f" read_parquet('{shifted_orders_sf}/{t}.parquet')"
+            )
+        spec = _REGISTRY["ts_cusum_changepoint"]
+        assert_matches_oracle(
+            spec.fn(spark, shifted_orders_sf), con, spec.oracle
+        )
+    finally:
+        con.close()
+
+
+def test_cusum_statistic_is_nonnegative(spark):
+    rows = _REGISTRY["ts_cusum_changepoint"].fn(spark, SF_DIR).collect()
+    assert rows
+    assert all(r["cusum"] >= 0.0 for r in rows)
+
+
+# --- planted reconciliation: the census must see a repaired header ----------
+
+
+@pytest.fixture(scope="module")
+def reconciled_orders_sf(tmp_path_factory):
+    """Orders copy where every 7th order's header is REWRITTEN to the
+    exact lineitem-derived total (the rest stay independently generated,
+    i.e. mismatched) — proves n_reconciled counts real reconciliation,
+    not accidental agreement."""
+    d = tmp_path_factory.mktemp("reconsf")
+    for t in TABLES:
+        if t != "orders":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    duckdb.execute(
+        f"""
+        COPY (
+          WITH lt AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                       * (1 + l_tax) * 100, 0) AS BIGINT))
+                        AS BIGINT) AS calc_c
+            FROM read_parquet('{SF_DIR}/lineitem.parquet')
+            GROUP BY l_orderkey
+          )
+          SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+                 CASE WHEN o.o_orderkey % 7 = 0 AND lt.calc_c IS NOT NULL
+                      THEN lt.calc_c / 100.0
+                      ELSE o.o_totalprice END AS o_totalprice,
+                 o.o_orderdate, o.o_orderpriority
+          FROM read_parquet('{SF_DIR}/orders.parquet') o
+          LEFT JOIN lt ON o.o_orderkey = lt.l_orderkey
+        ) TO '{d}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+def test_reconcile_detects_planted_repairs(spark, reconciled_orders_sf):
+    base = {
+        r["o_orderstatus"]: r
+        for r in _REGISTRY["dq_order_total_reconcile"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    fixed = {
+        r["o_orderstatus"]: r
+        for r in _REGISTRY["dq_order_total_reconcile"]
+        .fn(spark, reconciled_orders_sf)
+        .collect()
+    }
+    assert sum(r["n_reconciled"] for r in fixed.values()) > sum(
+        r["n_reconciled"] for r in base.values()
+    ), "repaired headers must raise the reconciled count"
+    for status, r in fixed.items():
+        b = base[status]
+        assert r["n_orders"] == b["n_orders"]
+        assert (
+            r["n_no_lines"] + r["n_reconciled"] + r["n_mismatch"]
+            == r["n_orders"]
+        ), "census rows must partition the orders"
+
+
+# --- structural identities on the real corpus -------------------------------
+
+
+def test_stl_components_sum_to_series(spark):
+    rows = _REGISTRY["ts_stl_decompose"].fn(spark, SF_DIR).collect()
+    assert rows
+    full = [r for r in rows if r["trend"] is not None]
+    assert full, "interior days must carry a full 7-day trend window"
+    for r in full:
+        assert r["seasonal"] is not None and r["resid"] is not None
+        # revenue = trend + seasonal + resid up to the 4dp rounding of
+        # the three emitted components
+        assert (
+            abs(r["revenue"] - (r["trend"] + r["seasonal"] + r["resid"]))
+            < 2e-4
+        ), r
+
+
+def test_wimbd_topk_is_ordered_and_attributed(spark):
+    rows = (
+        _REGISTRY["llm_wimbd_ngram_sources"].fn(spark, SF_DIR).collect()
+    )
+    assert 0 < len(rows) <= 25
+    counts = [r["n_occurrences"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert len(r["gram"].split(" ")) == 5
+        assert r["n_occurrences"] >= r["n_docs"] >= 1
+        assert 1 <= r["n_sources"] <= r["n_docs"]
+    # the census is an attribution report — the fixture corpus shares
+    # vocabulary across sources, so top grams must span several sources
+    assert max(r["n_sources"] for r in rows) > 1
+
+
+def test_langid_confusion_shares_partition_each_label(spark):
+    rows = _REGISTRY["llm_langid_confusion"].fn(spark, SF_DIR).collect()
+    assert rows
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, cell in by_lang.items():
+        total_share = sum(r["lang_share"] for r in cell)
+        # exact floored basis points: within n_cells/10000 below 1
+        assert 1.0 - len(cell) / 10000.0 <= total_share <= 1.0, lang
+    # non-vacuous confusion: more than one predicted class must appear
+    assert len({r["predicted"] for r in rows}) > 1
+
+
+def test_dwell_percentiles_are_ordered(spark):
+    rows = (
+        _REGISTRY["events_dwell_transition"].fn(spark, SF_DIR).collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["p50_dwell_s"] <= r["p90_dwell_s"]
+        assert r["p50_dwell_s"] >= 0.0
+        assert r["n_transitions"] >= 1
+
+
+def test_brown_forsythe_matches_anova_on_deviations(spark):
+    """The BF statistic is definitionally one-way ANOVA on
+    z = |x − group median|: both mean squares must be positive and the
+    F ratio must equal their quotient (internal consistency)."""
+    row = _REGISTRY["stat_brown_forsythe"].fn(spark, SF_DIR).collect()[0]
+    assert row["n_groups"] >= 2
+    assert row["ms_between"] > 0 and row["ms_within"] > 0
+    assert (
+        abs(row["f_stat"] - row["ms_between"] / row["ms_within"]) < 1e-2
+    )
