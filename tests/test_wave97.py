@@ -218,3 +218,150 @@ def test_brown_forsythe_matches_anova_on_deviations(spark):
     assert (
         abs(row["f_stat"] - row["ms_between"] / row["ms_within"]) < 1e-2
     )
+
+
+# --- §5.3.6c int64 capacity campaign ----------------------------------------
+
+
+def test_int64_sum_overflow_divergence_pinned(spark):
+    """The divergence that motivates the money-magnitude admission gate
+    (probe r7): on the SAME over-2^63 aggregation DuckDB silently widens
+    to HUGEINT while ANSI Spark hard-errors ARITHMETIC_OVERFLOW — a
+    non-comparable failure class like NaN-in-STDDEV, so overflow must be
+    designed out (DECIMAL widening at aggregated grain) or gated at
+    ingest, never tolerated. If Spark ever starts widening, this test
+    flips and the campaign can be revisited."""
+    from pyspark.errors.exceptions.captured import CapturedException
+
+    big = 9223372036854775807
+    assert (
+        duckdb.sql(
+            f"SELECT SUM(x) FROM (SELECT unnest([{big}, {big}]) AS x)"
+        ).fetchone()[0]
+        == 2 * big
+    )
+    with pytest.raises(CapturedException) as exc:
+        spark.sql(
+            f"SELECT SUM(x) FROM VALUES ({big}L), ({big}L) t(x)"
+        ).collect()
+    assert "ARITHMETIC_OVERFLOW" in str(exc.value)
+
+
+@pytest.fixture(scope="module")
+def polluted_money_sf(tmp_path_factory):
+    """Orders copy planting every money-pollution class the census must
+    count: NULL, NaN, +Inf, cents-unrepresentable magnitude (1e300), and
+    an over-cap-but-representable whale ($5e11)."""
+    d = tmp_path_factory.mktemp("moneysf")
+    for t in TABLES:
+        if t != "orders":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 50 = 0 THEN NULL
+                      WHEN o_orderkey % 50 = 1 THEN CAST('nan' AS DOUBLE)
+                      WHEN o_orderkey % 50 = 2 THEN CAST('inf' AS DOUBLE)
+                      WHEN o_orderkey % 50 = 3 THEN 1e300
+                      WHEN o_orderkey % 50 = 4 THEN 5e11
+                      ELSE o_totalprice END AS o_totalprice,
+                 o_orderdate, o_orderpriority
+          FROM read_parquet('{SF_DIR}/orders.parquet')
+        ) TO '{d}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+def test_money_census_detects_planted_pollution(spark, polluted_money_sf):
+    rows = {
+        r["money_col"]: r
+        for r in _REGISTRY["dq_money_magnitude_census"]
+        .fn(spark, polluted_money_sf)
+        .collect()
+    }
+    o = rows["orders.o_totalprice"]
+    assert o["n_null"] > 0
+    assert o["n_unrepresentable"] > 0, "NaN/Inf/1e300 must be counted"
+    assert o["n_over_cap"] > 0, "the $5e11 whale must be counted"
+    assert o["max_abs_cents"] == 5 * 10**13
+    assert o["headroom_rows"] == 9223372036854775807 // (5 * 10**13)
+    # clean tables stay clean (non-vacuity of the zero counters)
+    li = rows["lineitem.l_extendedprice"]
+    assert li["n_unrepresentable"] == 0 and li["n_over_cap"] == 0
+
+
+def test_money_census_oracle_parity_on_pollution(
+    spark, polluted_money_sf
+):
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM"
+                f" read_parquet('{polluted_money_sf}/{t}.parquet')"
+            )
+        spec = _REGISTRY["dq_money_magnitude_census"]
+        assert_matches_oracle(
+            spec.fn(spark, polluted_money_sf), con, spec.oracle
+        )
+    finally:
+        con.close()
+
+
+@pytest.fixture(scope="module")
+def whale_orders_sf(tmp_path_factory):
+    """Orders copy with two LEGITIMATE whale orders (5e16 dollars each,
+    distinct customers and days): every per-row and per-customer cents
+    term still fits int64, but any corpus-total int64 accumulation
+    overflows (2 x 5e18 cents > 2^63) — exactly the regime the
+    DECIMAL(38,0) widenings exist for."""
+    d = tmp_path_factory.mktemp("whalesf")
+    for t in TABLES:
+        if t != "orders":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CASE WHEN o_orderkey IN (
+                        (SELECT MIN(o_orderkey)
+                         FROM read_parquet('{SF_DIR}/orders.parquet')),
+                        (SELECT MAX(o_orderkey)
+                         FROM read_parquet('{SF_DIR}/orders.parquet')))
+                      THEN 5e16 ELSE o_totalprice END AS o_totalprice,
+                 o_orderdate, o_orderpriority
+          FROM read_parquet('{SF_DIR}/orders.parquet')
+        ) TO '{d}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+WIDENED_ORDERS_KEYS = [
+    "customer_gini",
+    "revenue_pareto",
+    "ts_cusum_changepoint",
+]
+
+
+@pytest.mark.parametrize("key", WIDENED_ORDERS_KEYS)
+def test_widened_keys_survive_whale_corpus(spark, whale_orders_sf, key):
+    """Before the §5.3.6c widenings these keys died with
+    ARITHMETIC_OVERFLOW on this fixture (corpus-total > 2^63 cents);
+    now they complete AND still hash-match the oracle, whose HUGEINT
+    arithmetic is exact on the same frame."""
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM"
+                f" read_parquet('{whale_orders_sf}/{t}.parquet')"
+            )
+        spec = _REGISTRY[key]
+        assert_matches_oracle(
+            spec.fn(spark, whale_orders_sf), con, spec.oracle
+        )
+    finally:
+        con.close()

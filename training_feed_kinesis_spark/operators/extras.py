@@ -371,18 +371,23 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"))
         .alias("grp_c")
     )
+    # the window totals sum GROUP totals — corpus-scale magnitudes — so
+    # the accumulators widen to DECIMAL(38,0) over the 6 aggregated rows
+    # (§5.3.6c; DuckDB widens to HUGEINT on its own); the fact-grain
+    # group sum keeps the BIGINT fast path with ~18x headroom at 100 TB
+    grp_d = F.col("grp_c").cast("decimal(38,0)")
     return g.select(
         "l_returnflag",
         "l_linestatus",
         (F.col("grp_c").cast("double") / 100.0).alias("group_rev"),
         F.round(
             F.col("grp_c").cast("double")
-            / F.sum("grp_c").over(W.partitionBy("l_returnflag")).cast("double"),
+            / F.sum(grp_d).over(W.partitionBy("l_returnflag")).cast("double"),
             4,
         ).alias("share_in_flag"),
         F.round(
             F.col("grp_c").cast("double")
-            / F.sum("grp_c").over(W.partitionBy()).cast("double"),
+            / F.sum(grp_d).over(W.partitionBy()).cast("double"),
             4,
         ).alias("share_total"),
     )

@@ -191,11 +191,18 @@ def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact-decimal division. PRECONDITION: cumc >= 0 (events.value is
     # nonnegative); for a negative numerator this spelling degrades to
     # round-toward-zero, not half-up — guard before reusing elsewhere.
+    # the cumulative accumulator ranges over a full cohort's value —
+    # unbounded in corpus size — so it widens to DECIMAL(38,0) over the
+    # 15-row cohort×offset grid (§5.3.6c); `div` on decimal still
+    # returns the exact integral quotient, and the per-user quotient is
+    # small enough for the BIGINT output either way
     cum = daily_val.join(sizes, "cohort_day").select(
         "cohort_day",
         "day_offset",
         "n_users",
-        F.sum("v_cents").over(w_cum).alias("cumc"),
+        F.sum(F.col("v_cents").cast("decimal(38,0)")).over(w_cum).alias(
+            "cumc"
+        ),
     )
     return cum.select(
         "cohort_day",

@@ -170,8 +170,13 @@ def orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_cents").desc(), F.col("l_partkey").asc()
     ).rowsBetween(Window.unboundedPreceding, 0)
     w_all = Window.partitionBy()
-    cum = F.sum("rev_cents").over(w_cum)
-    tot = F.sum("rev_cents").over(w_all)
+    # corpus-scale cumulative/total accumulators + the ×10 threshold
+    # cross-multiplications exceed int64 before the part-grain inputs
+    # do — widen to DECIMAL(38,0) over the aggregated rows (§5.3.6c;
+    # DuckDB widens to HUGEINT on its own)
+    rev_d = F.col("rev_cents").cast("decimal(38,0)")
+    cum = F.sum(rev_d).over(w_cum)
+    tot = F.sum(rev_d).over(w_all)
     abc = per_part.select(
         "l_partkey",
         "rev_cents",

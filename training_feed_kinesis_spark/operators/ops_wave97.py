@@ -194,16 +194,27 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rev_c")
     )
     # rev sums are positive, so Spark's truncating DIV equals DuckDB's
-    # flooring // here
+    # flooring // here; the corpus-total numerator widens to
+    # DECIMAL(38,0) (§5.3.6c — DuckDB's SUM is already HUGEINT) and the
+    # day-grain quotient fits BIGINT
     glob = daily.agg(
-        F.expr("SUM(rev_c) DIV COUNT(*)").alias("mu_c")
+        F.expr(
+            "SUM(CAST(rev_c AS DECIMAL(38,0))) DIV COUNT(*)"
+        ).alias("mu_c")
     )
     centered = daily.crossJoin(F.broadcast(glob)).select(
         "day", "rev_c", (F.col("rev_c") - F.col("mu_c")).alias("y")
     )
+    # the prefix sum's domain is the CORPUS total (unbounded in corpus
+    # size), so the window accumulator widens to DECIMAL(38,0) — exact
+    # integers past int64, over day-grain rows where decimal cost is
+    # output-sized (§5.3.6c capacity ledger; DuckDB's window SUM widens
+    # to HUGEINT on its own)
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     prefix = centered.select(
-        "day", "rev_c", F.sum("y").over(w).alias("p")
+        "day",
+        "rev_c",
+        F.sum(F.col("y").cast("decimal(38,0)")).over(w).alias("p"),
     )
     rng = prefix.agg(
         (F.max("p") - F.min("p")).alias("p_range")
@@ -617,3 +628,92 @@ def events_dwell_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile("dwell_us", F.lit(0.9)) / 1_000_000.0, 4
         ).alias("p90_dwell_s"),
     )
+
+
+_MONEY_COLS = [
+    ("orders", "o_totalprice"),
+    ("lineitem", "l_extendedprice"),
+    ("customer", "c_acctbal"),
+]
+_CENTS_CAP = 10**13  # $100B per row — outside any plausible row value
+_I64_MAX = 9223372036854775807
+
+
+def _money_census_sql(table: str, col: str) -> str:
+    cents = f"TRY_CAST(ROUND({col} * 100, 0) AS BIGINT)"
+    return f"""
+      SELECT '{table}.{col}' AS money_col,
+             COUNT(*) AS n_rows,
+             CAST(COALESCE(SUM(CASE WHEN {col} IS NULL THEN 1 END), 0)
+                  AS BIGINT) AS n_null,
+             CAST(COALESCE(SUM(CASE WHEN {col} IS NOT NULL
+                                     AND {cents} IS NULL THEN 1 END), 0)
+                  AS BIGINT) AS n_unrepresentable,
+             CAST(COALESCE(SUM(CASE WHEN ABS({cents}) > {_CENTS_CAP}
+                                    THEN 1 END), 0) AS BIGINT)
+               AS n_over_cap,
+             MAX(ABS({cents})) AS max_abs_cents,
+             {_I64_MAX} // NULLIF(MAX(ABS({cents})), 0) AS headroom_rows
+      FROM {table}"""
+
+
+@register(
+    "dq_money_magnitude_census",
+    CAT_DQ,
+    " UNION ALL ".join(
+        _money_census_sql(t, c) for t, c in _MONEY_COLS
+    ),
+)
+def dq_money_magnitude_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money-magnitude admission gate + int64 capacity ledger: per money
+    column, how many values are NULL, CENTS-UNREPRESENTABLE (NaN / ±Inf
+    / |x·100| ≥ 2⁶³ — where the engines fail NON-COMPARABLY: probe r7
+    shows Spark SUM(BIGINT) hard-errors ARITHMETIC_OVERFLOW under ANSI
+    while DuckDB silently widens to HUGEINT, so pollution must be gated
+    at ingest exactly like dq_value_finite_census gates NaN), over the
+    $100B/row plausibility cap, and — the ledger — ``headroom_rows``:
+    how many worst-case rows a single int64 cents accumulator can absorb
+    before 2⁶³, i.e. the per-group row budget every §5.3.6b BIGINT money
+    SUM in the registry runs against. Unbounded-domain accumulations
+    (cumulative windows, rank-weighted sums) are widened to
+    DECIMAL(38,0) at the aggregated grain instead of budgeted — the
+    §5.3.6c discipline this census polices.
+
+    TRY_CAST is the shared unrepresentability detector (probe r7: both
+    engines NULL on NaN, ±Inf, and out-of-range; both round-half-away on
+    representable values). Scale shape: one map-side-combinable
+    aggregate per table, 3-row output."""
+    frames = []
+    for table, col in _MONEY_COLS:
+        t = load_table(spark, sf_dir, table)
+        cents = F.expr(f"TRY_CAST(ROUND({col} * 100, 0) AS BIGINT)")
+        zero = F.lit(0)
+        frames.append(
+            t.agg(
+                F.lit(f"{table}.{col}").alias("money_col"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col(col).isNull(), 1)), zero
+                ).alias("n_null"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col(col).isNotNull() & cents.isNull(), 1
+                        )
+                    ),
+                    zero,
+                ).alias("n_unrepresentable"),
+                F.coalesce(
+                    F.sum(F.when(F.abs(cents) > _CENTS_CAP, 1)), zero
+                ).alias("n_over_cap"),
+                F.max(F.abs(cents)).alias("max_abs_cents"),
+                F.expr(
+                    f"{_I64_MAX}L DIV NULLIF(MAX(ABS(TRY_CAST("
+                    f"ROUND({col} * 100, 0) AS BIGINT))), 0)"
+                ).alias("headroom_rows"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -368,6 +368,12 @@ def revenue_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rev_cents")
     )
+    # cumulative and total accumulators range over CORPUS revenue — and
+    # the ×5/×20 threshold cross-multiplications exceed int64 well before
+    # the sums themselves do — so both windows widen to DECIMAL(38,0)
+    # over the part-grain rows (§5.3.6c; DuckDB widens to HUGEINT on its
+    # own). The fact-grain per-part sum keeps the BIGINT fast path.
+    rev_d = F.col("rev_cents").cast("decimal(38,0)")
     w_cum = (
         Window.orderBy(F.col("rev_cents").desc(), F.col("l_partkey").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -375,8 +381,8 @@ def revenue_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = per_part.select(
         "l_partkey",
         "rev_cents",
-        F.sum("rev_cents").over(w_cum).alias("cum_cents"),
-        F.sum("rev_cents").over(Window.partitionBy()).alias("tot_cents"),
+        F.sum(rev_d).over(w_cum).alias("cum_cents"),
+        F.sum(rev_d).over(Window.partitionBy()).alias("tot_cents"),
     )
     classed = ranked.select(
         F.when(F.col("cum_cents") * 5 <= F.col("tot_cents") * 4, "A")
@@ -388,9 +394,11 @@ def revenue_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return classed.groupBy("abc_class").agg(
         F.count(F.lit(1)).alias("n_parts"),
-        F.round(F.sum("rev_cents") / 100.0, 2).alias("revenue"),
+        F.round(F.sum(rev_d).cast("double") / 100.0, 2).alias("revenue"),
         F.round(
-            F.sum("rev_cents").cast("double") / F.max("tot_cents"), 4
+            F.sum(rev_d).cast("double")
+            / F.max("tot_cents").cast("double"),
+            4,
         ).alias("rev_share"),
     )
 
@@ -480,7 +488,8 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_cust
     )
     SELECT COUNT(*)::BIGINT AS n_customers,
-           ROUND(2.0 * SUM(i * rev_cents) / (COUNT(*) * SUM(rev_cents))
+           ROUND(2.0 * SUM(CAST(i AS HUGEINT) * rev_cents)
+                 / (COUNT(*) * SUM(CAST(rev_cents AS HUGEINT)))
                  - (COUNT(*) + 1.0) / COUNT(*), 4) AS gini
     FROM ranked
     """,
@@ -505,11 +514,22 @@ def customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("rev_cents").asc(), F.col("o_custkey").asc()))
         .alias("i"),
     )
+    # the rank-weighted sum Σ(i·xᵢ) is the earliest int64 overflow in the
+    # registry (~n²·x̄, quadratic in customer count: ~10²⁶ at 100 TB), and
+    # even the PER-ROW product i·xᵢ exceeds int64 for whale customers at
+    # scale (rank ~10¹⁰ × a 10¹³-cent whale) — so the rank widens to
+    # DECIMAL BEFORE the multiply and BOTH Σ accumulators run in
+    # DECIMAL(38,0) over the customer-grain rows (§5.3.6c; the oracle
+    # widens with HUGEINT in lockstep). Each exact integer converts to
+    # DOUBLE before any float op — the same convert-then-divide order
+    # DuckDB applies to its HUGEINT sums.
     n = F.count(F.lit(1))
+    s_ix = F.sum(F.col("i").cast("decimal(19,0)") * F.col("rev_cents"))
+    s_x = F.sum(F.col("rev_cents").cast("decimal(38,0)"))
     return ranked.agg(
         n.alias("n_customers"),
         F.round(
-            2.0 * F.sum(F.col("i") * F.col("rev_cents")) / (n * F.sum("rev_cents"))
+            2.0 * s_ix.cast("double") / (n * s_x).cast("double")
             - (n + 1.0) / n,
             4,
         ).alias("gini"),

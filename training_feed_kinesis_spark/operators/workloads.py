@@ -503,7 +503,12 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_c"
         )
     )
-    total = cust.agg(F.sum("rev_c").alias("tot"))
+    # grand-total and decile accumulators range over corpus revenue —
+    # widen to DECIMAL(38,0) over the customer-grain rows (§5.3.6c);
+    # the fact-grain per-customer sum keeps the BIGINT fast path
+    total = cust.agg(
+        F.sum(F.col("rev_c").cast("decimal(38,0)")).alias("tot")
+    )
     ranked = cust.select(
         "rev_c",
         F.ntile(10)
@@ -514,7 +519,7 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum("rev_c").alias("_raw"),
+            F.sum(F.col("rev_c").cast("decimal(38,0)")).alias("_raw"),
         )
         .crossJoin(F.broadcast(total))
         .select(
