@@ -365,3 +365,76 @@ def test_widened_keys_survive_whale_corpus(spark, whale_orders_sf, key):
         )
     finally:
         con.close()
+
+
+@pytest.fixture(scope="module")
+def whale_lineitem_sf(tmp_path_factory):
+    """Lineitem copy with two legitimate whale lines (5e16 dollars,
+    zero discount/tax so the derived cents stay representable), planted
+    in DIFFERENT returnflag groups and on DIFFERENT parts: each
+    fact-grain group sum stays inside its int64 budget (the per-group
+    contract the census headroom polices) while every corpus-TOTAL
+    accumulator exceeds 2^63 — exactly the widened-window regime."""
+    d = tmp_path_factory.mktemp("whalelisf")
+    for t in TABLES:
+        if t != "lineitem":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    src = f"read_parquet('{SF_DIR}/lineitem.parquet')"
+    r1 = duckdb.sql(
+        f"SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag"
+        f" FROM {src} ORDER BY l_orderkey, l_linenumber LIMIT 1"
+    ).fetchone()
+    r2 = duckdb.sql(
+        f"SELECT l_orderkey, l_linenumber FROM {src}"
+        f" WHERE l_returnflag <> '{r1[3]}' AND l_partkey <> {r1[2]}"
+        f" ORDER BY l_orderkey, l_linenumber LIMIT 1"
+    ).fetchone()
+    whale = (
+        f"(l_orderkey = {r1[0]} AND l_linenumber = {r1[1]})"
+        f" OR (l_orderkey = {r2[0]} AND l_linenumber = {r2[1]})"
+    )
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+                 l_quantity,
+                 CASE WHEN {whale} THEN 5e16 ELSE l_extendedprice END
+                   AS l_extendedprice,
+                 CASE WHEN {whale} THEN 0.0 ELSE l_discount END
+                   AS l_discount,
+                 CASE WHEN {whale} THEN 0.0 ELSE l_tax END AS l_tax,
+                 l_returnflag, l_linestatus, l_shipdate
+          FROM {src}
+        ) TO '{d}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+WIDENED_LINEITEM_KEYS = [
+    "win_ratio_to_report",
+    "revenue_abc_class",
+    "orders_abc_xyz",
+]
+
+
+@pytest.mark.parametrize("key", WIDENED_LINEITEM_KEYS)
+def test_widened_lineitem_keys_survive_whales(
+    spark, whale_lineitem_sf, key
+):
+    """Same load-bearing proof as the orders side: with >2^63 total
+    cents in play, the widened window/total accumulators complete and
+    hash-match DuckDB's HUGEINT arithmetic."""
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM"
+                f" read_parquet('{whale_lineitem_sf}/{t}.parquet')"
+            )
+        spec = _REGISTRY[key]
+        assert_matches_oracle(
+            spec.fn(spark, whale_lineitem_sf), con, spec.oracle
+        )
+    finally:
+        con.close()
