@@ -48,6 +48,7 @@ GENERATORS = {
     "composite": tf.gen_composite_query,
     "subquery": tf.gen_subquery_query,
     "frame": tf.gen_frame_query,
+    "magnitude": tf.gen_magnitude_query,
 }
 
 

@@ -478,3 +478,117 @@ def gen_frame_query(seed: int) -> str:
 def test_fuzz_frame_query(seed, spark_views, duck):
     sql = gen_frame_query(seed)
     assert_matches_oracle(spark_views.sql(sql), duck, sql, float_tol=2e-4)
+
+
+N_MAGNITUDE_CASES = 12
+
+# §5.3.6c magnitude fuzz: whale-cents pipelines over an inline VALUES
+# table, exercising the DECIMAL(38,0)-widened money spellings (grouped
+# totals, cumulative windows, threshold cross-multiplications, the
+# TRY_CAST representability gate) at magnitudes where a bare int64
+# accumulator would diverge non-comparably (Spark ARITHMETIC_OVERFLOW
+# vs DuckDB HUGEINT). Same-text SQL, valid in both engines.
+
+_MAG_TIERS = [
+    (0, 10**6),            # ordinary cents
+    (10**12, 10**15),      # large but far from the edge
+    (10**18, 4 * 10**18),  # whales: two of them exceed int64 together
+]
+
+
+def _mag_rows(rng: random.Random):
+    n = rng.randint(8, 20)
+    rows = []
+    for i in range(1, n + 1):
+        lo, hi = rng.choice(_MAG_TIERS)
+        c = rng.randint(lo, hi)
+        if rng.random() < 0.25:
+            c = -c
+        if rng.random() < 0.1:
+            c = 0
+        g = rng.choice(["a", "b", "c"][: rng.randint(2, 3)])
+        rows.append((i, g, c))
+    # guarantee at least two same-sign whales so every corpus-total
+    # accumulation really crosses 2^63
+    rows[0] = (rows[0][0], rows[0][1], rng.randint(5 * 10**18, 6 * 10**18))
+    rows[1] = (rows[1][0], rows[1][1], rng.randint(5 * 10**18, 6 * 10**18))
+    return rows
+
+
+def _mag_cte(rows) -> str:
+    vals = ", ".join(f"({i}, '{g}', {c})" for i, g, c in rows)
+    return f"WITH t(id, g, c) AS (VALUES {vals})"
+
+
+def gen_magnitude_query(seed: int) -> str:
+    rng = random.Random(60_000 + seed)
+    cte = _mag_cte(_mag_rows(rng))
+    dec = "CAST(c AS DECIMAL(38,0))"
+    shape = rng.choice(["grouped", "cusum", "classify", "gate"])
+    if shape == "grouped":
+        return (
+            f"{cte} SELECT g, COUNT(*) AS n, "
+            f"CAST(SUM({dec}) AS DOUBLE) / 100.0 AS total, "
+            f"MAX(c) AS mx, MIN(c) AS mn "
+            f"FROM t GROUP BY g"
+        )
+    if shape == "cusum":
+        return (
+            f"{cte}, p AS ("
+            f"  SELECT id, SUM({dec}) OVER ("
+            f"    ORDER BY id ROWS UNBOUNDED PRECEDING) AS pfx FROM t) "
+            f"SELECT id, CAST(pfx AS DOUBLE) AS pfx_d, "
+            f"CAST(pfx - MIN(pfx) OVER ("
+            f"  ORDER BY id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS s_d "
+            f"FROM p"
+        )
+    if shape == "classify":
+        k1 = rng.randint(2, 10)
+        k2 = rng.randint(1, k1 - 1)
+        return (
+            f"{cte}, s AS ("
+            f"  SELECT id, c, SUM({dec}) OVER ("
+            f"    ORDER BY c DESC, id ASC ROWS UNBOUNDED PRECEDING"
+            f"  ) AS cum, SUM({dec}) OVER () AS tot FROM t) "
+            f"SELECT CASE WHEN cum * {k1} <= tot * {k2} THEN 'head' "
+            f"ELSE 'tail' END AS cls, COUNT(*) AS n, "
+            f"CAST(SUM({dec}) AS DOUBLE) AS cls_total "
+            f"FROM s GROUP BY 1"
+        )
+    # gate: the census spelling itself — doubles with NaN/Inf/overflow
+    # planted, TRY_CAST as the shared representability detector
+    doubles = []
+    for i in range(1, rng.randint(8, 14)):
+        kind = rng.random()
+        if kind < 0.15:
+            v = "CAST('NaN' AS DOUBLE)"
+        elif kind < 0.3:
+            v = rng.choice(["CAST('Infinity' AS DOUBLE)",
+                            "CAST('-Infinity' AS DOUBLE)"])
+        elif kind < 0.45:
+            v = f"{rng.choice([1, -1]) * rng.uniform(1e17, 1e300):.6e}"
+        elif kind < 0.55:
+            v = "CAST(NULL AS DOUBLE)"
+        else:
+            v = f"{rng.uniform(-1e9, 1e9):.2f}"
+        doubles.append(f"({i}, {v})")
+    cap = 10 ** rng.randint(11, 14)
+    cents = "TRY_CAST(ROUND(v * 100, 0) AS BIGINT)"
+    return (
+        f"WITH d(id, v) AS (VALUES {', '.join(doubles)}) "
+        f"SELECT COUNT(*) AS n_rows, "
+        f"CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN 1 END), 0)"
+        f"     AS BIGINT) AS n_null, "
+        f"CAST(COALESCE(SUM(CASE WHEN v IS NOT NULL AND {cents} IS NULL"
+        f"     THEN 1 END), 0) AS BIGINT) AS n_unrepresentable, "
+        f"CAST(COALESCE(SUM(CASE WHEN ABS({cents}) > {cap} THEN 1 END),"
+        f"     0) AS BIGINT) AS n_over_cap, "
+        f"MAX(ABS({cents})) AS max_abs_cents "
+        f"FROM d"
+    )
+
+
+@pytest.mark.parametrize("seed", range(N_MAGNITUDE_CASES))
+def test_fuzz_magnitude_query(seed, spark_views, duck):
+    sql = gen_magnitude_query(seed)
+    assert_matches_oracle(spark_views.sql(sql), duck, sql, float_tol=2e-4)
