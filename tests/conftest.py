@@ -98,7 +98,17 @@ def _cell_eq_strict(a, e, float_tol=0.0):
     if _num_class(a) != _num_class(e):
         return False
     if float_tol and isinstance(a, float) and isinstance(e, float):
-        return abs(a - e) <= float_tol
+        # ulp-aware: DECIMAL/HUGEINT → DOUBLE conversion of the SAME
+        # exact integer can differ by 1 ulp between the engines above
+        # 2^53 (magnitude-fuzz find, r7) — forgive a few ulps, which is
+        # ~2e-16 relative and therefore strictly tighter than float_tol
+        # everywhere float_tol matters; integer-level errors smaller
+        # than one ulp are unrepresentable in the double output anyway.
+        # float_tol=0 (the driver-equivalent strict path) is unchanged.
+        import math
+
+        ulps = 4 * math.ulp(max(abs(a), abs(e), 1.0))
+        return abs(a - e) <= max(float_tol, ulps)
     return a == e
 
 

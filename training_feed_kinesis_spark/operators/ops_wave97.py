@@ -126,12 +126,13 @@ def llm_wimbd_ngram_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_docs"),
         F.countDistinct("source").alias("n_sources"),
     )
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
-    return (
-        counted.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _NGRAM_TOPK)
-        .drop("rn")
-    )
+    # orderBy+limit (NOT a global row_number window): plans as
+    # TakeOrderedAndProject — per-partition partial top-25 merged on the
+    # driver — instead of a single-partition full sort of the gram table;
+    # deterministic under the unique (count DESC, gram) order
+    return counted.orderBy(
+        F.col("n_occurrences").desc(), F.col("gram").asc()
+    ).limit(_NGRAM_TOPK)
 
 
 _CUSUM_DIV = 4  # alarm when S_t exceeds 1/4 of the prefix-sum range
