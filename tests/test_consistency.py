@@ -1053,6 +1053,12 @@ def test_rev_s_constants_identical():
         "q3_shipping_priority",
         "rollup_rank_report",
         "revenue_pareto",
+        # §5.3.6c decimal-widened accumulators: exactness (and thus
+        # partition invariance) must survive the DECIMAL(38,0) widening
+        "revenue_abc_class",
+        "customer_gini",
+        "ts_cusum_changepoint",
+        "win_ratio_to_report",
     ],
 )
 def test_money_results_partition_invariant(spark, registry, key):
