@@ -455,6 +455,12 @@ STAR_CONSUMERS = [
     # MEASURE it (detection proofs below)
     "dq_orphan_census",
     "dq_duplicate_pk_census",
+    # wave-97 star consumers (r7): reconciliation census, CUSUM series,
+    # STL decomposition, the money-magnitude gate
+    "dq_order_total_reconcile",
+    "ts_cusum_changepoint",
+    "ts_stl_decompose",
+    "dq_money_magnitude_census",
 ]
 
 
@@ -1181,6 +1187,17 @@ EMPTY_CLEAN_CONSUMERS = [
     "revenue_pareto",
     "customer_rfm",
     "llm_dedup_exact",
+    # wave 97 (r7): empty-clean by construction — global aggs COALESCE
+    # their counters, scalar subqueries go NULL, joins against empty
+    # CTEs yield zero rows on both engines
+    "llm_wimbd_ngram_sources",
+    "ts_cusum_changepoint",
+    "stat_brown_forsythe",
+    "ts_stl_decompose",
+    "dq_order_total_reconcile",
+    "llm_langid_confusion",
+    "events_dwell_transition",
+    "dq_money_magnitude_census",
 ]
 
 
