@@ -1398,6 +1398,10 @@ EVENT_KEY_CONSUMERS = [
     "agg_mode",
     "win_running_distinct",
     "topk_per_group",
+    # wave 97 (r7): NULL user_id partitions group identically; NULL
+    # event_type rides through lag and the (prev, next) grid; the lag
+    # order pins ts ASC NULLS LAST on both engines
+    "events_dwell_transition",
 ]
 
 

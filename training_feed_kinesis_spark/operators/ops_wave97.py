@@ -584,7 +584,8 @@ def llm_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
              LAG(event_type) OVER w AS prev_type,
              epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS dwell_us
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts ASC NULLS LAST, event_id)
     )
     SELECT prev_type, event_type AS next_type,
            COUNT(*) AS n_transitions,
@@ -610,7 +611,12 @@ def events_dwell_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     census aggregates to the (type × type) grid — percentile state is
     per-grid-cell, map-side combinable."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts pinned ASC NULLS LAST: Spark defaults NULLS FIRST, DuckDB
+    # NULLS LAST — a NULL-ts sliver would otherwise flip lag pairings
+    # between engines (the corruption-class-8 ordering seam)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     us = F.unix_micros(F.col("ts"))
     seq = ev.select(
         "user_id",
