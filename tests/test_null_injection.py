@@ -1198,6 +1198,12 @@ EMPTY_CLEAN_CONSUMERS = [
     "llm_langid_confusion",
     "events_dwell_transition",
     "dq_money_magnitude_census",
+    # wave 98 (r7): segfit oracle GROUP BY 1 pins the 0-row empty
+    # behavior; cohens_d degenerates to one NULL-stats row both engines
+    "ts_changepoint_segfit",
+    "stat_cohens_d",
+    "events_bounce_rate",
+    "dq_date_sanity_census",
 ]
 
 

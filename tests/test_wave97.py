@@ -438,3 +438,111 @@ def test_widened_lineitem_keys_survive_whales(
         )
     finally:
         con.close()
+
+
+# --- wave 98: post-detection analytics ---------------------------------------
+
+
+def test_segfit_identities(spark):
+    """Structural identities: segments partition the day series and the
+    level shift equals the segment-mean difference."""
+    n_days = _REGISTRY["ts_cusum_changepoint"].fn(spark, SF_DIR).count()
+    row = _REGISTRY["ts_changepoint_segfit"].fn(spark, SF_DIR).collect()[0]
+    assert row["n_pre"] + row["n_post"] == n_days
+    assert row["n_pre"] >= 1 and row["n_post"] >= 1
+    assert abs(
+        row["level_shift"] - (row["mean_post"] - row["mean_pre"])
+    ) < 2e-4
+
+
+def test_segfit_recovers_planted_shift(spark, shifted_orders_sf):
+    """On the 3x level-shift fixture, argmax |P| must locate the split
+    at (or within days of) the planted boundary — the property that
+    caught the original argmax-S spelling, which peaked at the series
+    END for a sustained shift — and the estimated post mean must be ~3x
+    the pre mean."""
+    row = (
+        _REGISTRY["ts_changepoint_segfit"]
+        .fn(spark, shifted_orders_sf)
+        .collect()[0]
+    )
+    assert row["level_shift"] > 0
+    assert row["mean_post"] > 2.5 * row["mean_pre"], row
+    # argmax |P| has sampling noise on a noisy series — accept a ±6-week
+    # neighborhood of the planted 1997-07-01 boundary (the broken
+    # argmax-S spelling sat MONTHS away, at the series end)
+    assert "1997-05-20" <= row["cp_day"] <= "1997-08-15", row
+
+
+def test_bounce_rate_partitions_sessions(spark):
+    sessions = (
+        _REGISTRY["batch_sessionize"].fn(spark, SF_DIR).count()
+    )
+    rows = _REGISTRY["events_bounce_rate"].fn(spark, SF_DIR).collect()
+    assert sum(r["n_sessions"] for r in rows) == sessions
+    for r in rows:
+        assert 0 <= r["n_bounce"] <= r["n_sessions"]
+        assert 0.0 <= r["bounce_rate"] <= 1.0
+
+
+def test_cohens_d_hedges_relation(spark):
+    row = _REGISTRY["stat_cohens_d"].fn(spark, SF_DIR).collect()[0]
+    assert row["sd_pooled"] > 0
+    df = row["n_treat"] + row["n_control"] - 2
+    corr = 1 - 3.0 / (4 * df - 1)
+    assert abs(row["hedges_g"] - row["cohens_d"] * corr) < 2e-3
+    assert abs(row["cohens_d"]) >= abs(row["hedges_g"])
+
+
+@pytest.fixture(scope="module")
+def skewed_dates_sf(tmp_path_factory):
+    """Orders copy planting clock-skew rows: a sliver of 1985 dates
+    (epoch-misparse signature) and one year-2031 row."""
+    d = tmp_path_factory.mktemp("datesf")
+    for t in TABLES:
+        if t != "orders":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                 CASE WHEN o_orderkey % 100 = 0
+                      THEN TIMESTAMP '1985-03-04 00:00:00'
+                      WHEN o_orderkey % 101 = 1
+                      THEN TIMESTAMP '2031-12-31 00:00:00'
+                      ELSE o_orderdate END AS o_orderdate,
+                 o_orderpriority
+          FROM read_parquet('{SF_DIR}/orders.parquet')
+        ) TO '{d}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+def test_date_census_detects_planted_skew(spark, skewed_dates_sf):
+    rows = {
+        r["date_col"]: r
+        for r in _REGISTRY["dq_date_sanity_census"]
+        .fn(spark, skewed_dates_sf)
+        .collect()
+    }
+    o = rows["orders.o_orderdate"]
+    assert o["n_before_range"] > 0, "1985 rows must be counted"
+    assert o["n_after_range"] > 0, "2031 row must be counted"
+    assert o["min_day"] == "1985-03-04"
+    assert o["max_day"] == "2031-12-31"
+    # untouched columns stay in range
+    assert rows["lineitem.l_shipdate"]["n_before_range"] == 0
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM"
+                f" read_parquet('{skewed_dates_sf}/{t}.parquet')"
+            )
+        spec = _REGISTRY["dq_date_sanity_census"]
+        assert_matches_oracle(
+            spec.fn(spark, skewed_dates_sf), con, spec.oracle
+        )
+    finally:
+        con.close()

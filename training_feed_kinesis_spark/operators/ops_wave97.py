@@ -138,6 +138,38 @@ def llm_wimbd_ngram_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CUSUM_DIV = 4  # alarm when S_t exceeds 1/4 of the prefix-sum range
 
 
+def _cusum_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared CUSUM substrate: per-day exact revenue cents and the
+    centered prefix sum P_t = Σ(rev − μ̂). Used by ts_cusum_changepoint
+    (S_t = P_t − min P) and ts_changepoint_segfit (split at argmax |P|).
+
+    Exactness: rev sums are positive, so Spark's truncating DIV equals
+    DuckDB's flooring // for μ̂; the corpus-total numerator and the
+    prefix accumulator widen to DECIMAL(38,0) (§5.3.6c — DuckDB's SUM
+    is already HUGEINT), over day-grain rows where decimal cost is
+    output-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")
+        ).alias("rev_c")
+    )
+    glob = daily.agg(
+        F.expr(
+            "SUM(CAST(rev_c AS DECIMAL(38,0))) DIV COUNT(*)"
+        ).alias("mu_c")
+    )
+    centered = daily.crossJoin(F.broadcast(glob)).select(
+        "day", "rev_c", (F.col("rev_c") - F.col("mu_c")).alias("y")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return centered.select(
+        "day",
+        "rev_c",
+        F.sum(F.col("y").cast("decimal(38,0)")).over(w).alias("p"),
+    )
+
+
 @register(
     "ts_cusum_changepoint",
     CAT_TS,
@@ -188,35 +220,8 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size), a deliberate single-partition window — the same
     small-series shape as ts_ewma/ts_theil_sen. The 1-row global stats
     attach via broadcast."""
-    o = load_table(spark, sf_dir, "orders")
-    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
-        F.sum(
-            F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")
-        ).alias("rev_c")
-    )
-    # rev sums are positive, so Spark's truncating DIV equals DuckDB's
-    # flooring // here; the corpus-total numerator widens to
-    # DECIMAL(38,0) (§5.3.6c — DuckDB's SUM is already HUGEINT) and the
-    # day-grain quotient fits BIGINT
-    glob = daily.agg(
-        F.expr(
-            "SUM(CAST(rev_c AS DECIMAL(38,0))) DIV COUNT(*)"
-        ).alias("mu_c")
-    )
-    centered = daily.crossJoin(F.broadcast(glob)).select(
-        "day", "rev_c", (F.col("rev_c") - F.col("mu_c")).alias("y")
-    )
-    # the prefix sum's domain is the CORPUS total (unbounded in corpus
-    # size), so the window accumulator widens to DECIMAL(38,0) — exact
-    # integers past int64, over day-grain rows where decimal cost is
-    # output-sized (§5.3.6c capacity ledger; DuckDB's window SUM widens
-    # to HUGEINT on its own)
+    prefix = _cusum_prefix(spark, sf_dir)
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    prefix = centered.select(
-        "day",
-        "rev_c",
-        F.sum(F.col("y").cast("decimal(38,0)")).over(w).alias("p"),
-    )
     rng = prefix.agg(
         (F.max("p") - F.min("p")).alias("p_range")
     )
