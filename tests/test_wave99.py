@@ -1,0 +1,458 @@
+"""Wave-99 invariants: planted-fixture detection proofs, brute-force
+cross-checks, and structural identities for the round-7 final-wave keys
+(the per-key differential vs DuckDB runs in test_operators.py; these
+prove the operators are NON-VACUOUS)."""
+
+from __future__ import annotations
+
+import math
+import shutil
+
+import duckdb
+import pytest
+
+from training_feed_kinesis_spark.registry import load_all
+
+from .conftest import SF_DIR, assert_matches_oracle
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events"
+    " documents embeddings"
+).split()
+
+_REGISTRY = load_all()
+
+
+def _fixture_dir(tmp_path_factory, name: str, replace: dict[str, str]) -> str:
+    """Copy the sf tables to a tmp dir, replacing the named tables with
+    the given DuckDB COPY source queries (the corruption-replay recipe)."""
+    d = tmp_path_factory.mktemp(name)
+    for t in TABLES:
+        if t not in replace:
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    for t, q in replace.items():
+        duckdb.execute(f"COPY ({q}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+    return str(d)
+
+
+def _oracle_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT *"
+            f" FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+# --- stat_fisher_exact: brute-force hypergeometric cross-check --------------
+
+
+def test_fisher_exact_matches_bruteforce(spark):
+    """The ratio-recurrence fold must agree with the exact hypergeometric
+    tail computed from integer binomial coefficients (math.comb) — the
+    from-first-principles proof that the recurrence is the right one."""
+    rows = _REGISTRY["stat_fisher_exact"].fn(spark, SF_DIR).collect()
+    assert rows, "weekly census must be non-empty"
+    checked = 0
+    for r in rows:
+        if r["p_greater"] is None:
+            assert r["n"] > 1000  # only the honest gate may null out p
+            continue
+        n, r1, c1, a = r["n"], r["r1"], r["c1"], r["a"]
+        kmin, kmax = max(0, r1 + c1 - n), min(r1, c1)
+        total = sum(
+            math.comb(r1, k) * math.comb(n - r1, c1 - k)
+            for k in range(kmin, kmax + 1)
+        )
+        tail = sum(
+            math.comb(r1, k) * math.comb(n - r1, c1 - k)
+            for k in range(max(kmin, a), kmax + 1)
+        )
+        assert abs(r["p_greater"] - tail / total) < 1e-3, (
+            f"week {r['week']}: fold p={r['p_greater']}"
+            f" bruteforce={tail / total}"
+        )
+        assert 0.0 <= r["p_greater"] <= 1.0
+        checked += 1
+    assert checked >= 5, "need real cells to make this non-vacuous"
+
+
+@pytest.fixture(scope="module")
+def assoc_orders_sf(tmp_path_factory):
+    """Orders copy where one week is rebuilt as a PERFECT association:
+    40 synthetic orders on 1995-06-05..09, urgent iff finished."""
+    return _fixture_dir(
+        tmp_path_factory,
+        "fisher_assoc",
+        {
+            "orders": f"""
+              SELECT * FROM read_parquet('{SF_DIR}/orders.parquet')
+              WHERE date_trunc('week', o_orderdate)
+                    <> TIMESTAMP '1995-06-05 00:00:00'
+              UNION ALL
+              SELECT 90000000 + i AS o_orderkey, 1 AS o_custkey,
+                     CASE WHEN i < 20 THEN 'F' ELSE 'O' END AS o_orderstatus,
+                     100.0 AS o_totalprice,
+                     TIMESTAMP '1995-06-05 00:00:00'
+                       + INTERVAL (i % 5) DAY AS o_orderdate,
+                     CASE WHEN i < 20 THEN '1-URGENT'
+                          ELSE '5-LOW' END AS o_orderpriority
+              FROM range(40) t(i)
+            """
+        },
+    )
+
+
+def test_fisher_exact_fires_on_planted_association(spark, assoc_orders_sf):
+    """A perfectly-associated 20/20 week (urgent iff finished) must get
+    an extreme one-sided p (p = 1/C(40,20) < 1e-10), with oracle parity
+    on the corrupted copy."""
+    rows = {
+        r["week"]: r
+        for r in _REGISTRY["stat_fisher_exact"]
+        .fn(spark, assoc_orders_sf)
+        .collect()
+    }
+    wk = rows["1995-06-05"]
+    assert (wk["n"], wk["r1"], wk["c1"], wk["a"]) == (40, 20, 20, 20)
+    assert wk["p_greater"] == 0.0  # rounds to 0 at 4dp
+    con = _oracle_con(assoc_orders_sf)
+    assert_matches_oracle(
+        _REGISTRY["stat_fisher_exact"].fn(spark, assoc_orders_sf),
+        con,
+        _REGISTRY["stat_fisher_exact"].oracle,
+    )
+
+
+# --- stat_fdr_bh: step-up procedure identities -------------------------------
+
+
+def test_fdr_bh_identities(spark):
+    rows = sorted(
+        _REGISTRY["stat_fdr_bh"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["p_rank"],
+    )
+    assert rows, "BH over the weekly p-values must be non-empty"
+    m = len(rows)
+    assert {r["p_rank"] for r in rows} == set(range(1, m + 1))
+    prev_adj = 0.0
+    for r in rows:
+        # adjusted p is >= raw p (m/rank >= 1 and the cummin never dips
+        # below the row's own scaled value), monotone in rank, clamped
+        assert r["p_adj"] >= r["p_value"] - 1e-4
+        assert r["p_adj"] >= prev_adj - 1e-9, "p_adj must be monotone"
+        assert 0.0 <= r["p_adj"] <= 1.0
+        prev_adj = r["p_adj"]
+        # the rejected flag is the raw-adj comparison; away from the
+        # rounding boundary it must agree with the rounded column
+        if r["p_adj"] < 0.0999:
+            assert r["rejected"]
+        if r["p_adj"] > 0.1001:
+            assert not r["rejected"]
+
+
+def test_fdr_bh_rejects_planted_association(spark, assoc_orders_sf):
+    """BH must reject the planted perfect-association week even after
+    multiplying by m/rank — p ~ 1e-12 survives any m in this census."""
+    rows = {
+        r["week"]: r
+        for r in _REGISTRY["stat_fdr_bh"].fn(spark, assoc_orders_sf).collect()
+    }
+    assert rows["1995-06-05"]["rejected"]
+    assert rows["1995-06-05"]["p_rank"] == 1
+
+
+# --- events_sprt_boundary: planted uplift and path identity -----------------
+
+
+@pytest.fixture(scope="module")
+def uplift_events_sf(tmp_path_factory):
+    """Events copy with deterministic conversion schedules: variant 1
+    converts every 3rd trial (~33% >> p1), variant 0 every 20th
+    (5% << p0) — both SPRT boundaries must be hit."""
+    return _fixture_dir(
+        tmp_path_factory,
+        "sprt_uplift",
+        {
+            "events": f"""
+              SELECT event_id, ts, user_id,
+                     CASE WHEN (user_id % 2 = 1 AND seq % 3 = 0)
+                            OR (user_id % 2 = 0 AND seq % 20 = 0)
+                          THEN 'purchase' ELSE 'view' END AS event_type,
+                     value, props
+              FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id % 2
+                                             ORDER BY ts, event_id) AS seq
+                FROM read_parquet('{SF_DIR}/events.parquet')
+              )
+            """
+        },
+    )
+
+
+def test_sprt_decides_both_ways_on_planted_rates(spark, uplift_events_sf):
+    rows = {
+        r["variant"]: r
+        for r in _REGISTRY["events_sprt_boundary"]
+        .fn(spark, uplift_events_sf)
+        .collect()
+    }
+    assert rows[1]["decision"] == "accept_h1"
+    assert rows[0]["decision"] == "accept_h0"
+    for v in (0, 1):
+        r = rows[v]
+        assert r["n_at_decision"] <= r["n_total"]
+        # the reported llr really is the path value at the decision row
+        lr1 = math.log(0.22 / 0.18)
+        lr0 = math.log((1 - 0.22) / (1 - 0.18))
+        k, t = r["k_at_decision"], r["n_at_decision"]
+        assert abs(r["llr_at_decision"] - (k * lr1 + (t - k) * lr0)) < 1e-3
+        # crossing direction matches the decision
+        if r["decision"] == "accept_h1":
+            assert r["llr_at_decision"] >= math.log(19.0) - 1e-3
+        else:
+            assert r["llr_at_decision"] <= -math.log(19.0) + 1e-3
+    con = _oracle_con(uplift_events_sf)
+    assert_matches_oracle(
+        _REGISTRY["events_sprt_boundary"].fn(spark, uplift_events_sf),
+        con,
+        _REGISTRY["events_sprt_boundary"].oracle,
+    )
+
+
+def test_sprt_early_stopping_beats_fixed_horizon(spark, uplift_events_sf):
+    """The whole point of SPRT: under a strong planted effect the
+    decision lands long before the data runs out."""
+    rows = _REGISTRY["events_sprt_boundary"].fn(
+        spark, uplift_events_sf
+    ).collect()
+    for r in rows:
+        assert r["n_at_decision"] < r["n_total"] / 2
+
+
+# --- ts_ljung_box: identities and the constant-series guard -----------------
+
+
+def test_ljung_box_identities(spark):
+    row = _REGISTRY["ts_ljung_box"].fn(spark, SF_DIR).collect()[0]
+    assert row["n_days"] > 6
+    for k in range(1, 7):
+        assert -1.0 - 1e-9 <= row[f"r{k}"] <= 1.0 + 1e-9
+    assert row["q_lb"] >= 0.0
+    assert row["df"] == 6
+    # Q recomputed from the rounded r's agrees to the rounding grain
+    n = row["n_days"]
+    q = n * (n + 2) * sum(row[f"r{k}"] ** 2 / (n - k) for k in range(1, 7))
+    assert abs(q - row["q_lb"]) < n * 0.01  # 4dp r's: error ~ n*(n+2)*2r*5e-5/n
+
+
+@pytest.fixture(scope="module")
+def constant_orders_sf(tmp_path_factory):
+    return _fixture_dir(
+        tmp_path_factory,
+        "lb_constant",
+        {
+            "orders": """
+              SELECT i AS o_orderkey, 1 AS o_custkey, 'F' AS o_orderstatus,
+                     100.0 AS o_totalprice,
+                     TIMESTAMP '1995-01-01 00:00:00'
+                       + INTERVAL (i) DAY AS o_orderdate,
+                     '5-LOW' AS o_orderpriority
+              FROM range(200) t(i)
+            """
+        },
+    )
+
+
+def test_ljung_box_constant_series_yields_null_not_error(
+    spark, constant_orders_sf
+):
+    """A zero-variance series has no defined autocorrelation: s0 = 0
+    must surface as NULL r's and NULL Q (the NULLIF guard), never an
+    ANSI divide-by-zero error — on BOTH engines identically."""
+    rev = {
+        r["day"]
+        for r in spark.read.parquet(f"{constant_orders_sf}/orders.parquet")
+        .groupBy("o_orderdate")
+        .count()
+        .selectExpr("o_orderdate AS day")
+        .collect()
+    }
+    assert len(rev) > 6  # fixture really produced a multi-day series
+    row = _REGISTRY["ts_ljung_box"].fn(spark, constant_orders_sf).collect()[0]
+    assert row["q_lb"] is None
+    assert all(row[f"r{k}"] is None for k in range(1, 7))
+    con = _oracle_con(constant_orders_sf)
+    assert_matches_oracle(
+        _REGISTRY["ts_ljung_box"].fn(spark, constant_orders_sf),
+        con,
+        _REGISTRY["ts_ljung_box"].oracle,
+    )
+
+
+# --- llm_rouge1_overlap: clipping-rule arithmetic on a planted corpus -------
+
+
+@pytest.fixture(scope="module")
+def rouge_docs_sf(tmp_path_factory):
+    return _fixture_dir(
+        tmp_path_factory,
+        "rouge_fixture",
+        {
+            "documents": """
+              SELECT * FROM (VALUES
+                (0, 'alpha beta gamma', 'en', 'src0', 16),
+                (1, 'alpha beta gamma', 'en', 'src0', 16),
+                (2, 'delta epsilon', 'en', 'src0', 13),
+                (3, 'zeta eta theta', 'en', 'src0', 14),
+                (4, 'a a a b', 'en', 'src0', 7),
+                (5, 'a b b', 'en', 'src0', 5)
+              ) AS t(doc_id, text, lang, source, n_chars)
+            """
+        },
+    )
+
+
+def test_rouge1_clipping_rule(spark, rouge_docs_sf):
+    rows = {
+        r["pair_id"]: r
+        for r in _REGISTRY["llm_rouge1_overlap"]
+        .fn(spark, rouge_docs_sf)
+        .collect()
+    }
+    # identical texts: perfect overlap
+    assert (rows[0]["rouge1_p"], rows[0]["rouge1_r"], rows[0]["rouge1_f1"]) \
+        == (1.0, 1.0, 1.0)
+    # disjoint vocabularies: zero everywhere
+    assert rows[2]["n_overlap"] == 0 and rows[2]["rouge1_f1"] == 0.0
+    # the ROUGE clip: cand 'a a a b' vs ref 'a b b' ->
+    # min(3,1) + min(1,2) = 2; P = 2/4, R = 2/3, F1 = 4/7
+    r = rows[4]
+    assert r["n_overlap"] == 2
+    assert r["rouge1_p"] == 0.5
+    assert r["rouge1_r"] == round(2 / 3, 4)
+    assert r["rouge1_f1"] == round(4 / 7, 4)
+    con = _oracle_con(rouge_docs_sf)
+    assert_matches_oracle(
+        _REGISTRY["llm_rouge1_overlap"].fn(spark, rouge_docs_sf),
+        con,
+        _REGISTRY["llm_rouge1_overlap"].oracle,
+    )
+
+
+# --- llm_source_domain_cap: keeper election and mass conservation -----------
+
+
+def test_source_cap_census_identities(spark, duck):
+    rows = _REGISTRY["llm_source_domain_cap"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_kept"] <= 15
+        assert r["n_kept"] + r["n_dropped"] == r["n_docs"]
+        assert r["kept_chars"] <= r["total_chars"]
+        expected_share = (r["n_dropped"] * 10000 // r["n_docs"]) / 10000.0
+        assert r["drop_share"] == expected_share
+    # keeper election really keeps the char-heaviest docs: recompute one
+    # source's kept mass from the raw table
+    src = rows[0]["source"]
+    kept = duck.execute(
+        f"""
+        SELECT COALESCE(SUM(n_chars), 0) FROM (
+          SELECT n_chars FROM read_parquet('{SF_DIR}/documents.parquet')
+          WHERE source = ? ORDER BY n_chars DESC, doc_id ASC LIMIT 15
+        )
+        """,
+        [src],
+    ).fetchone()[0]
+    assert rows[0]["kept_chars"] == kept
+
+
+# --- dq_text_printable_census: planted contamination must fire --------------
+
+
+@pytest.fixture(scope="module")
+def dirty_docs_sf(tmp_path_factory):
+    return _fixture_dir(
+        tmp_path_factory,
+        "printable_dirty",
+        {
+            "documents": f"""
+              SELECT doc_id, text, lang, source, n_chars
+              FROM read_parquet('{SF_DIR}/documents.parquet')
+              UNION ALL
+              SELECT * FROM (VALUES
+                (90001, 'binary' || chr(1) || chr(7) || 'spill',
+                 'en', 'dirty', 13),
+                (90002, 'charset' || chr(65533) || 'misread',
+                 'en', 'dirty', 15),
+                (90003, 'caf' || chr(233) || ' na' || chr(239) || 've',
+                 'en', 'dirty', 10),
+                (90004, 'clean ascii only', 'en', 'dirty', 16)
+              ) AS t(doc_id, text, lang, source, n_chars)
+            """
+        },
+    )
+
+
+def test_printable_census_detects_planted_contamination(
+    spark, dirty_docs_sf
+):
+    rows = {
+        r["source"]: r
+        for r in _REGISTRY["dq_text_printable_census"]
+        .fn(spark, dirty_docs_sf)
+        .collect()
+    }
+    d = rows["dirty"]
+    assert d["n_docs"] == 4
+    assert d["n_ctrl_docs"] == 1 and d["n_ctrl_chars"] == 2
+    assert d["n_repl_docs"] == 1
+    assert d["n_nonascii_chars"] == 3  # U+FFFD + e-acute + i-diaeresis
+    assert d["nonascii_share"] > 0.0
+    # the clean corpus reports zeros (the gate's clean-corpus proof)
+    for src, r in rows.items():
+        if src != "dirty":
+            assert r["n_ctrl_docs"] == 0 and r["n_repl_docs"] == 0
+    con = _oracle_con(dirty_docs_sf)
+    assert_matches_oracle(
+        _REGISTRY["dq_text_printable_census"].fn(spark, dirty_docs_sf),
+        con,
+        _REGISTRY["dq_text_printable_census"].oracle,
+    )
+
+
+# --- empty-corpus behavior for the wave (the campaign's replay recipe) ------
+
+
+@pytest.fixture(scope="module")
+def empty_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wave99_empty")
+    for t in TABLES:
+        duckdb.execute(
+            f"""
+            COPY (SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')
+                  WHERE 1 = 0)
+            TO '{d}/{t}.parquet' (FORMAT PARQUET)
+            """
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "stat_fisher_exact",
+        "stat_fdr_bh",
+        "events_sprt_boundary",
+        "ts_ljung_box",
+        "llm_rouge1_overlap",
+        "llm_source_domain_cap",
+        "dq_text_printable_census",
+    ],
+)
+def test_wave99_empty_corpus_parity(spark, empty_sf, key):
+    con = _oracle_con(empty_sf)
+    assert_matches_oracle(
+        _REGISTRY[key].fn(spark, empty_sf), con, _REGISTRY[key].oracle
+    )
