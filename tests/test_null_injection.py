@@ -184,6 +184,12 @@ TEXT_CONSUMERS = [
     # 'spam '×200 docs become near-fully duplicated spans across docs —
     # exactly the pathological-repetition case span merging must survive
     "llm_dup_span_census",
+    # wave 99 (r7): clipped-count overlap on empty/degenerate pair
+    # sides, the cap census re-electing keepers over rewritten n_chars,
+    # and the printable gate over empty/repeated text
+    "llm_rouge1_overlap",
+    "llm_source_domain_cap",
+    "dq_text_printable_census",
 ]
 
 
@@ -461,6 +467,12 @@ STAR_CONSUMERS = [
     "ts_cusum_changepoint",
     "ts_stl_decompose",
     "dq_money_magnitude_census",
+    # wave-99 star consumers (r7): the Fisher/BH weekly cells count
+    # NULL priority/status two-valued on both engines; Ljung-Box rides
+    # the exact-cents day grain under dup-PK/negative measures
+    "stat_fisher_exact",
+    "stat_fdr_bh",
+    "ts_ljung_box",
 ]
 
 
@@ -1393,6 +1405,10 @@ EVENT_KEY_CONSUMERS = [
     "join_stream_stream_outer",
     "source_kinesis_pyds",
     "source_kinesis_pyds_stream",
+    # wave 99 (r7): SPRT paths — a NULL user_id sliver forms its own
+    # NULL variant arm whose window order stays the unique
+    # (ts, event_id) key on both engines
+    "events_sprt_boundary",
     # always-were-clean representatives across the event families
     "batch_sessionize",
     "funnel_conversion",
