@@ -199,8 +199,8 @@ def register(key: str, category: str, oracle: str | None = None):
 # never-driver-verified oracled keys in registration order. Rows-only-by-
 # design keys are excluded (their slot is better spent on hash-checkable
 # keys). Entries past 50 are the staged round-8 front-of-line block.
-# Debt after this window lands: 248 - 50 + 8 net-new oracled (wave 97)
-# = 206 never-driver-sampled.
+# Debt after this window lands: 248 - 50 + 19 net-new oracled
+# (waves 97 + 98 + 99) = 217 never-driver-sampled.
 _PRIORITY_KEYS = [
     # round-6 staged front-of-line, verbatim (the round-7 driver window)
     "sql_distinct_on", "stat_chi2_independence", "dq_benford",
