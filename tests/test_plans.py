@@ -650,3 +650,59 @@ def test_twostage_rerank_probes_broadcast(spark, registry):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "key,schema_prefix",
+    [
+        # prefix match (not full struct): the o_orderdate physical type
+        # differs across testdata generations (timestamp vs
+        # timestamp_ntz), and the pruning claim is about COLUMNS
+        ("stat_fisher_exact",
+         "struct<o_orderstatus:string,o_orderdate:timestamp"),
+        ("stat_fdr_bh",
+         "struct<o_orderstatus:string,o_orderdate:timestamp"),
+        ("ts_ljung_box", "struct<o_totalprice:double,o_orderdate:timestamp"),
+        ("dq_text_printable_census", "struct<text:string,source:string>"),
+        ("events_sprt_boundary",
+         "struct<event_id:bigint,ts:timestamp"),
+    ],
+)
+def test_wave99_single_scan_no_join(spark, registry, key, schema_prefix):
+    """Wave-99 analytic/census ops: ONE pruned scan, aggregates and
+    windows only — no join of any kind (the Fisher fold is per-row array
+    math, not a dimension join; the SPRT path is two window passes over
+    one shuffle). A join or an unpruned scan here is a 100 TB-scale
+    regression even while answers stay right."""
+    plan = _plan(registry[key].fn(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    # SPRT's min_by-over-struct aggregates plan as SortAggregate;
+    # the census/fold keys stay hash-aggregable
+    assert "HashAggregate" in plan or "SortAggregate" in plan, plan
+    assert f"ReadSchema: {schema_prefix}" in plan, plan
+
+
+def test_wave99_source_cap_single_shuffle(spark, registry):
+    """llm_source_domain_cap: the rank window and the census rollup must
+    share ONE hashpartitioning exchange on source (the whole point of
+    grouping and ranking on the same key); the scan must prune to the
+    three census columns."""
+    plan = _plan(registry["llm_source_domain_cap"].fn(spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    fplan = _plan(registry["llm_source_domain_cap"].fn(spark, SF_DIR))
+    assert (
+        "ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"
+        in fplan
+    ), fplan
+
+
+def test_wave99_rouge_joins_are_hash_equi(spark, registry):
+    """llm_rouge1_overlap: the pair join keys on the DERIVED doc_id+1 —
+    an equi-join — so every join must plan hash-based (broadcast at test
+    scale, shuffled-hash/sort-merge at corpus scale); a nested-loop or
+    cartesian means the pairing degenerated to O(n^2) document pairs."""
+    plan = _plan(registry["llm_rouge1_overlap"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan

@@ -456,3 +456,37 @@ def test_wave99_empty_corpus_parity(spark, empty_sf, key):
     assert_matches_oracle(
         _REGISTRY[key].fn(spark, empty_sf), con, _REGISTRY[key].oracle
     )
+
+
+@pytest.mark.parametrize(
+    "key", ["stat_fisher_exact", "stat_fdr_bh", "events_sprt_boundary"]
+)
+def test_wave99_results_partition_invariant(spark, key):
+    """The wave's determinism claims, pinned: the Fisher fold is per-row
+    array math over already-aggregated integer counts, BH is a total-
+    order procedure over those folds, and the SPRT llr is a pointwise
+    function of integer window prefixes — so all three must be BIT-
+    identical under different shuffle partition counts (different
+    reduction orders). AQE coalescing is disabled so the two runs really
+    shuffle differently (the money-pin discipline)."""
+    spec = _REGISTRY[key]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_coalesce = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true"
+    )
+
+    def run(n):
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "false"
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            return sorted(repr(r) for r in spec.fn(spark, SF_DIR).collect())
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled",
+                prev_coalesce,
+            )
+
+    assert run(3) == run(17)
