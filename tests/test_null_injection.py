@@ -1471,3 +1471,142 @@ def test_event_ops_survive_null_keys(
     assert_matches_oracle(
         spec.fn(spark, event_key_null_sf), duck_event_key_null, spec.oracle
     )
+
+
+# --- document re-ingest corruption (round 7 final session) -------------------
+
+# The documents table had never been stressed with the two re-ingest
+# signatures every fetch pipeline produces: DUPLICATED doc_id rows
+# (verbatim redelivery AND conflicting refetch) and NULL text/n_chars
+# (failed fetches). An exhaustive 148-consumer sweep against the combined
+# fixture found 27 divergences in five seams, each now pinned to ONE
+# spelling on both engines:
+#   1. per-row shingle/fingerprint substrates inflating count-based
+#      Jaccard multiplicatively (set semantics: DISTINCT (doc_id, sh),
+#      per-version winnow windows, array-grain version merge);
+#   2. NTILE/RANK windows ordered by a now-NULLable measure (Spark
+#      NULLS FIRST vs DuckDB NULLS LAST — complete-case filters);
+#   3. the unquoted-wire NULL conventions missing one field (fn_csv /
+#      fn_str_to_map / source_text), plus DuckDB split_part(NULL)=''
+#      vs Spark NULL (fn_sentences);
+#   4. Python kernels crashing on None payloads (quarantine filters,
+#      NULL-transparent UDTFs, MIN-content-hash file-sink keeper);
+#   5. DuckDB's bare OVER(ORDER BY) RANGE default folding duplicate-id
+#      PEERS into running sums (llm_pack_chunks explicit ROWS frame).
+DOC_REINGEST_CONSUMERS = [
+    # the 27 keys the sweep caught, now fixed
+    "fn_array_setops",
+    "fn_csv",
+    "fn_sentences",
+    "fn_str_to_map",
+    "hist_equidepth",
+    "llm_bigram_interp_nll",
+    "llm_crosssource_dup",
+    "llm_curriculum_order",
+    "llm_dedup_method_matrix",
+    "llm_dedup_near",
+    "llm_dedup_threshold_sweep",
+    "llm_jaccard_pairs",
+    "llm_multimodal_features",
+    "llm_pack_chunks",
+    "llm_preference_pairs",
+    "llm_quality_router",
+    "llm_source_winrate",
+    "llm_winnow",
+    "llm_winnow_pairs",
+    "multimodal_byte_entropy",
+    "multimodal_byte_stats",
+    "multimodal_image_decode_bmp",
+    "source_binary_files",
+    "source_text",
+    "stream_dedup_near_incremental",
+    "udtf_polymorphic",
+    "udtf_split",
+    # caught by the post-fix re-sweep: its oracle inlined the pre-fix
+    # per-row shingle spelling while the Spark side took the shared
+    # substrate — the df cap then counted duplicates on one engine only
+    "llm_stopshingle_jaccard",
+    # always-were-clean representatives across the doc families
+    "llm_text_tokens",
+    "llm_tfidf",
+    "llm_dedup_exact",
+    "llm_dup_span_census",
+    "llm_rouge1_overlap",
+    "llm_source_domain_cap",
+    "dq_text_printable_census",
+    "llm_contamination",
+]
+
+
+@pytest.fixture(scope="module")
+def doc_reingest_sf(tmp_path_factory):
+    """~4% NULL text+n_chars (failed fetch), ~3% verbatim re-ingested
+    duplicate doc_id rows, ~2.4% conflicting refetch (same doc_id,
+    different payload)."""
+    d = tmp_path_factory.mktemp("docreingest")
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 25 = 7 THEN NULL ELSE text END AS text,
+                 lang, source,
+                 CASE WHEN doc_id % 25 = 7 THEN NULL ELSE n_chars END
+                   AS n_chars
+          FROM read_parquet('{SF_DIR}/documents.parquet')
+          UNION ALL
+          SELECT doc_id, text, lang, source, n_chars
+          FROM read_parquet('{SF_DIR}/documents.parquet')
+          WHERE doc_id % 31 = 2
+          UNION ALL
+          SELECT doc_id, 'conflicting refetch body ' || doc_id AS text,
+                 lang, source,
+                 CAST(25 + length(CAST(doc_id AS VARCHAR)) AS BIGINT)
+          FROM read_parquet('{SF_DIR}/documents.parquet')
+          WHERE doc_id % 41 = 3
+        ) TO '{d}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_doc_reingest(doc_reingest_sf):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{doc_reingest_sf}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", DOC_REINGEST_CONSUMERS)
+def test_doc_ops_survive_reingest_corruption(
+    key, spark, registry, doc_reingest_sf, duck_doc_reingest
+):
+    spec = registry[key]
+    assert spec.oracle is not None, key
+    assert_matches_oracle(
+        spec.fn(spark, doc_reingest_sf), duck_doc_reingest, spec.oracle
+    )
+
+
+def test_dup_pk_census_detects_doc_reingest(
+    spark, registry, doc_reingest_sf
+):
+    """The admission gate in front of the fixed consumers: the documents
+    row of dq_duplicate_pk_census must report the planted duplicate
+    excess (verbatim + conflicting re-ingest rows)."""
+    rows = {
+        r["tbl"]: r
+        for r in registry["dq_duplicate_pk_census"]
+        .fn(spark, doc_reingest_sf)
+        .collect()
+    }
+    d = rows["documents"]
+    assert d["dup_excess"] > 0
+    assert d["max_multiplicity"] >= 2

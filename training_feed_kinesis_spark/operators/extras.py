@@ -490,7 +490,13 @@ def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
             return AnalyzeResult(schema=st)
 
         def eval(self, text: str, k: int):
-            toks = (text or "").lower().split(" ")[:k]
+            # NULL text stays NULL end-to-end: the `or ""` shortcut
+            # yielded tok0='' where the oracle's string_split(NULL)
+            # gives NULL columns (doc-corruption replay)
+            if text is None:
+                yield tuple([None] * k)
+                return
+            toks = text.lower().split(" ")[:k]
             yield tuple(toks + [None] * (k - len(toks)))
 
     spark.udtf.register("tfk_first_tokens", FirstTokens)

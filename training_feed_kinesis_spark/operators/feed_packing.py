@@ -40,12 +40,22 @@ _BLOCK = 512  # tokens per packed training block
     CAT_LLM,
     f"""
     WITH d AS (
-      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS tok
+      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS tok,
+             md5(text) AS h
       FROM documents
     ),
     c AS (
+      -- explicit ROWS frame: the bare OVER (ORDER BY ...) default is
+      -- RANGE, which folds ORDER-BY PEERS into the running sum — under
+      -- a re-ingested duplicate doc_id both copies got the same offset
+      -- on one engine only (doc-corruption replay); the content-hash
+      -- tiebreak makes the pack order total even under conflicting
+      -- re-ingest
       SELECT doc_id, tok,
-             (SUM(tok) OVER (ORDER BY doc_id))::BIGINT - tok AS start
+             (SUM(tok) OVER (ORDER BY doc_id ASC NULLS LAST,
+                             tok ASC NULLS LAST, h ASC NULLS LAST
+                             ROWS UNBOUNDED PRECEDING))::BIGINT - tok
+               AS start
       FROM d
     ),
     e AS (
@@ -78,9 +88,18 @@ def llm_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     T/512 + 1 rows.
     """
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("tok")
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("tok"),
+        F.md5("text").alias("h"),
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    # rowsBetween is already a ROWS frame (the oracle needed it spelled
+    # out); (tok, content-hash) tiebreaks keep the pack order total when
+    # a doc_id was re-ingested with different bytes
+    w = Window.orderBy(
+        F.col("doc_id").asc_nulls_last(),
+        F.col("tok").asc_nulls_last(),
+        F.col("h").asc_nulls_last(),
+    ).rowsBetween(Window.unboundedPreceding, 0)
     c = d.select(
         "doc_id", "tok", (F.sum("tok").over(w) - F.col("tok")).alias("start")
     )

@@ -61,10 +61,39 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle EXPRESSION directly — materializing the array as a projected
     column first and exploding the reference was measured 17× slower (the
     HOF-bearing interpreted projection dominates); Generate evaluating the
-    generator expression inline is the fast path."""
+    generator expression inline is the fast path.
+
+    DISTINCT at the (doc_id, sh) grain: array_distinct only dedups
+    WITHIN a row, so a re-ingested duplicate doc row (same doc_id) would
+    double every shingle and inflate the count-based Jaccard paths
+    multiplicatively (inter 2x/4x vs per-doc n 2x → jaccard > 1 or a
+    zero union denominator — the doc-corruption replay's div-by-zero).
+    A doc's shingle SET is keyed by doc_id; under conflicting re-ingest
+    the set is the deterministic union of the versions. The MIN-based
+    minhash path absorbs duplicates for free, but the shared substrate
+    carries the set semantics for every consumer."""
     d = parallelize(load_table(spark, sf_dir, "documents"))
-    return d.select("doc_id", F.expr(_TOK).alias("toks")).select(
-        "doc_id", F.explode(F.expr(_SHINGLES)).alias("sh")
+    return (
+        d.select("doc_id", F.expr(_TOK).alias("toks"))
+        .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("sh"))
+        .dropDuplicates(["doc_id", "sh"])
+    )
+
+
+def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One (doc_id, shs) SET-array per doc id for the array-based verify
+    paths: per-row arrays are built map-side, then merged across
+    re-ingested duplicate rows at the ARRAY grain (one compact row per
+    doc row moves — never the exploded shingle relation, whose join
+    spelling measured 4x slower cold at sf0.1). On a duplicate-free
+    corpus the merge is a pass-through groupBy; under re-ingest it is
+    the same union-of-versions set _shingle_rows carries."""
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    per_row = d.select("doc_id", F.expr(_TOK).alias("toks")).select(
+        "doc_id", F.expr(_SHINGLES).alias("shs")
+    )
+    return per_row.groupBy("doc_id").agg(
+        F.array_distinct(F.flatten(F.collect_list("shs"))).alias("shs")
     )
 
 
@@ -78,7 +107,10 @@ def _shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SHINGLE_ROWS_SQL = f"SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM documents"
+_SHINGLE_ROWS_SQL = (
+    "SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, "
+    f"unnest({_SHINGLES_SQL}) AS sh FROM documents)"
+)
 
 
 @register(
@@ -259,10 +291,7 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .distinct()
     )
-    d = parallelize(load_table(spark, sf_dir, "documents"))
-    arrs = d.select("doc_id", F.expr(_TOK).alias("toks")).select(
-        "doc_id", F.expr(_SHINGLES).alias("shs")
-    ).cache()
+    arrs = _shingle_arrays(spark, sf_dir).cache()
     arrs.count()
     aa = arrs.select(F.col("doc_id").alias("a_id"), F.col("shs").alias("sha"))
     bb = arrs.select(F.col("doc_id").alias("b_id"), F.col("shs").alias("shb"))
@@ -312,17 +341,25 @@ _WINNOW_ROWLOCAL_MAX = 65536
     CAT,
     f"""
     WITH positions AS (
-      SELECT doc_id, lower(text) AS lt,
+      SELECT doc_id, md5(text) AS h, lower(text) AS lt,
              unnest(range(1, length(lower(text)) - {KGRAM} + 2)) AS pos
       FROM documents WHERE length(text) >= {KGRAM}
     ),
     grams AS (
-      SELECT doc_id, pos, substr(md5(substr(lt, pos, {KGRAM})), 1, 8) AS gh
+      -- DISTINCT: a VERBATIM duplicate row shares the version hash, so
+      -- its positions would still double inside the (doc_id, h) window
+      SELECT DISTINCT doc_id, h, pos,
+             substr(md5(substr(lt, pos, {KGRAM})), 1, 8) AS gh
       FROM positions
     ),
     winmin AS (
+      -- window partitioned by (doc_id, VERSION): a re-ingested
+      -- duplicate row duplicates every pos, and a doc_id-only window
+      -- would slide over the interleaved copies — 16 rows spanning only
+      -- 8 positions (doc-corruption replay); per-version windows +
+      -- the DISTINCT union give set semantics for any re-ingest
       SELECT doc_id,
-             MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+             MIN(gh) OVER (PARTITION BY doc_id, h ORDER BY pos
                            ROWS BETWEEN CURRENT ROW
                            AND {WINNOW_W - 1} FOLLOWING) AS fp
       FROM grams
@@ -383,18 +420,23 @@ def llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams_long = long_.select(
         "doc_id",
         "lt",
+        F.md5("lt").alias("h"),
         F.explode(
             F.sequence(F.lit(1), F.length("lt") - KGRAM + 1)
         ).alias("pos"),
     ).select(
         "doc_id",
+        "h",
         "pos",
         F.substring(
             F.md5(F.expr(f"substring(lt, pos, {KGRAM})")), 1, 8
         ).alias("gh"),
-    )
+    ).dropDuplicates(["doc_id", "h", "pos"])  # verbatim copies share h
+    # per-VERSION window (doc_id, content hash) — a duplicate doc row
+    # would otherwise interleave its positions into the frame; the short
+    # arm gets the same semantics for free from its per-row arrays
     w_win = (
-        Window.partitionBy("doc_id")
+        Window.partitionBy("doc_id", "h")
         .orderBy("pos")
         .rowsBetween(Window.currentRow, WINNOW_W - 1)
     )
@@ -402,7 +444,12 @@ def llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams_long.select("doc_id", F.min("gh").over(w_win).alias("fp"))
         .distinct()
     )
-    return fps_short.unionByName(fps_long)
+    # the final distinct is the oracle's global SELECT DISTINCT: the
+    # short arm's array_distinct only dedups WITHIN one row, so a
+    # re-ingested duplicate doc row would emit its fingerprint set
+    # twice (doc-corruption replay); on a clean corpus this collapses
+    # map-side (the sets are already per-row distinct)
+    return fps_short.unionByName(fps_long).distinct()
 
 
 SIMHASH_BITS = 64  # Manku et al. (WWW 2007) production width

@@ -96,8 +96,16 @@ def llm_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            len(string_split(t, '. '))::INT AS n_sentences,
-           len(string_split(split_part(t, '. ', 1), ' '))::INT AS first_words,
-           split_part(split_part(t, '. ', 1), ' ', 1) AS first_word
+           -- NULL text must stay NULL end-to-end: DuckDB's split_part
+           -- maps NULL -> '' (where Spark's sentences() stays NULL), so
+           -- without the explicit arms a NULL doc reads as a 1-word
+           -- ''-sentence on one engine only (doc-corruption replay)
+           CASE WHEN t IS NULL THEN NULL
+                ELSE len(string_split(split_part(t, '. ', 1), ' '))::INT
+           END AS first_words,
+           CASE WHEN t IS NULL THEN NULL
+                ELSE split_part(split_part(t, '. ', 1), ' ', 1)
+           END AS first_word
     FROM punct
     """,
 )

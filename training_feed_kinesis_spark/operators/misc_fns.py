@@ -194,13 +194,19 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(F.slice(toks, 1, 8)).alias("a"),
         F.array_distinct(F.slice(toks, 9, 8)).alias("b"),
     )
+    # the string renders carry the oracle's COALESCE('') arm explicitly:
+    # a NULL-text doc has NULL token arrays, and Spark's array_join(NULL)
+    # stays NULL where the oracle renders '' (doc-corruption replay);
+    # union_n stays NULL-transparent on both engines
     return t.select(
         "doc_id",
-        F.array_join(F.array_sort(F.array_intersect("a", "b")), ",").alias(
-            "inter"
-        ),
+        F.coalesce(
+            F.array_join(F.array_sort(F.array_intersect("a", "b")), ","),
+            F.lit(""),
+        ).alias("inter"),
         F.size(F.array_union("a", "b")).alias("union_n"),
-        F.array_join(F.array_sort(F.array_except("a", "b")), ",").alias(
-            "a_minus_b"
-        ),
+        F.coalesce(
+            F.array_join(F.array_sort(F.array_except("a", "b")), ","),
+            F.lit(""),
+        ).alias("a_minus_b"),
     )

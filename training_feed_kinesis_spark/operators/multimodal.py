@@ -169,7 +169,7 @@ def _wav_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
              list_transform(range(1, 17), i ->
                (strpos('0123456789abcdef', substr(md5(text), 2*i - 1, 1)) - 1) * 16
                + (strpos('0123456789abcdef', substr(md5(text), 2*i, 1)) - 1)) AS bytes
-      FROM documents)
+      FROM documents WHERE text IS NOT NULL)
     SELECT doc_id,
            1::INT AS channels,
            (8000 + (doc_id % 3) * 4000)::INT AS sample_rate,
@@ -194,7 +194,15 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     PIL/ffmpeg decode changes only the function body — the plumbing
     (schema, Arrow batching, partition behavior) is what this operator
     pins down."""
-    src = _with_payload(spark, sf_dir).select("doc_id", "payload")
+    # payload-less rows (NULL text -> NULL md5 payload) are quarantined
+    # BEFORE the codec kernels — bytes(None) is a task crash, and a real
+    # ingest routes payload-less rows aside, not into decoders
+    # (doc-corruption replay)
+    src = (
+        _with_payload(spark, sf_dir)
+        .select("doc_id", "payload")
+        .filter(F.col("payload").isNotNull())
+    )
     wavs = src.mapInPandas(_wav_encode_batch, "doc_id long, wav binary")
     return wavs.mapInPandas(
         _wav_decode_batch,
@@ -338,7 +346,7 @@ def _byte_stats_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
       SELECT md5(text) AS h,
              CASE doc_id % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'image'
                              ELSE 'audio' END AS modality
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
     e AS (
       SELECT modality,
              list_transform(range(1, 17), i ->
@@ -362,7 +370,11 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: map-only over payload partitions (no payload shuffle); the
     aggregate ships 3 groups × 2 doubles.
     """
-    src = _with_payload(spark, sf_dir).select("modality", "payload")
+    src = (
+        _with_payload(spark, sf_dir)
+        .select("modality", "payload")
+        .filter(F.col("payload").isNotNull())  # quarantine, see features
+    )
     feats = src.mapInPandas(
         _byte_stats_batch, "modality string, byte_mean double, byte_max int"
     )
@@ -378,9 +390,10 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "2.A scans/sources/sinks",
     """
     SELECT doc_id,
-           octet_length(unhex(md5(text))) AS n_bytes,
-           upper(md5(text)) AS payload_hex
-    FROM documents WHERE doc_id < 20
+           octet_length(unhex(MIN(md5(text)))) AS n_bytes,
+           upper(MIN(md5(text))) AS payload_hex
+    FROM documents WHERE doc_id < 20 AND text IS NOT NULL
+    GROUP BY doc_id
     """,
 )
 def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,9 +410,20 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .scans import scratch_dir
 
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    # payload-less rows (NULL text) have no bytes to write — quarantined
+    # before the file sink — and the file name is KEYED BY doc_id, so a
+    # re-ingested duplicate row must elect ONE deterministic payload
+    # (MIN content hash) rather than let collect order pick the file's
+    # bytes (doc-corruption replay); both mirrored in the oracle
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 20) & F.col("text").isNotNull()
+    )
     out = scratch_dir("binfiles_")
-    rows = d.select("doc_id", F.unhex(F.md5("text")).alias("payload")).collect()
+    rows = (
+        d.groupBy("doc_id")
+        .agg(F.unhex(F.min(F.md5("text"))).alias("payload"))
+        .collect()
+    )
     import os
 
     for r in rows:

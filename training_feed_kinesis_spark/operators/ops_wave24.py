@@ -34,12 +34,24 @@ _CAP = 50
     "llm_bigram_interp_nll",
     CAT_TEXT,
     f"""
-    WITH tok AS (
+    WITH canon AS (
+      -- one row per doc_id (MIN content-hash keeper): a re-ingested
+      -- duplicate row would put TWO tokens at every position of the
+      -- doc's LAG window, and the tie interleaving — hence the bigram
+      -- multiset — is engine-arbitrary (doc-corruption replay)
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY md5(text) ASC NULLS LAST) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ),
+    tok AS (
       SELECT doc_id, t, LAG(t) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
       FROM (
         SELECT doc_id, unnest(w) AS t, unnest(range(1, len(w) + 1)) AS pos
         FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
-              FROM documents)
+              FROM canon)
       )
     ),
     uni AS (SELECT t, COUNT(*)::DOUBLE AS c FROM tok GROUP BY t),
@@ -73,7 +85,19 @@ def llm_bigram_interp_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram table broadcast back onto the token stream; per-doc
     averaging partial-aggregates. At open-vocabulary scale the LM tables
     get frequency-truncated with an <unk> bucket, same shape."""
-    d = load_table(spark, sf_dir, "documents")
+    # MIN-content-hash keeper per doc_id — see the oracle's canon CTE
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.md5("text").asc_nulls_last()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
     tok = (
         d.select(
             "doc_id",

@@ -289,7 +289,7 @@ def ml_gbdt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(len(list_distinct(string_split(lower(text), ' ')))::DOUBLE
                    / GREATEST(len(string_split(lower(text), ' ')), 1), 4)
                AS quality
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     ranked AS (
       SELECT doc_id, lang, source, quality,
@@ -323,7 +323,12 @@ def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracts (slice-count-bounded, broadcastable). A per-slice top-k
     variant (k chosen × k rejected) only widens the window output, not
     the shuffles."""
-    d = load_table(spark, sf_dir, "documents")
+    # complete-case: a NULL-text doc has no quality score, and the two
+    # rank windows would place its NULL differently per engine (Spark
+    # ASC = NULLS FIRST vs DuckDB NULLS LAST — doc-corruption replay)
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     toks = F.split(F.lower("text"), " ")
     scored = d.select(
         "doc_id",

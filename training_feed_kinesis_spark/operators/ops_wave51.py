@@ -264,14 +264,15 @@ def vec_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source,
              2 * RANK() OVER (ORDER BY n_chars)
                + COUNT(*) OVER (PARTITION BY n_chars) - 1 AS mr2
-      FROM documents
+      FROM documents WHERE n_chars IS NOT NULL
     ),
     per_src AS (
       SELECT source, COUNT(*)::BIGINT AS n_docs,
              CAST(SUM(mr2) AS BIGINT) AS rank_sum2
       FROM ranked GROUP BY source
     ),
-    tot AS (SELECT COUNT(*) AS n FROM documents)
+    tot AS (SELECT COUNT(*) AS n FROM documents
+            WHERE n_chars IS NOT NULL)
     SELECT source, n_docs, rank_sum2,
            ROUND((rank_sum2 - CAST(n_docs AS DOUBLE) * (n_docs + 1))
                  / (2.0 * n_docs * ((SELECT n FROM tot) - n_docs)), 4)
@@ -291,7 +292,11 @@ def llm_source_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one sort-shuffle for the global rank window, then an
     O(sources) aggregate — versus O(n²) doc pairs for the naive win-rate.
     The same pass extends to any scalar quality score."""
-    d = load_table(spark, sf_dir, "documents")
+    # complete-case: a NULL length has no rank (Mann-Whitney is over
+    # observed values; engines also place NULL ranks differently)
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
     mr2 = (
         2 * F.rank().over(Window.orderBy("n_chars"))
         + F.count(F.lit(1)).over(Window.partitionBy("n_chars"))
@@ -322,7 +327,7 @@ def llm_source_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH staged AS (
       SELECT n_chars,
              NTILE(10) OVER (ORDER BY n_chars, doc_id) AS stage
-      FROM documents
+      FROM documents WHERE n_chars IS NOT NULL
     ),
     per_stage AS (
       SELECT stage, COUNT(*)::BIGINT AS n_docs,
@@ -349,7 +354,11 @@ def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a 10-row cumulative window — schedule cost is independent of
     corpus size beyond the sort. Swapping difficulty = NLL or a quality
     ensemble reuses the identical plan."""
-    d = load_table(spark, sf_dir, "documents")
+    # complete-case: unknown difficulty cannot be scheduled, and NTILE
+    # places NULLs engine-specifically (doc-corruption replay)
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
     staged = d.select(
         "n_chars",
         F.ntile(10).over(Window.orderBy("n_chars", "doc_id")).alias("stage"),

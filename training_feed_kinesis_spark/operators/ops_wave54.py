@@ -307,7 +307,7 @@ def events_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH banded AS (
       SELECT lang, n_chars,
              NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
-      FROM documents
+      FROM documents WHERE n_chars IS NOT NULL
     ),
     routed AS (
       SELECT lang, n_chars,
@@ -336,7 +336,12 @@ def llm_quality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one NTILE sort (or approx-percentile thresholds at
     scale, same plan as hist_equidepth) and a (lang × route) aggregate;
     judge cost is accounted without touching the judge."""
-    d = load_table(spark, sf_dir, "documents")
+    # complete-case: a doc with unknown length has no decile, and NTILE
+    # places NULLs engine-specifically (doc-corruption replay); unknown-
+    # length docs are the judge's problem by policy, not the router's
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
     banded = d.select(
         "lang",
         "n_chars",

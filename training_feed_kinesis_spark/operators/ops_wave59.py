@@ -93,8 +93,13 @@ def _sketch(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
             ).alias("band_sig")
         )
     )
-    arrs = docs.select("doc_id", F.expr(_TOK).alias("toks")).select(
-        "doc_id", F.expr(_SHINGLES).alias("shs")
+    arrs = (
+        docs.select("doc_id", F.expr(_TOK).alias("toks"))
+        .select("doc_id", F.expr(_SHINGLES).alias("shs"))
+        # merge re-ingested duplicate rows at the array grain — the
+        # _shingle_arrays union-of-versions discipline (llm_dedup.py)
+        .groupBy("doc_id")
+        .agg(F.array_distinct(F.flatten(F.collect_list("shs"))).alias("shs"))
     )
     return bands, arrs
 

@@ -133,7 +133,8 @@ def _bmp_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     "multimodal_image_decode_bmp",
     CAT,
     f"""
-    WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+    WITH b AS (SELECT doc_id, md5(text) AS h FROM documents
+               WHERE text IS NOT NULL),
     geo AS (
       SELECT doc_id,
              CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 8 END AS w,
@@ -164,7 +165,14 @@ def multimodal_image_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: two map-only mapInPandas stages; payload bytes never
     shuffle. A PIL/libjpeg decode drops into the same kernel slot."""
-    src = _with_payload(spark, sf_dir).select("doc_id", "payload")
+    # quarantine payload-less rows before the codec kernels (NULL text
+    # -> NULL payload; bytes(None) crashes the task — doc-corruption
+    # replay); a real ingest routes them aside, not into decoders
+    src = (
+        _with_payload(spark, sf_dir)
+        .select("doc_id", "payload")
+        .filter(F.col("payload").isNotNull())
+    )
     bmps = src.mapInPandas(_bmp_encode_batch, "doc_id long, bmp binary")
     return bmps.mapInPandas(
         _bmp_decode_batch,
@@ -179,6 +187,7 @@ def multimodal_image_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH b AS (
       SELECT md5(text) AS h, {_MOD_SQL} AS modality FROM documents
+      WHERE text IS NOT NULL
     ),
     e AS (
       SELECT modality, unnest({_BYTES_SQL}) AS byte FROM b
@@ -212,7 +221,11 @@ def multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: byte histogramming is map-combinable to a ≤256-row
     table per modality — payloads are read once where they live and
     never shuffled (only the tiny histograms move)."""
-    src = _with_payload(spark, sf_dir).select("modality", "payload")
+    src = (
+        _with_payload(spark, sf_dir)
+        .select("modality", "payload")
+        .filter(F.col("payload").isNotNull())  # quarantine, see BMP twin
+    )
 
     def bytes_hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

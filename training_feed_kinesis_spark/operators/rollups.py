@@ -122,7 +122,7 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ranked AS (
       SELECT n_chars,
              ntile(10) OVER (ORDER BY n_chars, doc_id) AS bucket
-      FROM documents)
+      FROM documents WHERE n_chars IS NOT NULL)
     SELECT bucket, COUNT(*) AS n_docs,
            MIN(n_chars) AS lo, MAX(n_chars) AS hi
     FROM ranked
@@ -140,7 +140,12 @@ def hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     against 10 broadcast edges (no global sort). This exact spelling
     doubles as the oracle for that approximate path.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # complete-case: a doc with unknown length has no histogram position
+    # (and NTILE's NULL placement is NULLS FIRST on Spark, NULLS LAST on
+    # DuckDB — the doc-corruption replay caught the drift)
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
     w = Window.orderBy("n_chars", "doc_id")
     return (
         d.select("n_chars", "doc_id")

@@ -230,12 +230,17 @@ _DF_CAP = 10  # shingles in more than this many docs are boilerplate
     CAT_DEDUP,
     f"""
     WITH sh AS (
-      SELECT doc_id, unnest(list_distinct(list_transform(
-               range(1, len(string_split(lower(text), ' ')) - 1),
-               i -> string_split(lower(text), ' ')[i] || ' ' ||
-                    string_split(lower(text), ' ')[i+1] || ' ' ||
-                    string_split(lower(text), ' ')[i+2]))) AS sh
-      FROM documents
+      -- DISTINCT at (doc_id, sh): the _shingle_rows set discipline — a
+      -- re-ingested duplicate doc row must not inflate the df counts
+      -- that feed the cap (doc-corruption replay)
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, len(string_split(lower(text), ' ')) - 1),
+                 i -> string_split(lower(text), ' ')[i] || ' ' ||
+                      string_split(lower(text), ' ')[i+1] || ' ' ||
+                      string_split(lower(text), ' ')[i+2]))) AS sh
+        FROM documents
+      )
     ),
     df AS (SELECT sh, COUNT(*) AS d FROM sh GROUP BY sh),
     kept AS (

@@ -90,7 +90,7 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH line AS (
       SELECT doc_id,
              COALESCE(lang, '') || ',' || COALESCE(source, '')
-               || ',' || n_chars AS csv
+               || ',' || COALESCE(CAST(n_chars AS VARCHAR), '') AS csv
       FROM documents
     )
     SELECT doc_id,
@@ -123,7 +123,11 @@ def fn_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
             F.coalesce(F.col("lang"), F.lit("")),
             F.coalesce(F.col("source"), F.lit("")),
-            F.col("n_chars"),
+            # every field needs its own coalesce: concat_ws DROPS a
+            # NULL argument (shortening the line to two fields) where
+            # the oracle's || would null the whole line — both break
+            # the empty-field convention (doc-corruption replay)
+            F.coalesce(F.col("n_chars").cast("string"), F.lit("")),
         ).alias("csv"),
     )
     parsed = line.select(
@@ -152,13 +156,14 @@ def fn_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH kv AS (
       SELECT doc_id,
              'lang:' || COALESCE(lang, '') || ',src:'
-               || COALESCE(source, '') || ',len:' || n_chars AS s
+               || COALESCE(source, '')
+               || ',len:' || COALESCE(CAST(n_chars AS VARCHAR), '') AS s
       FROM documents
     )
     SELECT doc_id,
            regexp_extract(s, 'lang:([^,]*)', 1) AS lang,
            regexp_extract(s, 'src:([^,]*)', 1) AS src,
-           regexp_extract(s, 'len:([0-9]+)', 1)::BIGINT AS len,
+           NULLIF(regexp_extract(s, 'len:([0-9]*)', 1), '')::BIGINT AS len,
            3::INT AS n_keys
     FROM kv
     """,
@@ -179,7 +184,13 @@ def fn_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(",src:"),
             F.coalesce(F.col("source"), F.lit("")),
             F.lit(",len:"),
-            F.col("n_chars"),
+            # every field needs its own coalesce: a NULL n_chars would
+            # NULL the whole wire string on both engines, but the
+            # oracle's CONSTANT n_keys=3 then diverges from Spark's
+            # size(NULL map) (doc-corruption replay); the empty value
+            # parses back to NULL via NULLIF — bare CAST('') would
+            # hard-error under ANSI
+            F.coalesce(F.col("n_chars").cast("string"), F.lit("")),
         ).alias("s"),
     )
     m = kv.select("doc_id", F.expr("str_to_map(s, ',', ':')").alias("m"))
@@ -187,7 +198,9 @@ def fn_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.element_at("m", "lang").alias("lang"),
         F.element_at("m", "src").alias("src"),
-        F.element_at("m", "len").cast("long").alias("len"),
+        F.expr("CAST(NULLIF(element_at(m, 'len'), '') AS BIGINT)").alias(
+            "len"
+        ),
         F.size("m").alias("n_keys"),
     )
 

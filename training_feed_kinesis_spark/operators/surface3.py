@@ -207,8 +207,13 @@ def rollup_rank_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "source_text",
     CAT_SRC,
+    # COALESCE on text length: a NULL text rides the tab wire as an
+    # EMPTY last field, so it reads back as 0 chars — the documented
+    # ''<->NULL conflation of the unquoted-wire convention (fn_csv),
+    # spelled explicitly on the oracle side too (doc-corruption replay)
     """
-    SELECT doc_id, lang, length(text)::BIGINT AS n_chars_read
+    SELECT doc_id, lang,
+           COALESCE(length(text), 0)::BIGINT AS n_chars_read
     FROM documents
     """,
 )
@@ -231,7 +236,7 @@ def source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             "\t",
             "doc_id",
             F.coalesce(F.col("lang"), F.lit("")),
-            "text",
+            F.coalesce(F.col("text"), F.lit("")),
         ).alias("value")
     ).write.mode("overwrite").text(out)
     lines = spark.read.text(out)

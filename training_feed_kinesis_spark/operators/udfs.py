@@ -177,6 +177,12 @@ def udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos: int, token: string")
     class SplitTokens:
         def eval(self, text: str):
+            # a NULL doc expands to ZERO token rows — the oracle's
+            # `pos <= len(string_split(NULL, ' '))` predicate is never
+            # true (bare .lower() crashed the task instead;
+            # doc-corruption replay)
+            if text is None:
+                return
             for i, tok in enumerate(text.lower().split(" ")):
                 yield i + 1, tok
 
