@@ -1610,3 +1610,115 @@ def test_dup_pk_census_detects_doc_reingest(
     d = rows["documents"]
     assert d["dup_excess"] > 0
     assert d["max_multiplicity"] >= 2
+
+
+# --- embedding re-ingest corruption (round 7 final session) ------------------
+
+# The vector twin of DOC_REINGEST: NULL embeddings (failed embed jobs),
+# verbatim re-delivered duplicate vec_id rows, and conflicting refetches
+# (same vec_id, negated vector + shifted label). A 37-consumer sweep
+# found 13 divergences; the one-spelling fix is the shared ADMISSION
+# GATE (llm_similarity.load_embeddings_admitted / VEC_ADMIT_SQL):
+# non-NULL vectors, one deterministic version per vec_id — keeper
+# elected on the md5 of a canonical integer rendering (1e-4 grain), so
+# the choice never depends on engine float formatting. fn_array instead
+# pins Spark's explode-drops-NULL semantics in its oracle.
+VEC_REINGEST_CONSUMERS = [
+    # the 13 keys the sweep caught, now gated
+    "fn_array",
+    "llm_embed_stats",
+    "llm_semdedup_cell",
+    "llm_sim_topk",
+    "ml_kmeans_step",
+    "ml_knn_eval",
+    "ml_linear_score",
+    "vec_binary_sign_search",
+    "vec_energy_profile",
+    "vec_pca_power",
+    "vec_pq_codebook",
+    "vec_sq8_recall",
+    "vec_twostage_rerank",
+    # always-were-clean representatives across the vector families
+    "llm_dedup_embed",
+    "vec_dim_stats",
+    "vec_norm_outliers",
+    "vec_mmr_rerank",
+    "dq_embedding_validate",
+    "vec_label_centroid_sim",
+    "vec_cosine_hist",
+]
+
+
+@pytest.fixture(scope="module")
+def vec_reingest_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("vecreingest")
+    for t in TABLES:
+        if t != "embeddings":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT vec_id,
+                 CASE WHEN vec_id % 25 = 7 THEN NULL ELSE embedding END
+                   AS embedding,
+                 CASE WHEN vec_id % 25 = 7 THEN NULL ELSE label END AS label
+          FROM read_parquet('{SF_DIR}/embeddings.parquet')
+          UNION ALL
+          SELECT vec_id, embedding, label
+          FROM read_parquet('{SF_DIR}/embeddings.parquet')
+          WHERE vec_id % 31 = 2
+          UNION ALL
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(-x AS FLOAT))
+                   AS embedding,
+                 (label + 1) % 4 AS label
+          FROM read_parquet('{SF_DIR}/embeddings.parquet')
+          WHERE vec_id % 41 = 3
+        ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_vec_reingest(vec_reingest_sf):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{vec_reingest_sf}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", VEC_REINGEST_CONSUMERS)
+def test_vec_ops_survive_reingest_corruption(
+    key, spark, registry, vec_reingest_sf, duck_vec_reingest
+):
+    spec = registry[key]
+    assert spec.oracle is not None, key
+    assert_matches_oracle(
+        spec.fn(spark, vec_reingest_sf), duck_vec_reingest, spec.oracle
+    )
+
+
+def test_vec_gates_detect_reingest(spark, registry, vec_reingest_sf):
+    """Detection side of the admission gate: the embedding validator
+    must count the planted NULL vectors, and the dup-PK census must
+    report the duplicate vec_id excess."""
+    rows = (
+        registry["dq_embedding_validate"].fn(spark, vec_reingest_sf)
+        .collect()
+    )
+    # the 20 planted NULL vectors land in the NULL-label row's n_null
+    assert sum(r["n_null"] for r in rows) == 20
+    null_row = [r for r in rows if r["label"] is None]
+    assert null_row and null_row[0]["n_null"] == 20
+    pk = {
+        r["tbl"]: r
+        for r in registry["dq_duplicate_pk_census"]
+        .fn(spark, vec_reingest_sf)
+        .collect()
+    }
+    assert pk["embeddings"]["dup_excess"] > 0

@@ -171,8 +171,12 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(embedding[pos] AS DOUBLE), 4) AS val,
            len(embedding)                           AS n_dims,
            ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS max_elem
+    -- NULL vectors emit zero rows: Spark's posexplode drops them, where
+    -- a bare cross join against the pos grid would keep them on the
+    -- oracle side only (vec-reingest corruption replay)
     FROM embeddings
     CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS pos) p
+    WHERE embedding IS NOT NULL
     """,
 )
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:

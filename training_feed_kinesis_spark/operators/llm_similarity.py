@@ -26,6 +26,45 @@ from ..tables import load_table, parallelize
 
 CAT = "2.J llm-pipeline (similarity)"
 
+# --- admitted-embeddings gate (doc-reingest discipline for vectors) ---------
+# NULL vectors (failed embed jobs) are quarantined, and a re-ingested
+# duplicate vec_id elects ONE deterministic version — keeper order is the
+# md5 of a canonical integer rendering (1e-4 grain): float→double widening
+# is exact, *10000 and half-away-from-zero ROUND are identical on both
+# engines, so the keeper never depends on engine float formatting. On a
+# clean corpus the window is a pass-through. dq_embedding_validate /
+# dq_duplicate_pk_census are the detection side of the same gate.
+_VEC_CANON_SPARK = (
+    "md5(array_join(transform(embedding, "
+    "x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)"
+    " AS STRING)), ','))"
+)
+VEC_ADMIT_SQL = """embeddings_adm AS (
+      SELECT vec_id, embedding, label FROM (
+        SELECT vec_id, embedding, label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+                 md5(array_to_string(list_transform(embedding,
+                   x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 10000, 0)
+                        AS BIGINT) AS VARCHAR)), ','))) AS rn
+        FROM embeddings WHERE embedding IS NOT NULL
+      ) WHERE rn = 1
+    )"""
+
+
+def load_embeddings_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings through the admission gate: non-NULL vectors, one
+    deterministic version per vec_id (see VEC_ADMIT_SQL)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.expr(_VEC_CANON_SPARK))
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 TOPK = 5
 N_PROBES = 50  # probe set: vec_id < 50 query vectors
 
@@ -44,12 +83,13 @@ _DOT_SQL = (
     "llm_sim_topk",
     CAT,
     f"""
-    WITH pairs AS (
+    WITH {VEC_ADMIT_SQL},
+    pairs AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label,
              ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
                    / ({_NORM_SQL.format(v='a.embedding')}
                       * {_NORM_SQL.format(v='b.embedding')}), 4) AS cosine
-      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+      FROM embeddings_adm a JOIN embeddings_adm b ON a.vec_id != b.vec_id
       WHERE a.vec_id < {N_PROBES}
     ),
     ranked AS (
@@ -70,7 +110,7 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force kNN stays viable surprisingly far: 100 TB corpus × small
     probe batch is a linear scan, embarrassingly parallel. It stops scaling
     when BOTH sides are large — that's llm_sim_lsh's job."""
-    em = load_table(spark, sf_dir, "embeddings")
+    em = load_embeddings_admitted(spark, sf_dir)
     probes = em.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -186,11 +226,12 @@ def llm_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_embed_stats",
     CAT,
-    """
+    f"""
+    WITH {VEC_ADMIT_SQL}
     SELECT label, pos,
            ROUND(AVG(CAST(embedding[pos] AS DOUBLE)), 4) AS centroid_val,
            COUNT(*) AS n_vectors
-    FROM embeddings, (SELECT unnest(range(1, 65)) AS pos)
+    FROM embeddings_adm, (SELECT unnest(range(1, 65)) AS pos)
     GROUP BY label, pos
     """,
 )
@@ -201,7 +242,7 @@ def llm_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     of corpus size (partial agg collapses everything map-side). Reassembling
     arrays (collect_list over pos) is a final 640-row operation. These
     centroids are the IVF coarse quantizer for llm_sim_topk at scale."""
-    em = load_table(spark, sf_dir, "embeddings")
+    em = load_embeddings_admitted(spark, sf_dir)
     exploded = em.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "val")
     )

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from .llm_similarity import VEC_ADMIT_SQL, load_embeddings_admitted
 from ..tables import load_table
 
 CAT = "2.L ML-relational"
@@ -43,13 +44,15 @@ _DIM = 64
     "ml_kmeans_step",
     CAT,
     f"""
-    WITH c AS (
-      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {_K}
+    WITH {VEC_ADMIT_SQL},
+    c AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings_adm
+      WHERE vec_id < {_K}
     ),
     d AS (
       SELECT e.vec_id, c.cid,
              SUM((e.embedding[i] - c.ce[i]) ^ 2) AS d2
-      FROM embeddings e
+      FROM embeddings_adm e
       CROSS JOIN c
       CROSS JOIN generate_series(1, {_DIM}) AS g(i)
       GROUP BY e.vec_id, c.cid
@@ -75,7 +78,7 @@ def ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin is a one-pass ``min_by`` with (d2, cid) tiebreak — no ranking
     join-back. At 100 TB the per-iteration cost stays one scan + one agg.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings_admitted(spark, sf_dir)
     cents = emb.filter(F.col("vec_id") < _K).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
@@ -100,10 +103,11 @@ def ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ml_linear_score",
     CAT,
     f"""
-    WITH scored AS (
+    WITH {VEC_ADMIT_SQL},
+    scored AS (
       SELECT e.vec_id, e.label,
              SUM(e.embedding[i] * (((i % 7) - 3) / 10.0)) AS score
-      FROM embeddings e
+      FROM embeddings_adm e
       CROSS JOIN generate_series(1, {_DIM}) AS g(i)
       GROUP BY e.vec_id, e.label
     )
@@ -121,7 +125,7 @@ def ml_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-weights scoring pattern: zero shuffles until the per-label
     confusion report. The fold runs as a JVM-side zip_with + aggregate.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings_admitted(spark, sf_dir)
     score = F.expr(
         f"aggregate(zip_with(embedding, sequence(1, {_DIM}),"
         " (x, i) -> CAST(x AS DOUBLE) * (((i % 7) - 3) / 10.0)),"
@@ -140,9 +144,10 @@ def _pca_oracle() -> str:
     """Three power-iteration steps as unrolled CTEs over the exploded
     (row, dim, value) relation: v_{k+1} = normalize(Xᵀ (X v_k))."""
     head = f"""
-    WITH x AS (
+    WITH {VEC_ADMIT_SQL},
+    x AS (
       SELECT vec_id AS r, i, embedding[i]::DOUBLE AS v
-      FROM embeddings CROSS JOIN generate_series(1, {_DIM}) AS g(i)
+      FROM embeddings_adm CROSS JOIN generate_series(1, {_DIM}) AS g(i)
     ),
     v0 AS (SELECT i, 1.0 / sqrt({_DIM}) AS val
            FROM generate_series(1, {_DIM}) AS g(i))
@@ -190,7 +195,7 @@ def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings_admitted(spark, sf_dir)
 
     def gram_partials(batches):
         for pdf in batches:

@@ -25,7 +25,13 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load_table, parallelize
-from .llm_similarity import _DOT, _DOT_SQL, _NORM_SQL
+from .llm_similarity import (
+    _DOT,
+    _DOT_SQL,
+    _NORM_SQL,
+    VEC_ADMIT_SQL,
+    load_embeddings_admitted,
+)
 
 CAT_SIM = "2.J llm-pipeline (similarity)"
 CAT_TEXT = "2.J llm-pipeline (text)"
@@ -39,8 +45,9 @@ MATTR_W = 50          # MATTR window length in tokens
     "llm_semdedup_cell",
     CAT_SIM,
     f"""
-    WITH cent AS (
-      SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
+    WITH {VEC_ADMIT_SQL},
+    cent AS (
+      SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings_adm
       WHERE vec_id < {N_CELLS}
     ),
     assign AS (
@@ -52,12 +59,12 @@ MATTR_W = 50          # MATTR window length in tokens
                ROUND({_DOT_SQL.format(a='e.embedding', b='c.c_emb')}
                      / ({_NORM_SQL.format(v='e.embedding')}
                         * {_NORM_SQL.format(v='c.c_emb')}), 4) AS cos
-        FROM embeddings e CROSS JOIN cent c
+        FROM embeddings_adm e CROSS JOIN cent c
       )
     ),
     cells AS (
       SELECT a.vec_id, a.cell_id, e.embedding
-      FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+      FROM assign a JOIN embeddings_adm e ON e.vec_id = a.vec_id
       WHERE a.rn = 1
     ),
     dropped AS (
@@ -91,7 +98,7 @@ def llm_semdedup_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer buys. A hot cell (skewed quantizer) is re-split by raising
     N_CELLS for that region — the operator's cell census IS the monitor
     for that decision."""
-    em = load_table(spark, sf_dir, "embeddings")
+    em = load_embeddings_admitted(spark, sf_dir)
     cent = em.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
     )

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
+from .llm_similarity import VEC_ADMIT_SQL, load_embeddings_admitted
 from ..tables import load_table
 
 CAT_DQ = "2.L data quality / privacy"
@@ -151,12 +152,13 @@ def dq_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # units BEFORE any distance math, so squared distances are exact
     # integers — assignment argmin is deterministic on both engines and
     # the only doubles are the final ROUND(,4) reports
-    """
-    WITH vals AS (
+    f"""
+    WITH {VEC_ADMIT_SQL},
+    vals AS (
       SELECT vec_id, label, pos - 1 AS p,
              CAST(ROUND(CAST(embedding[pos] AS DOUBLE) * 10000, 0) AS BIGINT)
                AS vq
-      FROM embeddings, (SELECT unnest(range(1, 65)) AS pos)
+      FROM embeddings_adm, (SELECT unnest(range(1, 65)) AS pos)
     ),
     cent AS (
       SELECT p, label AS code,
@@ -202,7 +204,7 @@ def vec_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors, one small shuffle for the occupancy report. Training the
     codebook at scale is ml_kmeans_step per subspace; this operator pins
     the assignment + error-accounting plan."""
-    em = load_table(spark, sf_dir, "embeddings")
+    em = load_embeddings_admitted(spark, sf_dir)
     vq = em.select(
         "vec_id",
         "label",

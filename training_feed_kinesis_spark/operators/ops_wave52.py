@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
+from .llm_similarity import VEC_ADMIT_SQL, load_embeddings_admitted
 from ..tables import load_table
 
 CAT_REP = "2.L reporting"
@@ -138,13 +139,14 @@ def orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix-energy shares from BIGINT-quantized squared values: the
     # numerator/denominator are exact integer sums, so the only double
     # is the final rounded ratio
-    """
-    WITH sq AS (
+    f"""
+    WITH {VEC_ADMIT_SQL},
+    sq AS (
       SELECT label, vec_id, pos,
              CAST(ROUND(CAST(embedding[pos] AS DOUBLE) * 10000, 0) AS BIGINT)
                * CAST(ROUND(CAST(embedding[pos] AS DOUBLE) * 10000, 0) AS BIGINT)
                AS e2
-      FROM embeddings, (SELECT unnest(range(1, 65)) AS pos)
+      FROM embeddings_adm, (SELECT unnest(range(1, 65)) AS pos)
     ),
     per_vec AS (
       SELECT label, vec_id, k,
@@ -171,7 +173,7 @@ def vec_energy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: posexplode → per-(vector, k) conditional sums (map-side
     partial over 64·4 terms per vector) → O(labels × 4) final groups."""
-    em = load_table(spark, sf_dir, "embeddings")
+    em = load_embeddings_admitted(spark, sf_dir)
     sq = em.select(
         "label",
         "vec_id",
@@ -213,11 +215,12 @@ _KNN_K = 5
     # neighbor ranking deterministic; majority vote ties break toward
     # the smaller label on both engines
     f"""
-    WITH q AS (
+    WITH {VEC_ADMIT_SQL},
+    q AS (
       SELECT vec_id, label,
              list_transform(embedding, x ->
                CAST(ROUND(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS vq
-      FROM embeddings
+      FROM embeddings_adm
     ),
     pairs AS (
       SELECT a.vec_id, a.label AS true_label, b.label AS cand_label,
@@ -270,7 +273,7 @@ def ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     router (llm_sim_ivf) or LSH buckets and THIS plan runs unchanged on
     the pruned pairs. The probe panel broadcasts; ranking shuffles only
     (vec_id, cand, d2) triples."""
-    em = load_table(spark, sf_dir, "embeddings")
+    em = load_embeddings_admitted(spark, sf_dir)
     q = em.select(
         "vec_id",
         "label",

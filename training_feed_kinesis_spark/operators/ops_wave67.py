@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
+from .llm_similarity import VEC_ADMIT_SQL, load_embeddings_admitted
 from ..tables import load_table
 
 CAT_VEC = "2.J llm-pipeline (similarity)"
@@ -33,7 +34,8 @@ _TOPK = 5
     "vec_binary_sign_search",
     CAT_VEC,
     f"""
-    WITH sig AS (
+    WITH {VEC_ADMIT_SQL},
+    sig AS (
       SELECT vec_id,
              -- two 32-bit sign words (a 63-bit shift overflows BIGINT in
              -- one engine and wraps in the other; <=31 is safe in both)
@@ -45,7 +47,7 @@ _TOPK = 5
                     THEN 1::BIGINT << (i - 33) ELSE 0 END)) AS hi,
              list_transform(embedding, x ->
                CAST(ROUND(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS vq
-      FROM embeddings
+      FROM embeddings_adm
     ),
     pairs AS (
       SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
@@ -92,7 +94,7 @@ def vec_binary_sign_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus once per probe batch, map-side; at corpus scale the sign
     words ARE the index — group by a bit-prefix for sub-linear probing,
     or feed them to the LSH band machinery unchanged."""
-    em = load_table(spark, sf_dir, "embeddings")
+    em = load_embeddings_admitted(spark, sf_dir)
     sig = em.select(
         "vec_id",
         F.expr(

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
+from .llm_similarity import VEC_ADMIT_SQL, load_embeddings_admitted
 from ..tables import load_table
 
 CAT = "2.J llm-pipeline (similarity)"
@@ -204,10 +205,11 @@ def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vec_sq8_recall",
     CAT,
     f"""
-    WITH dims AS (
+    WITH {VEC_ADMIT_SQL},
+    dims AS (
       SELECT i, MIN(CAST(embedding[i] AS DOUBLE)) AS lo,
              MAX(CAST(embedding[i] AS DOUBLE)) AS hi
-      FROM embeddings, UNNEST(range(1, 65)) AS t(i)
+      FROM embeddings_adm, UNNEST(range(1, 65)) AS t(i)
       GROUP BY i
     ),
     codes AS (
@@ -215,7 +217,7 @@ def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              list(CAST(ROUND(255 * (CAST(e.embedding[d.i] AS DOUBLE) - d.lo)
                              / (d.hi - d.lo), 0) AS BIGINT)
                   ORDER BY d.i) AS code
-      FROM embeddings e CROSS JOIN dims d
+      FROM embeddings_adm e CROSS JOIN dims d
       GROUP BY e.vec_id
     ),
     exact AS (
@@ -227,7 +229,7 @@ def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * (CAST(a.embedding[i] AS DOUBLE)
                          - CAST(b.embedding[i] AS DOUBLE)))), 4) ASC,
                b.vec_id ASC) AS rn
-      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+      FROM embeddings_adm a JOIN embeddings_adm b ON a.vec_id != b.vec_id
       WHERE a.vec_id < 10
     ),
     approx AS (
@@ -264,7 +266,7 @@ def vec_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the dim ranges are a 64-row broadcast aggregate;
     coding is map-only; the brute-force panels are broadcast-probe
     linear scans (the llm_sim_topk shape)."""
-    em = load_table(spark, sf_dir, "embeddings")
+    em = load_embeddings_admitted(spark, sf_dir)
     dims = (
         em.select(
             F.posexplode(F.col("embedding")).alias("i0", "x")

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
+from .llm_similarity import VEC_ADMIT_SQL, load_embeddings_admitted
 from ..tables import load_table, parallelize
 
 CAT_DEDUP = "2.J llm-pipeline (dedup)"
@@ -212,10 +213,11 @@ _N_PROBES = 10
     "vec_twostage_rerank",
     CAT_VEC,
     f"""
-    WITH dims AS (
+    WITH {VEC_ADMIT_SQL},
+    dims AS (
       SELECT i, MIN(CAST(embedding[i] AS DOUBLE)) AS lo,
              MAX(CAST(embedding[i] AS DOUBLE)) AS hi
-      FROM embeddings, UNNEST(range(1, 65)) AS t(i)
+      FROM embeddings_adm, UNNEST(range(1, 65)) AS t(i)
       GROUP BY i
     ),
     codes AS (
@@ -223,7 +225,7 @@ _N_PROBES = 10
              list(CAST(ROUND(255 * (CAST(e.embedding[d.i] AS DOUBLE) - d.lo)
                              / (d.hi - d.lo), 0) AS BIGINT)
                   ORDER BY d.i) AS code
-      FROM embeddings e CROSS JOIN dims d
+      FROM embeddings_adm e CROSS JOIN dims d
       GROUP BY e.vec_id
     ),
     shortlist AS (
@@ -245,8 +247,8 @@ _N_PROBES = 10
                          - CAST(b.embedding[i] AS DOUBLE)))), 4) ASC,
                s.neighbor ASC) AS rn
       FROM shortlist s
-      JOIN embeddings a ON a.vec_id = s.probe
-      JOIN embeddings b ON b.vec_id = s.neighbor
+      JOIN embeddings_adm a ON a.vec_id = s.probe
+      JOIN embeddings_adm b ON b.vec_id = s.neighbor
       WHERE s.rn_c <= {_SHORTLIST}
     ),
     exact AS (
@@ -258,7 +260,7 @@ _N_PROBES = 10
                       * (CAST(a.embedding[i] AS DOUBLE)
                          - CAST(b.embedding[i] AS DOUBLE)))), 4) ASC,
                b.vec_id ASC) AS rn
-      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+      FROM embeddings_adm a JOIN embeddings_adm b ON a.vec_id != b.vec_id
       WHERE a.vec_id < {_N_PROBES}
     )
     SELECT e.probe,
@@ -292,7 +294,7 @@ def vec_twostage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     query batch. Probe panel broadcasts; code construction reuses the
     vec_sq8_recall spelling (ops_wave82.py) so the two keys' stage-1
     rankings are comparable by construction."""
-    em = load_table(spark, sf_dir, "embeddings")
+    em = load_embeddings_admitted(spark, sf_dir)
     dims = (
         em.select(F.posexplode(F.col("embedding")).alias("i0", "x"))
         .groupBy((F.col("i0") + 1).alias("i"))
