@@ -1722,3 +1722,106 @@ def test_vec_gates_detect_reingest(spark, registry, vec_reingest_sf):
         .collect()
     }
     assert pk["embeddings"]["dup_excess"] > 0
+
+
+# --- events redelivery corruption (round 7 final session) --------------------
+
+# Duplicate event_id rows in the BATCH events table: verbatim redelivery
+# and conflicting redelivery (same event_id and ts, doubled value). A
+# 204-consumer sweep found six divergences: three batch seams (OHLC's
+# open/close election tied on (ts, event_id); the codec digest's
+# ORDER BY event_id alone; RANK vs sequential rank in the grouped-map
+# oracle) — fixed to one spelling — and the three exactly-once dedup
+# machines (stream_dedup, stream_dedup_watermark, stream_backfill_union),
+# whose CONTRACT is to disagree with raw-table SQL on a duplicated
+# source: their precondition (unique event_id in the batch table, the
+# transport's redelivery handled separately) is documented and gated by
+# dq_duplicate_pk_census; the invariant test below pins that they still
+# deduplicate correctly — counts collapse to the distinct-id answer.
+EVENTS_REDELIVERY_CONSUMERS = [
+    # the three batch keys the sweep caught, now fixed
+    "ts_ohlc",
+    "sink_parquet_codecs",
+    "udf_grouped_map",
+    # always-were-clean representatives across the event families
+    "batch_sessionize",
+    "funnel_conversion",
+    "retention_cohorts",
+    "events_dau_wau",
+    "events_markov",
+    "events_hour_heatmap",
+    "events_dwell_transition",
+    "events_sprt_boundary",
+    "win_ranking",
+    "agg_first_last",
+    "dq_duplicate_pk_census",
+]
+
+
+@pytest.fixture(scope="module")
+def ev_redelivery_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("evredelivery")
+    for t in TABLES:
+        if t != "events":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{SF_DIR}/events.parquet')
+          UNION ALL
+          SELECT * FROM read_parquet('{SF_DIR}/events.parquet')
+          WHERE event_id % 31 = 2
+          UNION ALL
+          SELECT event_id, ts, user_id, event_type, value * 2 AS value,
+                 props FROM read_parquet('{SF_DIR}/events.parquet')
+          WHERE event_id % 41 = 3
+        ) TO '{d}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_ev_redelivery(ev_redelivery_sf):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{ev_redelivery_sf}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", EVENTS_REDELIVERY_CONSUMERS)
+def test_event_ops_survive_redelivery(
+    key, spark, registry, ev_redelivery_sf, duck_ev_redelivery
+):
+    spec = registry[key]
+    assert spec.oracle is not None, key
+    assert_matches_oracle(
+        spec.fn(spark, ev_redelivery_sf), duck_ev_redelivery, spec.oracle
+    )
+
+
+@pytest.mark.parametrize(
+    "key", ["stream_dedup", "stream_backfill_union"]
+)
+def test_stream_dedup_collapses_redelivered_source(
+    key, spark, registry, ev_redelivery_sf, duck_ev_redelivery
+):
+    """The dedup machines' invariant on a duplicated SOURCE: per-type
+    counts collapse to the distinct-event_id answer (which copy's VALUE
+    survives a conflicting redelivery is arrival-order semantics by
+    design, so values are not asserted)."""
+    rows = {
+        r["event_type"]: r["n"]
+        for r in registry[key].fn(spark, ev_redelivery_sf).collect()
+    }
+    expected = dict(
+        duck_ev_redelivery.execute(
+            "SELECT event_type, COUNT(DISTINCT event_id) FROM events"
+            " GROUP BY event_type"
+        ).fetchall()
+    )
+    assert rows == expected

@@ -146,12 +146,20 @@ _CODECS = ("snappy", "zstd", "gzip")
       SELECT event_id, event_type, ROUND(value, 4) AS v
       FROM events WHERE event_id < 5000
     ),
-    digest AS (
-      SELECT md5(string_agg(md5(event_id || '|' || COALESCE(event_type, '')
-                                || '|' || CAST(v AS VARCHAR)), ''
-                            ORDER BY event_id)) AS content_digest,
-             COUNT(*)::BIGINT AS n_rows
+    hashed AS (
+      SELECT event_id,
+             md5(event_id || '|' || COALESCE(event_type, '')
+                 || '|' || CAST(v AS VARCHAR)) AS h
       FROM src
+    ),
+    digest AS (
+      -- the row hash joins the concat order: a redelivered duplicate
+      -- event_id would otherwise order its two copies arbitrarily here
+      -- while Spark's struct sort (event_id, h) is total
+      -- (events-redelivery corruption replay)
+      SELECT md5(string_agg(h, '' ORDER BY event_id, h)) AS content_digest,
+             COUNT(*)::BIGINT AS n_rows
+      FROM hashed
     )
     SELECT codec, n_rows, content_digest
     FROM digest, (SELECT unnest(['gzip', 'snappy', 'zstd']) AS codec)

@@ -195,9 +195,10 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ranked AS (
       SELECT event_type, date_trunc('day', ts) AS day, value, ts, event_id,
              row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
-                                ORDER BY ts, event_id) AS rn_open,
+                                ORDER BY ts, event_id, value) AS rn_open,
              row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
-                                ORDER BY ts DESC, event_id DESC) AS rn_close
+                                ORDER BY ts DESC, event_id DESC, value DESC)
+               AS rn_close
       FROM events
     )
     SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
@@ -218,8 +219,12 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle, at any scale.
     """
     ev = load_table(spark, sf_dir, "events")
-    tkey_first = F.expr("min_by(value, struct(ts, event_id))")
-    tkey_last = F.expr("max_by(value, struct(ts, event_id))")
+    # value joins the arg-extreme key: a redelivered duplicate event_id
+    # at the same ts would otherwise make the open/close election
+    # engine-arbitrary (events-redelivery corruption replay) — among
+    # exact time ties the smaller value opens, the larger closes
+    tkey_first = F.expr("min_by(value, struct(ts, event_id, value))")
+    tkey_last = F.expr("max_by(value, struct(ts, event_id, value))")
     return ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("d")
     ).agg(

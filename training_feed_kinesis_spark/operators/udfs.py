@@ -121,10 +121,18 @@ def udf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "udf_grouped_map",
     CAT,
+    # ROW_NUMBER, not RANK: with event_id in the order key they agree on
+    # clean data, but a redelivered VERBATIM duplicate row ties — RANK
+    # gives both copies the same rank and skips one, where the pandas
+    # side's sequential rank (and ROW_NUMBER) yields the same multiset
+    # of percentiles whichever copy sorts first (events-redelivery
+    # corruption replay)
     """
     SELECT event_id, user_id,
-           ROUND((RANK() OVER (PARTITION BY user_id ORDER BY value, event_id) - 1) * 1.0
-                 / NULLIF(COUNT(*) OVER (PARTITION BY user_id) - 1, 0), 4) AS value_pctile
+           ROUND((ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY value, event_id) - 1) * 1.0
+                 / NULLIF(COUNT(*) OVER (PARTITION BY user_id) - 1, 0), 4)
+             AS value_pctile
     FROM events
     """,
 )
