@@ -82,6 +82,24 @@ def test_sim_topk_broadcasts_probes(spark, registry):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_embedding_gate_is_map_only_on_clean_corpus(spark, registry):
+    """VERDICT r7 item 2: the admission gate in front of ~13 vector
+    operators must not shuffle vector payloads on a clean corpus. The
+    census-then-trust gate plans as scan + NOT-NULL filter — zero
+    Exchange operators of any kind — so previously map-only consumers
+    (llm_sim_topk's corpus scan, llm_embed_stats, vec_pca_power) stay
+    map-only. The election window (the payload exchange) is reserved
+    for tables where the narrow census actually found duplicates; the
+    vec-reingest replay tests in test_null_injection.py cover that arm."""
+    from training_feed_kinesis_spark.operators.llm_similarity import (
+        load_embeddings_admitted,
+    )
+
+    plan = _plan(load_embeddings_admitted(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+
+
 def test_whole_stage_codegen_on_hot_path(spark, registry):
     plan = _plan(registry["project_compute"].fn(spark, SF_DIR), "codegen")
     assert "Found 1 WholeStageCodegen subtrees" in plan or "WholeStageCodegen" in plan

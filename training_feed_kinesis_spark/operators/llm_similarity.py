@@ -17,6 +17,8 @@ with vec_id tiebreak — never rank on raw floats across engines).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -31,9 +33,28 @@ CAT = "2.J llm-pipeline (similarity)"
 # duplicate vec_id elects ONE deterministic version — keeper order is the
 # md5 of a canonical integer rendering (1e-4 grain): float→double widening
 # is exact, *10000 and half-away-from-zero ROUND are identical on both
-# engines, so the keeper never depends on engine float formatting. On a
-# clean corpus the window is a pass-through. dq_embedding_validate /
-# dq_duplicate_pk_census are the detection side of the same gate.
+# engines, so the keeper never depends on engine float formatting.
+# dq_embedding_validate / dq_duplicate_pk_census are the detection side
+# of the same gate.
+#
+# Spelling (round 8, VERDICT r7 item 2): the r7 gate ran the election
+# window UNCONDITIONALLY, a full-width exchange of the embeddings table
+# (payload included) in front of ~13 operators — several previously
+# map-only — and the driver bench showed it (llm_sim_topk +40%,
+# llm_embed_stats +47%, vec_pca_power +18%). The fix is census-then-
+# trust, decided ONCE PER (session, table): a narrow duplicate census
+# (vec_id only shuffles — partial count collapses map-side) answers
+# "does any vec_id appear twice?"; on the no-duplicates answer — the
+# steady state, and the only state the 100 TB corpus is allowed to stay
+# in — the gate is a map-only NOT-NULL filter and vector payloads NEVER
+# shuffle. Only when the census finds re-ingest duplicates does the
+# election window run, and then its result is lazily localCheckpoint-ed
+# so the one payload exchange is paid once per corrupted table per
+# session rather than once per consumer per action. The decision and
+# the DataFrame are memoized per (applicationId, resolved sf_dir): all
+# ~13 consumers share one gate, which is exactly the "materialize the
+# admitted table once" shape a 100 TB deployment would use (gate at
+# ingest, write the admitted table, let every query scan it).
 _VEC_CANON_SPARK = (
     "md5(array_join(transform(embedding, "
     "x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)"
@@ -51,18 +72,50 @@ VEC_ADMIT_SQL = """embeddings_adm AS (
     )"""
 
 
+# (applicationId, resolved sf_dir) -> admitted DataFrame. Bounded: one
+# entry per distinct embeddings table touched in a session (bench: 1;
+# test suite: a handful of tiny sf0.001 corruption fixtures).
+_ADMIT_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def load_embeddings_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings through the admission gate: non-NULL vectors, one
-    deterministic version per vec_id (see VEC_ADMIT_SQL)."""
+    deterministic version per vec_id (see VEC_ADMIT_SQL).
+
+    Census-then-trust: a narrow per-vec_id duplicate census (the 16-byte
+    key shuffles, never the vector payload) picks between the map-only
+    pass-through (clean corpus — the steady state) and the election
+    window (re-ingest duplicates present), memoized per (session, table).
+    Semantics are identical to VEC_ADMIT_SQL either way: on a
+    duplicate-free table the oracle's ROW_NUMBER ... = 1 is a
+    pass-through of the NOT-NULL filter."""
+    memo_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    hit = _ADMIT_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
     e = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    w = Window.partitionBy("vec_id").orderBy(F.expr(_VEC_CANON_SPARK))
-    return (
-        e.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    has_dupes = not (
+        e.groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .isEmpty()
     )
+    if has_dupes:
+        w = Window.partitionBy("vec_id").orderBy(F.expr(_VEC_CANON_SPARK))
+        adm = (
+            e.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            # one payload exchange per corrupted table per session, not
+            # per consumer per action (lazy: materializes on first use)
+            .localCheckpoint(eager=False)
+        )
+    else:
+        adm = e  # map-only: scan + NOT-NULL filter, no exchange
+    _ADMIT_MEMO[memo_key] = adm
+    return adm
 
 
 TOPK = 5
