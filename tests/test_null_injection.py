@@ -1424,6 +1424,10 @@ EVENT_KEY_CONSUMERS = [
     # event_type rides through lag and the (prev, next) grid; the lag
     # order pins ts ASC NULLS LAST on both engines
     "events_dwell_transition",
+    # wave 98 (r8, ADVICE r7): elects session entry types over
+    # event_type via the chr(1) sentinel and partitions by user_id —
+    # exactly the columns this fixture nulls
+    "events_bounce_rate",
 ]
 
 
@@ -1752,6 +1756,7 @@ EVENTS_REDELIVERY_CONSUMERS = [
     "events_hour_heatmap",
     "events_dwell_transition",
     "events_sprt_boundary",
+    "events_bounce_rate",
     "win_ranking",
     "agg_first_last",
     "dq_duplicate_pk_census",
@@ -1825,3 +1830,116 @@ def test_stream_dedup_collapses_redelivered_source(
         ).fetchall()
     )
     assert rows == expected
+
+
+# --- NULL ORDERING KEYS (round 8, ADVICE r7) ---------------------------------
+
+# The running-window families order by time keys that had never carried
+# NULLs in any fixture: events.ts (sessionization, SPRT paths, dwell)
+# and the day series derived from orders.o_orderdate (CUSUM prefix,
+# segment fits, STL, Ljung-Box). Spark defaults ASC NULLS FIRST while
+# DuckDB defaults NULLS LAST, so a NULL time sliver sits at OPPOSITE
+# ends of every unbounded-preceding window — silently shifting session
+# ids, SPRT t-numbering, and every prefix sum/lag — without changing a
+# single group key. The one-spelling fix is IS NOT NULL on both engines
+# (the _FISHER_GROUP_SQL discipline): a NULL-timestamped event/order
+# has no position on a timeline, so dropping it is the only
+# engine-symmetric semantics. dq_date_sanity_census is the detection
+# side (NULL dates counted as expected corruption).
+
+NULL_TIME_EVENT_CONSUMERS = [
+    # the ADVICE r7 seam keys, now filtered
+    "events_bounce_rate",
+    "events_sprt_boundary",
+    # pinned asc_nulls_last before this fixture existed; replay keeps it
+    "events_dwell_transition",
+    # always-were-clean representatives over ts windows
+    "batch_sessionize",
+    "funnel_conversion",
+    "ts_resample_gapfill",
+    "events_seq_train_pairs",
+    "win_frame_time_range",
+]
+
+NULL_TIME_DAY_CONSUMERS = [
+    # the ADVICE r7 seam keys (all ride the o_orderdate day grain)
+    "ts_cusum_changepoint",
+    "ts_changepoint_segfit",
+    "ts_stl_decompose",
+    "ts_ljung_box",
+    # sibling day-series keys over the same substrate
+    "ts_ewma",
+    "ts_theil_sen",
+    "ts_seasonal_dow",
+    "ts_holt_linear",
+    "dq_date_sanity_census",
+]
+
+
+@pytest.fixture(scope="module")
+def null_time_sf(tmp_path_factory):
+    """~4% NULL ts in events and ~3% NULL o_orderdate in orders; every
+    other column untouched."""
+    d = tmp_path_factory.mktemp("nulltimesf")
+    for t in TABLES:
+        if t not in ("events", "orders"):
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN event_id % 27 = 8 THEN NULL ELSE ts END AS ts)
+          FROM read_parquet('{SF_DIR}/events.parquet')
+        ) TO '{d}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN o_orderkey % 29 = 9 THEN NULL ELSE o_orderdate END
+              AS o_orderdate)
+          FROM read_parquet('{SF_DIR}/orders.parquet')
+        ) TO '{d}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_null_time(null_time_sf):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{null_time_sf}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "key", NULL_TIME_EVENT_CONSUMERS + NULL_TIME_DAY_CONSUMERS
+)
+def test_time_ordered_ops_survive_null_time_keys(
+    key, spark, registry, null_time_sf, duck_null_time
+):
+    spec = registry[key]
+    assert spec.oracle is not None, key
+    assert_matches_oracle(
+        spec.fn(spark, null_time_sf), duck_null_time, spec.oracle
+    )
+
+
+def test_null_time_fixture_is_nonvacuous(null_time_sf):
+    """The slivers must actually exist, or every replay above passes
+    for the wrong reason."""
+    n_ev = duckdb.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{null_time_sf}/events.parquet')"
+        " WHERE ts IS NULL"
+    ).fetchone()[0]
+    n_ord = duckdb.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{null_time_sf}/orders.parquet')"
+        " WHERE o_orderdate IS NULL"
+    ).fetchone()[0]
+    assert n_ev > 0 and n_ord > 0

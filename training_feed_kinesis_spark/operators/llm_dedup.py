@@ -341,7 +341,11 @@ _WINNOW_ROWLOCAL_MAX = 65536
     CAT,
     f"""
     WITH positions AS (
-      SELECT doc_id, md5(text) AS h, lower(text) AS lt,
+      -- version identity hashes the SAME input both engines: md5 of the
+      -- LOWERCASED text, matching the Spark branch (ADVICE r7 — with
+      -- md5(text) a case-only refetch variant was one version on Spark
+      -- but two on DuckDB, equivalent only via the final DISTINCT)
+      SELECT doc_id, md5(lower(text)) AS h, lower(text) AS lt,
              unnest(range(1, length(lower(text)) - {KGRAM} + 2)) AS pos
       FROM documents WHERE length(text) >= {KGRAM}
     ),

@@ -40,7 +40,7 @@ CAT_TEXT = "2.J llm-pipeline (text)"
              LAG(event_type, 3) OVER w AS c1,
              LAG(event_type, 2) OVER w AS c2,
              LAG(event_type, 1) OVER w AS c3
-      FROM events WHERE event_type IS NOT NULL
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT c1 || '>' || c2 || '>' || c3 AS context,
@@ -66,8 +66,10 @@ def events_seq_train_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both engines: they can be neither context token nor label, and the
     # engines disagree on NULL-in-context rendering (concat_ws silently
     # skips the token, || nulls the whole context — NULL-attribute replay)
+    # NULL ts dropped too (r8): a NULL-ts event sorts to opposite ends
+    # of the (ts, event_id) order across engines and shifts every context
     ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isNotNull()
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(

@@ -40,7 +40,7 @@ N_BUCKETS = 16
     WITH RECURSIVE daily AS (
       SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, n FROM (
         SELECT date_trunc('day', ts) AS d, COUNT(*)::DOUBLE AS n
-        FROM events GROUP BY date_trunc('day', ts))
+        FROM events WHERE ts IS NOT NULL GROUP BY date_trunc('day', ts))
     ),
     hw(i, level, trend) AS (
       -- seed MUST be CAST to DOUBLE: a bare 0.0 binds DECIMAL(2,1) and the
@@ -79,8 +79,12 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the data-sized work is the daily aggregate (one
     shuffle); the fold runs over #days values on one row — iterate on
     AGGREGATES, never on raw data (the graph_pagerank discipline applied
-    to smoothing)."""
-    ev = load_table(spark, sf_dir, "events")
+    to smoothing). NULL ts dropped on both engines: a NULL day would
+    seed the fold on Spark (null struct fields sort first in array_sort)
+    but end the series on DuckDB (NULLS LAST) — the ADVICE r7 seam."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
         F.count(F.lit(1)).cast("double").alias("n")
     )

@@ -1,5 +1,5 @@
 """Wave 97 (round 7): corpus attribution, change detection, and
-cross-table reconciliation — seven oracled keys closing genuine
+cross-table reconciliation — eight oracled keys closing genuine
 surface gaps (net-new throttled per VERDICT r5 item 2).
 
   * ``llm_wimbd_ngram_sources``: the WIMBD corpus census (Elazar et
@@ -29,6 +29,9 @@ surface gaps (net-new throttled per VERDICT r5 item 2).
     consecutive event-type transition — the timing layer missing
     between events_markov (where users go) and sessionization (when
     sessions break).
+  * ``dq_money_magnitude_census``: per-money-column magnitude census
+    (max cents, digits used, headroom to the BIGINT/DECIMAL capacity
+    boundary) — the observability side of the §5.3.6c capacity ledger.
 
 Reference parity note: /root/reference is an EMPTY checkout (SURVEY.md
 §0.1); capability surface reconstructed per SURVEY.md §2 and
@@ -147,8 +150,16 @@ def _cusum_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's flooring // for μ̂; the corpus-total numerator and the
     prefix accumulator widen to DECIMAL(38,0) (§5.3.6c — DuckDB's SUM
     is already HUGEINT), over day-grain rows where decimal cost is
-    output-sized."""
-    o = load_table(spark, sf_dir, "orders")
+    output-sized.
+
+    NULL o_orderdate rows are dropped on BOTH engines before the day
+    grain: a NULL day group would otherwise sit at opposite ends of the
+    prefix window (Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST)
+    and shift every running sum — the ADVICE r7 ordering seam, same
+    class as _FISHER_GROUP_SQL."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
         F.sum(
             F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")
@@ -178,7 +189,7 @@ def _cusum_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderdate AS day,
              CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
                   AS BIGINT) AS rev_c
-      FROM orders GROUP BY o_orderdate
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY o_orderdate
     ),
     centered AS (
       SELECT day, rev_c,
@@ -338,7 +349,7 @@ def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderdate AS day,
              CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
                   AS BIGINT) AS x_c
-      FROM orders GROUP BY o_orderdate
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY o_orderdate
     ),
     trended AS (
       SELECT day, x_c,
@@ -388,8 +399,12 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     window runs over the small day series (same single-partition-series
     shape as ts_ewma); the 7-row seasonal table broadcasts back. isodow
     spelled as Spark weekday()+1 = DuckDB isodow (1=Mon..7=Sun), the
-    stats3.py parity."""
-    o = load_table(spark, sf_dir, "orders")
+    stats3.py parity. NULL o_orderdate dropped on both engines — the
+    _cusum_prefix NULL-ordering seam (a NULL day sorts to opposite
+    window ends across engines)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
         F.sum(
             F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")

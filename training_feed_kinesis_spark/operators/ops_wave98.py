@@ -44,7 +44,7 @@ _CUSUM_CTES = """
       SELECT o_orderdate AS day,
              CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
                   AS BIGINT) AS rev_c
-      FROM orders GROUP BY o_orderdate
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY o_orderdate
     ),
     centered AS (
       SELECT day, rev_c,
@@ -251,7 +251,7 @@ def stat_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           ORDER BY ts, event_id)
                        > INTERVAL '30 minutes' THEN 1 ELSE 0 END
                AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     sess AS (
       SELECT user_id, ts, event_id, event_type,
@@ -289,9 +289,17 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE shuffle on user_id serves the gap flag, the
     running session id, and the per-session rollup; the entry-type
-    census is a second small aggregate on the session grain."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type"
+    census is a second small aggregate on the session grain.
+
+    NULL ts rows are dropped on BOTH engines: a NULL-ts event would
+    sort to opposite ends of the (ts, event_id) session order across
+    engines (Spark NULLS FIRST vs DuckDB NULLS LAST) and silently shift
+    session boundaries and entry election — the ADVICE r7 seam; same
+    discipline as events_dwell_transition."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))

@@ -318,7 +318,7 @@ _SPRT_A = "LN(CAST(19.0 AS DOUBLE))"  # alpha = beta = 0.05: ln((1-b)/a)
     WITH trials AS (
       SELECT user_id % 2 AS variant, ts, event_id,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     path AS (
       SELECT variant,
@@ -371,8 +371,13 @@ def events_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition grain is the experiment arm — at 100 TB you partition by
     (experiment_id, variant) and each arm's path is one partition's
     window, exactly this spelling. The monotone fold also runs
-    incrementally (the stream_stateful per-key discipline)."""
-    ev = load_table(spark, sf_dir, "events").select(
+    incrementally (the stream_stateful per-key discipline). NULL ts
+    rows are dropped on both engines: a NULL-ts trial would sit at
+    opposite ends of the path (Spark NULLS FIRST vs DuckDB NULLS LAST)
+    and renumber every t — the ADVICE r7 ordering seam."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
         (F.col("user_id") % 2).alias("variant"),
         "ts",
         "event_id",
@@ -437,7 +442,7 @@ _LB_LAGS = 6
       SELECT CAST(o_orderdate AS DATE) AS day,
              CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
                   AS DOUBLE) / 100.0 AS rev
-      FROM orders GROUP BY 1
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ),
     centered AS (
       SELECT day, rev - AVG(rev) OVER () AS y FROM daily
@@ -481,8 +486,11 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE shuffle to day grain (map-side combinable cent
     sums), then a single-partition window over ~2.4k day rows — the
     series grain, not the fact grain; for per-series diagnostics at
-    100 TB the same spelling partitions by series id."""
-    o = load_table(spark, sf_dir, "orders")
+    100 TB the same spelling partitions by series id. NULL o_orderdate
+    dropped on both engines (the _cusum_prefix NULL-ordering seam)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     daily = o.groupBy(
         F.col("o_orderdate").cast("date").alias("day")
     ).agg(

@@ -38,7 +38,8 @@ CAT = "2.L time-series analytics"
     """
     WITH daily AS (
       SELECT user_id, date_trunc('day', ts) AS day, AVG(value) AS x
-      FROM events GROUP BY user_id, date_trunc('day', ts)
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY user_id, date_trunc('day', ts)
     ),
     rn AS (
       SELECT user_id, day, x,
@@ -60,9 +61,13 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     two running weighted sums (see module docstring) — two window SUMs
     over the daily grain, zero sequential state. Weights 2^i are exact
     doubles and both engines sum the frame in identical row order, so the
-    quotient hash-matches at 4dp.
+    quotient hash-matches at 4dp. NULL ts dropped on both engines: a
+    NULL day group would sort to opposite ends of the i-order across
+    engines and shift every weight (the ADVICE r7 ordering seam).
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     daily = ev.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
     ).agg(F.avg("value").alias("x"))

@@ -123,7 +123,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                        > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     sess AS (
       SELECT user_id, ts,
@@ -144,8 +144,15 @@ def batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     historical data. Must agree exactly with the streaming session
     operator's result (same oracle as stream_session). Scale shape: both
     windows partition by user_id — ONE shuffle total, reused by the final
-    per-(user, session) aggregation; no global sort anywhere."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    per-(user, session) aggregation; no global sort anywhere. NULL ts
+    rows are dropped on BOTH engines (a NULL-timestamped event has no
+    timeline position; Spark NULLS FIRST vs DuckDB NULLS LAST would
+    otherwise put it in opposite sessions — the ADVICE r7 seam)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts")
+    )
     w = Window.partitionBy("user_id").orderBy("ts")
     # compare in MICROSECONDS: cast("long") truncates to seconds, which
     # misclassifies a 1800.5s gap that DuckDB's exact interval compare keeps

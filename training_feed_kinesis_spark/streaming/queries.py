@@ -127,7 +127,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                        > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     sess AS (
       SELECT user_id, ts,
@@ -146,10 +146,13 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session window (30-minute gap) per user, append mode — sessions emit
     once the watermark proves no more events can merge into them. The replay
     sentinel (far-future row) pushes the watermark past all real sessions so
-    the drained result is complete (SURVEY §5.3.7); sentinel filtered out."""
+    the drained result is complete (SURVEY §5.3.7); sentinel filtered out.
+    NULL ts rows are dropped before the watermark on both engines — a
+    NULL event-time row has no session (the batch_sessionize seam)."""
     stream = replay_stream(spark, sf_dir, "ordered", sentinel=True)
     agg = (
-        stream.withWatermark("ts", "10 minutes")
+        stream.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
@@ -638,7 +641,7 @@ def join_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                        > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     sess AS (
       SELECT user_id, ts,
@@ -756,7 +759,7 @@ _TWS_SESSION_ORACLE = """
       SELECT user_id, ts,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                        > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     sess AS (
       SELECT user_id, ts,
