@@ -501,6 +501,91 @@ def test_grid_knn_is_locally_optimal(spark, registry):
                 assert nn[k] <= d2
 
 
+@pytest.fixture(scope="module")
+def funnel_planted_sf(tmp_path_factory):
+    """events plus PLANTED funnel chains with known arithmetic (the
+    de-vacuization demanded by VERDICT r7 item 3: on the synthetic
+    cadence — median per-user inter-event gap ~7.4 h — a complete
+    view→click→purchase chain at ≤30-min hops is a coincidence, so the
+    driver's sf0.01 result is legitimately 0 rows and the detection
+    power of the operator was untested). User 9001: one clean chain
+    (view +0, click +10 min, purchase +20 min) → 1 chain. User 9002:
+    two views (+0, +5 min), one click (+15 min), two purchases
+    (+25, +35 min) → every view precedes the click within 30 min and
+    both purchases follow it within 30 min → 2×1×2 = 4 chains over 2
+    distinct purchases. User 9003: view → purchase with NO click
+    (+0, +10 min) → must NOT match."""
+    import shutil
+
+    import duckdb as _dd
+
+    from training_feed_kinesis_spark.tables import TABLES
+
+    d = tmp_path_factory.mktemp("funnelplanted")
+    for t in TABLES:
+        if t != "events":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    planted = [
+        (900101, "2024-06-01 12:00:00", 9001, "view"),
+        (900102, "2024-06-01 12:10:00", 9001, "click"),
+        (900103, "2024-06-01 12:20:00", 9001, "purchase"),
+        (900201, "2024-06-02 08:00:00", 9002, "view"),
+        (900202, "2024-06-02 08:05:00", 9002, "view"),
+        (900203, "2024-06-02 08:15:00", 9002, "click"),
+        (900204, "2024-06-02 08:25:00", 9002, "purchase"),
+        (900205, "2024-06-02 08:35:00", 9002, "purchase"),
+        (900301, "2024-06-03 09:00:00", 9003, "view"),
+        (900302, "2024-06-03 09:10:00", 9003, "purchase"),
+    ]
+    values = ", ".join(
+        f"({eid}, TIMESTAMP '{ts}', {uid}, '{et}', 1.0, NULL)"
+        for eid, ts, uid, et in planted
+    )
+    _dd.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{SF_DIR}/events.parquet')
+          UNION ALL
+          SELECT * FROM (VALUES {values})
+            t(event_id, ts, user_id, event_type, value, props)
+        ) TO '{d}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+def test_seq_match_detects_planted_funnels(spark, registry, funnel_planted_sf):
+    """Detection-power proof: the chain counter fires with exactly the
+    planted arithmetic, and the Spark result still matches the DuckDB
+    oracle on the planted table."""
+    import duckdb as _dd
+
+    from training_feed_kinesis_spark.tables import TABLES
+
+    from .conftest import assert_matches_oracle
+
+    spec = registry["events_seq_match"]
+    got = {
+        r["user_id"]: (r["n_chains"], r["n_purchases"])
+        for r in spec.fn(spark, funnel_planted_sf).collect()
+    }
+    assert got[9001] == (1, 1)
+    assert got[9002] == (4, 2)
+    assert 9003 not in got  # no click → no chain
+    con = _dd.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{funnel_planted_sf}/{t}.parquet')"
+        )
+    try:
+        assert_matches_oracle(
+            spec.fn(spark, funnel_planted_sf), con, spec.oracle
+        )
+    finally:
+        con.close()
+
+
 def test_seq_match_users_subset_of_purchasers(spark, registry):
     """Users with a completed view->click->purchase chain must be a
     subset of users who purchased at all."""

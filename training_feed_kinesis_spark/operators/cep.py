@@ -50,6 +50,16 @@ def events_seq_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval boundaries agree bit-for-bit across engines; the completion
     time is emitted as a formatted string (no raw temporal exchange,
     SURVEY §5.3.6).
+
+    The driver's 0-row result at sf0.01 is DATA CADENCE, not a dead
+    operator (probed r8): the synthetic events space each user's events
+    ~7.4 h apart at the median, so two consecutive ≤30-min hops with
+    exactly the view→click→purchase types is a coincidence — 0 complete
+    chains exist at sf0.01 and exactly 1 at sf0.1 (view→click pairs
+    alone: 23 and 175). Detection power is proven by the planted-funnel
+    fixture (tests/test_consistency.py::test_seq_match_detects_planted_
+    funnels): known chain arithmetic 1 and 2×1×2=4, a click-less decoy
+    that must not match, and an oracle match on the planted table.
     """
     ev = load_table(spark, sf_dir, "events")
     v = ev.filter(F.col("event_type") == "view").select(
