@@ -86,9 +86,11 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
-        .cache()
+        # EAGER localCheckpoint: concurrent consumers must not race a cold
+        # store, and blocks self-clean when the memo entry is dropped
+        # (r7 cache-residue class — cache() lived until unpersist)
+        .localCheckpoint()
     )
-    edges.count()  # eager: concurrent consumers must not race a cold cache
     _edges_cache[sf_dir] = edges
     return edges
 
@@ -276,8 +278,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(edges.select(F.col("src").alias("node")))
         .distinct()
     )
-    norm = norm.cache()
-    nodes = nodes.cache()
+    # eager localCheckpoint, not cache(): both frames feed every power
+    # iteration; blocks self-clean after the returned plan is consumed
+    norm = norm.localCheckpoint()
+    nodes = nodes.localCheckpoint()
     n = nodes.count()  # domain-sized (5); fixes the teleport term
     if n == 0:
         # EMPTY corpus: no transitions, no graph — the oracle's CTE

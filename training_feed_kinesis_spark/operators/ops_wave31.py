@@ -107,15 +107,15 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("pa", "pb")
         )
 
-    # cache+materialize each round: round r feeds four consumers (two
-    # degree legs, the stats row, and round r+1) — uncached, the compound
-    # lineage re-evaluates ~4^r times (measured 22.8 s -> ~2 s at sf0.01).
-    # The cached frames are support-thinned edge lists (tiny).
+    # EAGER localCheckpoint each round: round r feeds four consumers (two
+    # degree legs, the stats row, and round r+1) — unmaterialized, the
+    # compound lineage re-evaluates ~4^r times (measured 22.8 s -> ~2 s at
+    # sf0.01). Checkpoint (not cache) also TRUNCATES the lineage and the
+    # blocks self-clean when the frames go out of scope (r7 residue class).
+    # The materialized frames are support-thinned edge lists (tiny).
     rounds = [e0]
     for _ in range(_ROUNDS):
-        nxt = peel(rounds[-1]).cache()
-        nxt.count()
-        rounds.append(nxt)
+        rounds.append(peel(rounds[-1]).localCheckpoint())
 
     def stats(e: DataFrame, i: int) -> DataFrame:
         nodes = (

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ..tables import load_table, parallelize
+from ..tables import load_table, parallelize, release_after
 from .llm_similarity import (
     _DOT,
     _DOT_SQL,
@@ -137,6 +137,8 @@ def llm_semdedup_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "norm"
             ),
         )
+        # cache + release_after: unpersisted when the returned frame dies
+        # (r7 cache-residue class)
         .cache()
     )
     a = cells.select(
@@ -164,7 +166,7 @@ def llm_semdedup_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("is_dropped", F.lit(1))
     )
-    return (
+    return release_after(
         cells.join(dropped, "vec_id", "left")
         .groupBy("cell_id")
         .agg(
@@ -175,7 +177,8 @@ def llm_semdedup_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("keep_rate"),
             F.min("vec_id").cast("long").alias("first_vec"),
-        )
+        ),
+        cells,
     )
 
 

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, release_after
 
 CAT_AGG = "2.D aggregations"
 CAT_REP = "2.L reporting"
@@ -272,6 +272,8 @@ def ts_hier_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = ev.groupBy(
         F.date_trunc("day", "ts").alias("day"), "event_type"
     ).agg(F.round(F.sum("value") * 100, 0).cast("long").alias("cents"))
+    # cache + release_after: unpersisted when the returned frame dies
+    # (r7 cache-residue class)
     cells = cells.cache()
     bounds = cells.agg(F.max("day").alias("last_day"))
     final_week = cells.crossJoin(F.broadcast(bounds)).filter(
@@ -319,7 +321,7 @@ def ts_hier_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(td - F.col("actual_cents")).cast("long").alias("abs_err_td"),
         )
     )
-    return out
+    return release_after(out, cells)
 
 
 @register(

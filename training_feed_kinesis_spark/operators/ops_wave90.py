@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, release_after
 from .ml_eval import _LABEL_SQL
 
 CAT_ML = "2.L ML-relational"
@@ -278,6 +278,8 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_DBAND).alias("db"),
         F.expr(_LABEL_SQL).alias("y"),
     )
+    # cache + release_after: unpersisted when the returned frame dies
+    # (r7 cache-residue class)
     rows_ = rows_.cache()
     sizes = spark.range(1).select(
         F.explode(
@@ -373,7 +375,7 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 10000 + SUM(w)) DIV (2 * SUM(w)) AS BIGINT)"
         ).alias("accuracy_x1e4"),
     )
-    return out
+    return release_after(out, rows_)
 
 
 @register(

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, release_after
 
 CAT_FN = "2.H scalar functions"
 CAT_AGG = "2.D aggregations"
@@ -180,6 +180,8 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.select(
         F.date_trunc("day", "ts").alias("day"), "user_id"
     ).distinct()
+    # cache + release_after: unpersisted when the returned frame dies
+    # (r7 cache-residue class)
     daily = daily.cache()
     days = daily.select("day").distinct()
     dau = daily.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
@@ -194,7 +196,7 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("d.day").alias("day"))
         .agg(F.count_distinct("u.user_id").alias("wau"))
     )
-    return (
+    return release_after(
         dau.join(wau, "day")
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
@@ -203,5 +205,6 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr("(dau * 20000 + wau) div (2 * wau)") / 10000.0).alias(
                 "stickiness"
             ),
-        )
+        ),
+        daily,
     )

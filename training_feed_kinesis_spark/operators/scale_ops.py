@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, substrate
 
 CAT_STREAM = "2.I streaming"
 CAT_JOIN = "2.C joins"
@@ -277,10 +277,14 @@ def llm_stopshingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sh = _shingle_rows(spark, sf_dir)
     df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("d"))
-    kept = (
-        sh.join(df_counts.filter(F.col("d") <= _DF_CAP), "sh")
-        .select("doc_id", "sh")
-        .cache()
+    # SESSION SUBSTRATE (tables.substrate): the df-thinned shingle
+    # relation is cached once per (session, table dir) and shared by the
+    # counts leg, both join legs, and repeated invocations — bounded
+    # footprint, no per-call cache residue (r7 class)
+    kept = substrate(
+        spark, sf_dir, "stopshingle_kept",
+        lambda: sh.join(df_counts.filter(F.col("d") <= _DF_CAP), "sh")
+        .select("doc_id", "sh"),
     )
     counts = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = kept.select(F.col("doc_id").alias("a_id"), "sh")

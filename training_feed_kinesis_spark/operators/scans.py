@@ -276,10 +276,11 @@ def source_json_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(out)
     )
-    # cache() before splitting on _corrupt_record: Spark requires the parsed
-    # relation to be materialized before referencing the corrupt column in
-    # disjoint filters (documented JSON-source restriction)
-    df = df.cache()
+    # EAGER localCheckpoint before splitting on _corrupt_record: Spark
+    # requires the parsed relation to be materialized before referencing
+    # the corrupt column (documented JSON-source restriction); checkpoint
+    # blocks self-clean where a cache() entry leaked (r7 residue class)
+    df = df.localCheckpoint()
     return df.agg(
         F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0)).alias(
             "n_valid"

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, release_after
 from .llm_dedup import (
     _MINHASH_SQL,
     _SHINGLE_ROWS_SQL,
@@ -349,6 +349,8 @@ def llm_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
+        # cache + release_after: unpersisted when the returned frame dies
+        # (r7 cache-residue class)
         .cache()
     )
     sigs = _minhash_sigs(spark, sf_dir)
@@ -386,7 +388,7 @@ def llm_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cb, "b_id")
         .select("est_j", true_j.alias("true_j"))
     )
-    return (
+    return release_after(
         pairs.groupBy(
             F.least(F.floor(F.col("true_j") * 10), F.lit(9))
             .cast("long")
@@ -397,7 +399,8 @@ def llm_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.abs(F.col("est_j") - F.col("true_j"))), 4).alias(
                 "mae"
             ),
-        )
+        ),
+        cands,
     )
 
 

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, release_after
 
 CAT_AGG = "2.D aggregations"
 CAT_SINK = "2.A scans/sources/sinks"
@@ -244,6 +244,8 @@ def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.contains(F.lower(F.col("text")), F.col("phrase")),
         )
         .select("doc_id", "phrase")
+        # cache + release_after: unpersisted when the returned frame dies
+        # (r7 cache-residue class)
         .cache()
     )
     per_phrase = hits.groupBy("phrase").agg(
@@ -253,4 +255,4 @@ def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     passed = hits.agg(
         (F.lit(n_docs) - F.countDistinct("doc_id")).cast("long").alias("n_docs_hit")
     ).select(F.lit("_passed").alias("phrase"), "n_docs_hit")
-    return per_phrase.unionByName(passed)
+    return release_after(per_phrase.unionByName(passed), hits)

@@ -14,6 +14,9 @@ downstream only sees DataFrames, so swapping the loader for a catalog table
 
 from __future__ import annotations
 
+import os
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -97,4 +100,63 @@ def parallelize(df: DataFrame) -> DataFrame:
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
+    return df
+
+
+def release_after(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Unpersist every ``cached`` intermediate once ``result`` is garbage
+    collected — unpersist-after-terminal-action, automated.
+
+    The r7 cache-residue class: an operator that ``.cache()``s an
+    intermediate consumed multiple times by its RETURNED lazy DataFrame
+    has no safe place to unpersist (before return defeats the cache; the
+    caller never sees the intermediate), so 574-key sweeps in one JVM
+    accumulated dead cached relations until ``--chunk`` papered over it.
+    ``localCheckpoint`` is self-cleaning but was measured 1.3–3× slower
+    on the hot dedup keys (serialized RDD block scans vs the columnar
+    in-memory cache) — so hot paths keep ``.cache()`` and tie the
+    release to the result's lifetime instead: a ``weakref.finalize`` on
+    the result unpersists the intermediates when the caller drops the
+    frame after its terminal action. Blocking=False, and a dead JVM is
+    tolerated (interpreter-shutdown GC)."""
+    jdfs = [c._jdf for c in cached]
+
+    def _release(jdfs=jdfs):
+        for j in jdfs:
+            try:
+                j.unpersist(False)
+            except Exception:
+                pass  # gateway already shut down — nothing to release
+
+    weakref.finalize(result, _release)
+    return result
+
+
+# (applicationId, resolved dir, substrate name) -> cached DataFrame.
+# Deliberately session-lived and BOUNDED: one entry per distinct table
+# dir per substrate — a handful of sketch/basket relations, each far
+# smaller than its source table. This is the enumerated replacement for
+# the r7 cache-residue class, where every operator invocation left its
+# own anonymous cached relation in the CacheManager.
+_SUBSTRATE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def substrate(spark: SparkSession, sf_dir: str, name: str, builder) -> DataFrame:
+    """Session-scoped shared cached relation (the materialize-once shape).
+
+    Expensive derived relations consumed by several operators — LSH band
+    signatures, shingle-set arrays, market baskets — are built ONCE per
+    (session, table dir), cached, eagerly materialized (concurrent
+    stages of one job must not race a cold cache), and shared by every
+    consumer and every repeated invocation. At 100 TB this is exactly
+    "materialize the sketch table to storage at ingest, let queries scan
+    it"; in one JVM the memo is the storage. Unlike the per-invocation
+    ``.cache()`` it replaces, the footprint is bounded and enumerable:
+    len(_SUBSTRATE_MEMO) relations, not one per operator call."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    df = _SUBSTRATE_MEMO.get(key)
+    if df is None:
+        df = builder().cache()
+        df.count()
+        _SUBSTRATE_MEMO[key] = df
     return df
