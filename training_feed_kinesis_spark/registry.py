@@ -194,48 +194,32 @@ def register(key: str, category: str, oracle: str | None = None):
 
 
 # The driver's correctness gate samples the FIRST 50 registered keys each
-# round. Round-7 rotation (VERDICT r5 item 1 standing; sixth consecutive
-# rotation): all 50 slots are the block staged at the end of round 6 —
-# never-driver-verified oracled keys in registration order. Rows-only-by-
-# design keys are excluded (their slot is better spent on hash-checkable
-# keys). Entries past 50 are the staged round-8 front-of-line block.
-# Debt after this window lands: 248 - 50 + 19 net-new oracled
-# (waves 97 + 98 + 99) = 217 never-driver-sampled.
+# round. Round-8 rotation (VERDICT r5 item 1 standing; seventh consecutive
+# rotation): all 50 slots are the block staged at the end of round 7 —
+# never-driver-verified oracled keys in registration order. Entries past
+# 50 are the staged ROUND-9 front-of-line block, which per VERDICT r7
+# item 6 leads with the 12 never-sampled ROWS-ONLY keys (excluded from
+# every prior window by the oracled-keys-first rule, they could otherwise
+# never rotate in; the driver's rows-only check — >0 rows, no error — is
+# weak but nonzero and worth 12 slots once), followed by the next 38
+# never-sampled oracled keys in registration order.
+# Debt after the round-8 window lands: 217 - 50 = 167 oracled never-
+# sampled (+ the 12 rows-only, staged next), plus any round-8 net-new
+# (held <= 20 until oracled debt < 150).
 _PRIORITY_KEYS = [
-    # round-6 staged front-of-line, verbatim (the round-7 driver window)
-    "sql_distinct_on", "stat_chi2_independence", "dq_benford",
-    "ts_gap_islands", "events_anomaly_mad", "agg_weighted_median",
-    "vec_label_centroid_sim", "llm_chunk_overlap", "llm_repetition_score",
-    "llm_prefix_dedup", "ml_auc_rank", "ml_confusion",
-    "ml_calibration_lift", "ml_feature_ig", "ml_naive_bayes",
-    "fn_inline_structs", "ts_seasonal_dow", "ts_index_rebase",
-    "geo_grid_knn", "fn_zorder_tile", "events_seq_match", "ml_tree_split",
-    "ml_logreg_step", "ml_knn_classify", "ml_precision_at_k",
-    "stat_ttest_welch", "events_hour_heatmap", "revenue_abc_class",
-    "ts_theil_sen", "customer_gini", "join_dpp_partitioned",
-    "join_bloom_filter", "llm_ngram_novelty", "ts_cross_correlation",
-    "ml_kfold_assign", "vec_norm_outliers", "vec_dim_stats",
-    "llm_quality_gopher", "win_frame_time_range", "graph_link_predict",
-    "ts_burstiness", "llm_lsh_recall", "stream_fanout_sinks",
-    "customer_migration_matrix", "stat_bootstrap_ci",
-    "events_user_similarity", "scan_cache_reuse", "sql_parameterized",
-    "vec_pq_error", "agg_countmin",
-    # --- 50-key window boundary; below = staged round-8 front-of-line ---
-    # (next 50 never-driver-sampled oracled keys in registration order;
-    # round 8 rotates by moving this block to the front and staging a
-    # fresh block for round 9)
+    # round-7 staged front-of-line, verbatim (the round-8 driver window)
     "llm_dsir_weight", "llm_tokenizer_fertility", "llm_minhash_est_error",
-    "stream_topk_windowed", "llm_perplexity_buckets",
-    "llm_crosssource_dup", "vec_trunc_recall", "stream_backfill_union",
-    "feature_pit_snapshot", "join_asof_nearest", "llm_stopshingle_jaccard",
-    "stat_mann_whitney", "sink_dynamic_overwrite", "llm_blocklist_filter",
-    "llm_hard_negatives", "llm_span_corruption", "stream_progress_metrics",
-    "retention_decay_fit", "llm_quality_length_confound",
-    "llm_semdedup_cell", "llm_readability_score", "llm_mattr",
-    "ml_ridge_closed_form", "ml_gbdt_stumps", "llm_preference_pairs",
-    "multimodal_frame_sample", "multimodal_audio_windows",
-    "graph_bfs_distance", "llm_ivf_build_manifest", "llm_ivf_query_router",
-    "llm_code_detect", "stream_quarantine_split", "llm_tokenizer_coverage",
+    "stream_topk_windowed", "llm_perplexity_buckets", "llm_crosssource_dup",
+    "vec_trunc_recall", "stream_backfill_union", "feature_pit_snapshot",
+    "join_asof_nearest", "llm_stopshingle_jaccard", "stat_mann_whitney",
+    "sink_dynamic_overwrite", "llm_blocklist_filter", "llm_hard_negatives",
+    "llm_span_corruption", "stream_progress_metrics", "retention_decay_fit",
+    "llm_quality_length_confound", "llm_semdedup_cell",
+    "llm_readability_score", "llm_mattr", "ml_ridge_closed_form",
+    "ml_gbdt_stumps", "llm_preference_pairs", "multimodal_frame_sample",
+    "multimodal_audio_windows", "graph_bfs_distance",
+    "llm_ivf_build_manifest", "llm_ivf_query_router", "llm_code_detect",
+    "stream_quarantine_split", "llm_tokenizer_coverage",
     "multimodal_resize_plan", "llm_dataloader_epoch_plan",
     "llm_lsh_tuning_curve", "llm_shard_integrity", "events_cuped_adjust",
     "llm_data_ablation_manifest", "events_power_analysis",
@@ -244,6 +228,28 @@ _PRIORITY_KEYS = [
     "llm_attention_cost_table", "events_funnel_window_sensitivity",
     "ts_holt_linear", "events_feature_hashing", "events_did_estimator",
     "llm_ngram_entropy_rate",
+    # --- 50-key window boundary; below = staged round-9 front-of-line ---
+    # 12 never-sampled rows-only keys (one-time; VERDICT r7 item 6):
+    "llm_sim_lsh", "llm_sim_ivf", "llm_ann_recall",
+    "llm_multimodal_transform", "udf_mapinpandas", "agg_sketch_merge",
+    "agg_histogram_numeric", "llm_pack_bestfit", "dq_schema_drift",
+    "llm_compression_ratio", "agg_theta_setops",
+    "stream_watermark_gap_census",
+    # next 38 never-sampled oracled keys in registration order:
+    "llm_byte_fallback_rate", "events_rfm_segmentation",
+    "events_cohort_ltv_curve", "supplier_concentration_hhi",
+    "dq_kanonymity", "dq_ldiversity", "vec_pq_codebook",
+    "llm_source_winrate", "llm_curriculum_order", "events_rate_limit_audit",
+    "orders_ship_latency", "vec_energy_profile", "ml_knn_eval",
+    "stream_chained_aggs", "llm_dedup_method_matrix", "llm_chunk_stitch",
+    "attribution_model_compare", "llm_vocab_coverage_curve",
+    "events_ab_srm_check", "ts_best_split", "events_ipw_ate",
+    "llm_quality_router", "sql_named_parameters", "ts_holt_winters",
+    "llm_split_leakage_neardup", "graph_label_propagation", "fn_try_cast",
+    "multimodal_pairing_audit", "llm_bpe_apply", "stat_anova_oneway",
+    "events_qte", "agg_ams_f2_sketch", "source_xml", "fn_luhn",
+    "sink_parquet_codecs", "stream_dedup_near_incremental",
+    "agg_bitmap_builtin", "sql_session_variables",
 ]
 
 
