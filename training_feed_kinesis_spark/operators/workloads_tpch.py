@@ -164,6 +164,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ELSE 0 END) AS DOUBLE)
                  / CAST(SUM(volume_s) AS DOUBLE), 4) AS mkt_share
     FROM (
+      -- customer-side region membership is a SEMI join (IN), matching
+      -- the Spark left_semi: a plain n1⋈region chain is equivalent only
+      -- on duplicate-free dims — the r8 dim-corruption campaign caught
+      -- a duplicated region/nation row fanning out the oracle but not
+      -- the semi spelling. Membership is a set test, not a fan-out.
       SELECT year(o_orderdate) AS o_year,
              {_REV_S} AS volume_s,
              n2.n_name AS supp_nation
@@ -171,11 +176,12 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN lineitem ON p_partkey = l_partkey
       JOIN orders   ON o_orderkey = l_orderkey
       JOIN customer ON c_custkey = o_custkey
-      JOIN nation n1 ON c_nationkey = n1.n_nationkey
-      JOIN region   ON n1.n_regionkey = r_regionkey
       JOIN supplier ON s_suppkey = l_suppkey
       JOIN nation n2 ON s_nationkey = n2.n_nationkey
-      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      WHERE p_type = 'PROMO'
+        AND c_nationkey IN (SELECT n_nationkey FROM nation
+                            JOIN region ON n_regionkey = r_regionkey
+                            WHERE r_name = 'ASIA')
     ) all_nations
     GROUP BY o_year
     """,
