@@ -217,7 +217,7 @@ def agg_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (
       SELECT date_trunc('day', ts) AS day, COUNT(*)::BIGINT AS cnt
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     l AS (
       SELECT cnt,
@@ -241,9 +241,9 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the rollup collapses to one row per day before the window, so
     the single-partition ordered window is bounded by calendar length, not
-    event count.
+    event count. NULL ts dropped on both engines (the r8 NULL-time seam).
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -268,7 +268,7 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH day AS (
       SELECT ts::DATE AS d, ROUND(SUM(value), 4) AS x
-      FROM events GROUP BY ts::DATE
+      FROM events WHERE ts IS NOT NULL GROUP BY ts::DATE
     ),
     m AS (SELECT AVG(x) AS mu FROM day),
     ph AS (
@@ -296,8 +296,9 @@ def ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly sequenced by date, so both engines fold the identical rounded
     inputs in the identical order. The raw stream never reaches the
     window: at 100 TB the day rollup is the only full-data pass.
+    NULL ts dropped on both engines (the r8 NULL-time seam).
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     day = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.round(F.sum("value"), 4).alias("x")
     )

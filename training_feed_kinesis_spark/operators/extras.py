@@ -58,7 +58,7 @@ def agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_id,
            LAST_VALUE(CASE WHEN event_type = 'error' THEN NULL ELSE value END
                       IGNORE NULLS)
-             OVER (PARTITION BY user_id ORDER BY ts, event_id
+             OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                    ROWS UNBOUNDED PRECEDING) AS last_good_value
     FROM events
     """,
@@ -70,9 +70,10 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree on ties; raw (unaggregated) doubles pass through bit-identical.
     """
     ev = load_table(spark, sf_dir, "events")
+    # ts NULLS LAST both engines (the r8 NULL-time seam)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.col("ts").asc_nulls_last(), F.col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     good = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
@@ -298,7 +299,7 @@ def fn_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey, o_orderdate,
              LAG(o_orderdate) OVER (PARTITION BY o_custkey
                                     ORDER BY o_orderdate, o_orderkey) AS prev_d
-      FROM orders),
+      FROM orders WHERE o_orderdate IS NOT NULL),
     gaps AS (
       SELECT c_mktsegment,
              date_diff('day', prev_d, o_orderdate) AS gap_days
@@ -320,7 +321,11 @@ def orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     (customer is dimension-sized relative to orders); the aggregate is
     partial+final.
     """
-    o = load_table(spark, sf_dir, "orders")
+    # NULL o_orderdate dropped on both engines (the r8 NULL-time seam):
+    # an undated order has no position in a cadence sequence
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     seq = o.withColumn("prev_d", F.lag("o_orderdate").over(w)).filter(

@@ -134,7 +134,7 @@ def llm_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     p AS (
       SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
@@ -156,7 +156,8 @@ def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable count by path; path cardinality is bounded by
     |event_type|^5, so the final top-k is a tiny sort.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # NULL ts dropped on both engines (the r8 NULL-time seam)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     r = ev.select(
         "user_id", "event_type", F.row_number().over(w).alias("rn")

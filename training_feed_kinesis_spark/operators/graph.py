@@ -210,7 +210,7 @@ def _pagerank_oracle() -> str:
       SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS prev_type
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     edges AS (
       SELECT prev_type AS src, event_type AS dst, COUNT(*)::DOUBLE AS w
@@ -261,7 +261,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # NULL ts dropped on both engines (the r8 NULL-time seam)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")

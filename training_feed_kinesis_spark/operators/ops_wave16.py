@@ -95,11 +95,12 @@ def events_seq_train_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_id,
            ROW_NUMBER() OVER w AS rn,
            LAG(value) OVER w AS prev_value,
-           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROUND(SUM(value) OVER (PARTITION BY user_id
+                 ORDER BY ts NULLS LAST, event_id
                  ROWS UNBOUNDED PRECEDING), 4) AS running_value
     FROM events
     WHERE event_type = 'purchase'
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
     """,
 )
 def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,11 +119,12 @@ def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER w AS rn,
                LAG(value) OVER w AS prev_value,
                ROUND(SUM(value) OVER (PARTITION BY user_id
-                     ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 4)
+                     ORDER BY ts NULLS LAST, event_id
+                     ROWS UNBOUNDED PRECEDING), 4)
                  AS running_value
         FROM tfk_events_nw
         WHERE event_type = 'purchase'
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
         """
     )
 

@@ -111,7 +111,7 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT date_trunc('day', ts) AS d, ROUND(SUM(value), 4) AS rev
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     lagged AS (
       SELECT d, rev,
@@ -134,8 +134,9 @@ def ts_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     this table the first artifact of every forecast review.
 
     Scale shape: the day-keyed aggregate is the only data-sized step;
-    the lag and the error columns run on the days-sized series."""
-    ev = load_table(spark, sf_dir, "events")
+    the lag and the error columns run on the days-sized series. NULL ts
+    dropped on both engines (the r8 NULL-time seam)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.round(F.sum("value"), 4).alias("actual")
     )

@@ -46,7 +46,7 @@ _SEASON = 7
     WITH RECURSIVE daily AS (
       SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, n FROM (
         SELECT date_trunc('day', ts) AS d, COUNT(*)::DOUBLE AS n
-        FROM events GROUP BY date_trunc('day', ts))
+        FROM events WHERE ts IS NOT NULL GROUP BY date_trunc('day', ts))
     ),
     seed_level AS (
       SELECT ((((((
@@ -106,8 +106,10 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: data-sized work is the one daily aggregate; the
     sequential recursion folds over a #days array on a single row —
-    iterate on aggregates, never on raw data."""
-    ev = load_table(spark, sf_dir, "events")
+    iterate on aggregates, never on raw data. NULL ts dropped on both
+    engines (the r8 NULL-time seam: a NULL day would seed the fold on
+    Spark but end the series on DuckDB, the ts_holt_linear find)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
         F.count(F.lit(1)).cast("double").alias("n")
     )

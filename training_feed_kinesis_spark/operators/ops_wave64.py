@@ -43,7 +43,7 @@ _PATTERN = "v+c[vcs]{0,2}p"
       SELECT user_id, ts, {_ENC_SQL} AS sym,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                        > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     sess AS (
       SELECT user_id, ts, sym,
@@ -83,8 +83,8 @@ def events_sequence_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one user-keyed session window + one string_agg per
     session (bounded by session length), then map-side regex — no joins
-    at all."""
-    ev = load_table(spark, sf_dir, "events")
+    at all. NULL ts dropped on both engines (the r8 NULL-time seam)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w_u = Window.partitionBy("user_id").orderBy("ts")
     gaps = ev.select(
         "user_id",

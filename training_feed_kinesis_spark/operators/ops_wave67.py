@@ -175,7 +175,7 @@ def vec_binary_sign_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_type AS cur,
                LEAD(event_type) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS nxt
-        FROM events)
+        FROM events WHERE ts IS NOT NULL)
       WHERE nxt IS NOT NULL GROUP BY cur, nxt
     ),
     p AS (
@@ -222,8 +222,9 @@ def events_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the chain is DOMAIN-sized (5×5) after one window pass
     over the fact table — every subsequent join touches ≤25 rows; the
-    iterate-on-aggregates discipline again."""
-    ev = load_table(spark, sf_dir, "events")
+    iterate-on-aggregates discipline again. NULL ts dropped on both
+    engines (the r8 NULL-time seam)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     steps = ev.select(
         F.col("event_type").alias("cur"),

@@ -33,7 +33,7 @@ CAT_TEXT = "2.J llm-pipeline (text)"
       SELECT user_id, ts, event_type, value,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                        > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     sess AS (
       SELECT user_id, ts, event_type, value,
@@ -76,8 +76,9 @@ def events_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
     campaign is sized from.
 
     Scale shape: one user-keyed session window, one session-grain
-    aggregate with map-side flags, a 1-row report."""
-    ev = load_table(spark, sf_dir, "events")
+    aggregate with map-side flags, a 1-row report. NULL ts dropped on
+    both engines (the r8 NULL-time seam)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w_u = Window.partitionBy("user_id").orderBy("ts")
     gaps = ev.select(
         "user_id",

@@ -45,7 +45,7 @@ _TRANS_SQL = """
       SELECT user_id, event_type, ts, event_id,
              ROW_NUMBER() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     fp AS (
       SELECT user_id,
@@ -129,7 +129,8 @@ def _transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     at first purchase → (frm, to_s, p) transition census. Exposed as a
     helper so tests can plan-assert the census (partial aggregation, no
     cartesian) independently of the driver-side value iteration."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL ts dropped on both engines (the r8 NULL-time seam)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "user_id", "event_type", F.row_number().over(w).alias("rn")

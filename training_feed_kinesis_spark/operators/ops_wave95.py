@@ -525,7 +525,7 @@ def llm_pii_redact_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
              CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
                   AS BIGINT) AS cents
-      FROM orders GROUP BY day
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY day
     ),
     hist AS (
       SELECT day, cents,
@@ -561,8 +561,11 @@ def ts_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one day-grain partial agg, one bounded 28-row window
     (partition by series key when backtesting many series), a 3-row
-    quantile explode, one final 3-group agg."""
-    o = load_table(spark, sf_dir, "orders")
+    quantile explode, one final 3-group agg. NULL o_orderdate dropped
+    on both engines (the r8 NULL-time seam)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     daily = (
         o.groupBy(
             F.to_date(F.date_trunc("day", "o_orderdate")).alias("day")

@@ -113,7 +113,8 @@ def ts_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT strftime(o_orderdate, '%Y-%m') AS month,
              SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
-      FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
+      FROM orders WHERE o_orderdate IS NOT NULL
+      GROUP BY strftime(o_orderdate, '%Y-%m')
     )
     SELECT month, CAST(rev_c AS DOUBLE) / 100.0 AS rev,
            ROUND(CAST(rev_c AS DOUBLE)
@@ -127,9 +128,13 @@ def ts_index_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
     = 100. One groupBy to |months| rows, then a first_value window over
     that dust-sized series (never over raw rows). Month is emitted as a
     yyyy-MM string — engines never exchange raw DATE values (SURVEY
-    §5.3.6).
+    §5.3.6). NULL o_orderdate dropped on both engines (the r8 NULL-time
+    seam: a NULL month would be the BASE month on Spark, the last row on
+    DuckDB, shifting every index value).
     """
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     # exact integer cents (§5.3.6b): the rebased index divides
     # bit-identical integers on both engines
     m = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(

@@ -147,7 +147,8 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT_TS,
     """
     WITH d AS (
-      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+      FROM events WHERE ts IS NOT NULL
     ),
     r AS (
       SELECT user_id, day,
@@ -175,9 +176,11 @@ def ts_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle on user_id serves both the dedup and the window;
     everything downstream is per-user-tiny. This is the retention-streak
-    primitive behind "7-day streak" product metrics.
+    primitive behind "7-day streak" product metrics. NULL ts dropped on
+    both engines (the r8 NULL-time seam: a NULL day row perturbs the
+    row_number anchor for its whole user partition).
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     d = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
     w = Window.partitionBy("user_id").orderBy("day")
     r = d.select(

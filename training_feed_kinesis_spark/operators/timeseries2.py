@@ -204,7 +204,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
                                 ORDER BY ts DESC, event_id DESC, value DESC)
                AS rn_close
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
            ROUND(MAX(CASE WHEN rn_open = 1 THEN value END), 4) AS open,
@@ -221,9 +221,11 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     arg-extremes on the composite (ts, event_id) time key — min_by/max_by
     resolve first/last deterministically under timestamp ties without a
     ranking join-back — plus plain min/max/count. One hash aggregation,
-    one shuffle, at any scale.
+    one shuffle, at any scale. NULL ts dropped on both engines (the r8
+    NULL-time seam: a NULL-ts event has no candle and its struct order
+    diverges across engines).
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     # value joins the arg-extreme key: a redelivered duplicate event_id
     # at the same ts would otherwise make the open/close election
     # engine-arbitrary (events-redelivery corruption replay) — among

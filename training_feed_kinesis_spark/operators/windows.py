@@ -65,12 +65,18 @@ def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
            LEAD(value, 1) OVER w AS next_value,
            LAG(value, 2, -1.0) OVER w AS prev2_or_default
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts ASC NULLS LAST, event_id ASC)
     """,
 )
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # ts ASC NULLS LAST both engines: Spark defaults NULLS FIRST, DuckDB
+    # NULLS LAST — a NULL-ts sliver would otherwise sit at opposite ends
+    # of every partition (the r8 NULL-time sweep caught this family)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc()
+    )
     return ev.select(
         "event_id",
         "user_id",
@@ -88,16 +94,21 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arbitrary partition order) — same prefix order both engines → round 4
     """
     SELECT event_id, user_id,
-           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROUND(SUM(value) OVER (PARTITION BY user_id
+                 ORDER BY ts NULLS LAST, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total,
-           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROUND(AVG(value) OVER (PARTITION BY user_id
+                 ORDER BY ts NULLS LAST, event_id
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)         AS moving_avg3
     FROM events
     """,
 )
 def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts NULLS LAST both engines (the r8 NULL-time seam)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id")
+    )
     return ev.select(
         "event_id",
         "user_id",
@@ -153,7 +164,8 @@ def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
            LAST_VALUE(event_type)  OVER w AS last_type,
            NTH_VALUE(event_type, 2) OVER w AS second_type
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts ASC NULLS LAST, event_id ASC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
@@ -162,9 +174,10 @@ def win_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     default frame ends at CURRENT ROW, which silently makes LAST_VALUE ≡
     current row in both engines; the explicit frame is the correct spelling."""
     ev = load_table(spark, sf_dir, "events")
+    # ts ASC NULLS LAST both engines (the r8 NULL-time seam)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc())
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return ev.select(

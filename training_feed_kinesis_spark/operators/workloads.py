@@ -437,7 +437,7 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type AS cur,
              LAG(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     trans AS (SELECT prev, cur, COUNT(*) AS c
               FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur),
     tot AS (SELECT prev, SUM(c)::DOUBLE AS t FROM trans GROUP BY prev)
@@ -456,7 +456,9 @@ def events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window as W
 
-    ev = load_table(spark, sf_dir, "events")
+    # NULL ts dropped on both engines (the r8 NULL-time seam): an
+    # untimestamped event has no position in a per-user sequence
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("cur"),
