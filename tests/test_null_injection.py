@@ -1859,6 +1859,53 @@ NULL_TIME_EVENT_CONSUMERS = [
     "ts_resample_gapfill",
     "events_seq_train_pairs",
     "win_frame_time_range",
+    # the r8 EXHAUSTIVE sweep (all 563 oracled keys vs this fixture at
+    # sf0.01) found 39 more live divergences beyond the targeted list;
+    # every one fixed to a single spelling and pinned here. Sequence/
+    # path/markov + asof + scd2 + sink families drop NULL time keys on
+    # both engines (an untimestamped event has no sequence/as-of/
+    # partition position — and DuckDB's sort-based ASOF treats a NULL
+    # probe ts as +inf where Spark's NULLS FIRST matches nothing);
+    # pure window-surface keys pin ts ASC NULLS LAST instead, keeping
+    # every row under an engine-identical order.
+    "events_markov",
+    "events_markov_absorption",
+    "events_attribution_markov_removal",
+    "events_path_topk",
+    "events_sequence_regex",
+    "events_cart_abandonment",
+    "graph_pagerank",
+    "join_asof",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "join_asof_tolerance",
+    "scd2_intervals",
+    "sink_dynamic_overwrite",
+    "sql_named_window",
+    "win_frame_rows",
+    "win_ignore_nulls",
+    "win_lag_lead",
+    "win_rolling_median",
+    "win_running_distinct",
+    "win_value",
+]
+
+# streaming consumers: NULL event-time rows dropped at the stream source
+# on both engines — an event with no event time has no window, session,
+# join interval, or migration epoch; sentinel rows carry far-future ts
+# and survive the filter
+NULL_TIME_STREAM_CONSUMERS = [
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_dedup_watermark",
+    "stream_stateful_timeout",
+    "stream_chained_aggs",
+    "stream_session_dynamic_gap",
+    "stream_topk_windowed",
+    "stream_backfill_union",
+    "join_stream_scd2",
+    "join_stream_stream_outer",
 ]
 
 NULL_TIME_DAY_CONSUMERS = [
@@ -1873,6 +1920,24 @@ NULL_TIME_DAY_CONSUMERS = [
     "ts_seasonal_dow",
     "ts_holt_linear",
     "dq_date_sanity_census",
+    # the r8 exhaustive-sweep finds over ts/o_orderdate day grains
+    "ts_autocorr",
+    "ts_page_hinkley",
+    "ts_snaive_backtest",
+    "ts_holt_winters",
+    "ts_pinball_loss",
+    "ts_index_rebase",
+    "ts_gap_islands",
+    "ts_ohlc",
+    "ts_variance_ratio",
+    "orders_interarrival",
+    # second-pass finds: the wave-78 shared daily-cents substrate (fixed
+    # AT the substrate, covering all four consumers) and ts_best_split
+    "ts_best_split",
+    "ts_seasonal_strength",
+    "ts_bollinger_breakout",
+    "ts_croston",
+    "ts_turning_points",
 ]
 
 
@@ -1919,7 +1984,10 @@ def duck_null_time(null_time_sf):
 
 
 @pytest.mark.parametrize(
-    "key", NULL_TIME_EVENT_CONSUMERS + NULL_TIME_DAY_CONSUMERS
+    "key",
+    NULL_TIME_EVENT_CONSUMERS
+    + NULL_TIME_STREAM_CONSUMERS
+    + NULL_TIME_DAY_CONSUMERS,
 )
 def test_time_ordered_ops_survive_null_time_keys(
     key, spark, registry, null_time_sf, duck_null_time

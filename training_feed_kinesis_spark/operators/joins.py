@@ -248,9 +248,11 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT,
     """
     SELECT p.event_id, p.user_id, c.ts AS click_ts
-    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase' AND ts IS NOT NULL) p
     ASOF LEFT JOIN
-         (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+         (SELECT user_id, ts FROM events
+          WHERE event_type = 'click' AND ts IS NOT NULL) c
       ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
 )
@@ -273,9 +275,14 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorts before the purchase via the event_type tiebreak ('click' <
     'purchase'), preserving the inclusive `p.ts >= c.ts` bound; LEFT
     semantics fall out of ignorenulls (no prior click ⇒ NULL click_ts).
+    NULL ts dropped on both engines (the r8 NULL-time seam — DuckDB's
+    sort-based ASOF treats a NULL probe ts as +inf and matches the LAST
+    click, Spark's NULLS FIRST order matches none; an untimestamped
+    event has no as-of position).
     """
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
+        & F.col("ts").isNotNull()
     )
     w = (
         Window.partitionBy("user_id")
@@ -573,9 +580,9 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT,
     """
     WITH clicks AS (SELECT user_id, event_id, ts FROM events
-                    WHERE event_type = 'click'),
+                    WHERE event_type = 'click' AND ts IS NOT NULL),
     purchases AS (SELECT user_id, ts FROM events
-                  WHERE event_type = 'purchase')
+                  WHERE event_type = 'purchase' AND ts IS NOT NULL)
     SELECT c.user_id, c.event_id,
            p.ts AS next_purchase_ts,
            date_diff('second', c.ts, p.ts)::BIGINT AS secs_to_purchase
@@ -603,9 +610,11 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     # p.user_id) can never be true on a NULL key, but the window spelling
     # would happily match NULL-user clicks to NULL-user purchases within
     # the NULL partition (NULL-attribute corruption replay)
+    # NULL ts dropped too (the r8 NULL-time seam / DuckDB ASOF NULL=+inf)
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
         & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
     )
     w = (
         W.partitionBy("user_id")

@@ -115,7 +115,7 @@ def llm_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                AS last_click
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT event_id, user_id,
            CASE WHEN last_click >= ts - {_TOL} THEN last_click END
@@ -134,8 +134,9 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-local CASE; the tolerance costs nothing extra.
 
     Scale: one shuffle on user_id, O(n log n) per hot key — inherits the
-    linearized as-of's skew safety."""
-    ev = load_table(spark, sf_dir, "events")
+    linearized as-of's skew safety. NULL ts dropped on both engines
+    (the r8 NULL-time seam)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

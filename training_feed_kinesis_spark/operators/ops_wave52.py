@@ -335,7 +335,7 @@ def ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
       SELECT time_bucket(INTERVAL '15 minutes', ts) AS w15, event_type,
              COUNT(*)::BIGINT AS n
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     )
     SELECT date_trunc('hour', w15) AS hour_start, event_type,
            MAX(n)::BIGINT AS peak_quarter_hour,
@@ -358,7 +358,10 @@ def stream_chained_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a full sink/re-read round trip and a second checkpoint."""
     from ..streaming.replay import drain, replay_stream
 
-    stream = replay_stream(spark, sf_dir, "ordered", sentinel=True)
+    # NULL event-time rows dropped on both engines (r8 NULL-time seam)
+    stream = replay_stream(spark, sf_dir, "ordered", sentinel=True).filter(
+        F.col("ts").isNotNull()
+    )
     q15 = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "15 minutes"), "event_type")

@@ -127,7 +127,7 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT date_trunc('day', ts) AS d,
              CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS v
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     seq AS (
       SELECT v,
@@ -171,8 +171,9 @@ def ts_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic, unlike a float-accumulated spelling.
 
     Scale shape: O(days) state after the daily aggregate; the candidate
-    scan is a window over the day series, not the event stream."""
-    ev = load_table(spark, sf_dir, "events")
+    scan is a window over the day series, not the event stream. NULL ts
+    dropped on both engines (the r8 NULL-time seam)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
         F.round(F.sum("value") * 100, 0).cast("bigint").alias("v")
     )

@@ -47,7 +47,7 @@ _GAP_SQL = (
       SELECT user_id, ts,
              ts + CASE WHEN event_type = 'purchase' THEN INTERVAL '60 minutes'
                        ELSE INTERVAL '15 minutes' END AS r
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     marked AS (
       SELECT user_id, ts, r,
@@ -85,7 +85,10 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     key bounded by the watermark), the gap just varies per row."""
     from ..streaming.replay import drain, replay_stream
 
-    stream = replay_stream(spark, sf_dir, "ordered", sentinel=True)
+    # NULL event-time rows dropped on both engines (r8 NULL-time seam)
+    stream = replay_stream(spark, sf_dir, "ordered", sentinel=True).filter(
+        F.col("ts").isNotNull()
+    )
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(

@@ -35,17 +35,20 @@ CAT_TS = "2.L time-series analytics"
 
 ALPHA = 0.5  # Croston smoothing — exact binary fraction
 
+# NULL ts dropped on both engines (the r8 NULL-time seam): a NULL day
+# group would sort to opposite ends of every ORDER BY day window built
+# on this substrate across engines
 _DAILY_CENTS_SQL = """
     daily AS (
       SELECT date_trunc('day', ts) AS day,
              CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS rev_cents
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     )
 """
 
 
 def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.round(F.sum("value") * 100, 0).cast("long").alias("rev_cents")
     )

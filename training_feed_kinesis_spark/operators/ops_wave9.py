@@ -35,7 +35,7 @@ _SCD_FLIP = "2024-01-15 00:00:00"
                 WHEN strpos('02468ace', substr(md5(user_id::VARCHAR), 1, 1)) > 0
                   THEN 'gold' ELSE 'silver' END AS tier,
            COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
-    FROM events GROUP BY 1
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
     """,
 )
 def join_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,7 +72,13 @@ def join_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi.alias("valid_to"),
     )
     dim = v1.unionByName(v2)
-    stream = replay_stream(spark, sf_dir, "ordered")
+    # NULL event-time rows dropped on both engines (the r8 NULL-time
+    # seam): an event with no event time cannot be time-correctly
+    # enriched — the interval predicates would silently drop it on
+    # Spark while the oracle's CASE still assigned it a tier
+    stream = replay_stream(spark, sf_dir, "ordered").filter(
+        F.col("ts").isNotNull()
+    )
     # null-SAFE key equality: the distinct-user dim legitimately carries
     # a NULL-user version pair, and the oracle's CASE assigns NULL-keyed
     # events a tier (bronze/silver) — a plain equality join would drop

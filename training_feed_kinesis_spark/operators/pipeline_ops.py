@@ -130,7 +130,7 @@ def cdc_latest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
       SELECT user_id, ts, event_id, event_type,
              CASE WHEN event_type = LAG(event_type) OVER w THEN 0 ELSE 1 END AS chg
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     islands AS (
       SELECT user_id, ts, event_type,
@@ -151,9 +151,11 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both windows and the final aggregate partition by user_id — a single
     shuffle, reused across the three stages. This is the batch spelling of
-    what `stream_stateful` maintains incrementally.
+    what `stream_stateful` maintains incrementally. NULL ts dropped on
+    both engines (the r8 NULL-time seam: a NULL-ts row sits at opposite
+    ends of the island order across engines and renumbers every island).
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = (
         Window.partitionBy("user_id")

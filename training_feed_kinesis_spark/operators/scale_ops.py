@@ -47,7 +47,7 @@ _CUTOFF = "2024-01-20 00:00:00"
     CAT_STREAM,
     """
     SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id)::BIGINT AS n_users
-    FROM events GROUP BY event_type
+    FROM events WHERE ts IS NOT NULL GROUP BY event_type
     """,
 )
 def stream_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,7 +61,12 @@ def stream_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming without a flag-day: history writes once, the stream owns
     the tail, and the seam dedup is an event_id anti-join bounded to the
     overlap window (here spelled as a full dedup for oracle strength —
-    production restricts it to ts within the overlap)."""
+    production restricts it to ts within the overlap).
+
+    NULL event-time rows belong to NEITHER epoch (the history predicate
+    ts < cutoff and the tail predicate ts >= cutoff-1d are both unknown
+    on NULL), so the oracle pins the same exclusion — the r8 NULL-time
+    seam; an undated event cannot be assigned to a migration side."""
     from ..streaming.replay import drain, replay_stream
 
     ev = load_table(spark, sf_dir, "events")
@@ -165,7 +170,7 @@ def feature_pit_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
                AS next_p
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT event_id, user_id,
            CASE
@@ -187,8 +192,9 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic hot-key risk, generalized to both directions.
 
     Scale: one shuffle on user_id, O(events) state-free window work;
-    a hot user costs O(n log n) sort, never O(n²) pairs."""
-    ev = load_table(spark, sf_dir, "events")
+    a hot user costs O(n log n) sort, never O(n²) pairs. NULL ts
+    dropped on both engines (the r8 NULL-time seam)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     base = Window.partitionBy("user_id").orderBy("ts", "event_id")
     p_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
     prev_p = F.max(p_ts).over(

@@ -414,7 +414,7 @@ def llm_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hourly AS (
       SELECT date_trunc('hour', ts) AS hour_start, event_type,
              COUNT(*) AS n
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     ranked AS (
       SELECT hour_start, event_type, n,
@@ -437,7 +437,10 @@ def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (windows in watermark horizon) × (event-type cardinality)."""
     from ..streaming.replay import drain, replay_stream
 
-    stream = replay_stream(spark, sf_dir, "ordered")
+    # NULL event-time rows dropped on both engines (r8 NULL-time seam)
+    stream = replay_stream(spark, sf_dir, "ordered").filter(
+        F.col("ts").isNotNull()
+    )
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour"), "event_type")

@@ -193,7 +193,7 @@ def fn_printf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id, event_id,
            COUNT(DISTINCT event_type)
-             OVER (PARTITION BY user_id ORDER BY ts, event_id
+             OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                    ROWS UNBOUNDED PRECEDING) AS types_seen
     FROM events
     """,
@@ -205,11 +205,12 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     spells it COUNT(DISTINCT) OVER. Full (ts, event_id) tiebreak keeps
     both engines' frames identical. The set is bounded by the event-type
     domain (5), so window state stays O(1) per row at any scale.
+    ts NULLS LAST both engines (the r8 NULL-time seam).
     """
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.col("ts").asc_nulls_last(), F.col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return ev.select(

@@ -42,7 +42,8 @@ CAT_WORK = "2.L workloads"
     """
     SELECT user_id, event_id,
            ROUND(quantile_cont(value, 0.5)
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts NULLS LAST, event_id
                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
              AS med7
     FROM events
@@ -53,11 +54,12 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact ``percentile`` over a bounded ROWS frame (frame = the state, so
     memory is O(7) per row at any scale); DuckDB's interpolating
     quantile_cont matches Spark's percentile definition exactly.
+    ts NULLS LAST both engines (the r8 NULL-time seam).
     """
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.col("ts").asc_nulls_last(), F.col("event_id"))
         .rowsBetween(-6, Window.currentRow)
     )
     return ev.select(

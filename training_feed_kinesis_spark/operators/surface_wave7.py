@@ -148,10 +148,10 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d, COUNT(*) AS n, ROUND(SUM(v), 4) AS total
     FROM (
       SELECT dayofmonth(ts) AS d, value AS v FROM events
-      WHERE dayofmonth(ts) NOT IN (5, 6)
+      WHERE ts IS NOT NULL AND dayofmonth(ts) NOT IN (5, 6)
       UNION ALL
       SELECT dayofmonth(ts) AS d, value * 2 AS v FROM events
-      WHERE dayofmonth(ts) IN (5, 6)
+      WHERE ts IS NOT NULL AND dayofmonth(ts) IN (5, 6)
     )
     GROUP BY d
     """,
@@ -172,9 +172,12 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     out = os.path.join(SCRATCH, f"dyn_overwrite_{sf_tag}")
-    ev = load_table(spark, sf_dir, "events").select(
-        F.dayofmonth("ts").alias("d"), F.col("value").alias("v")
-    )
+    # NULL ts dropped on both engines (the r8 NULL-time seam): an
+    # undated row would land in the Hive default partition on Spark
+    # while the oracle's NOT IN three-valued logic silently drops it
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(F.dayofmonth("ts").alias("d"), F.col("value").alias("v"))
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     # the FULL write runs in STATIC mode so it truncates the reused
     # deterministic dir — under dynamic mode a shrunken/empty corpus

@@ -73,14 +73,19 @@ def source_kinesis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT date_trunc('hour', ts) AS hour_start, event_type,
            COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
-    FROM events GROUP BY date_trunc('hour', ts), event_type
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY date_trunc('hour', ts), event_type
     """,
 )
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window aggregation. Complete mode: a drained
     finite stream then holds exactly the batch group-by result. The
-    watermark bounds state eviction in continuous operation."""
-    stream = replay_stream(spark, sf_dir, "ordered")
+    watermark bounds state eviction in continuous operation. NULL
+    event-time rows dropped on both engines (the r8 NULL-time seam: an
+    event with no event time has no window)."""
+    stream = replay_stream(spark, sf_dir, "ordered").filter(
+        F.col("ts").isNotNull()
+    )
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour"), "event_type")
@@ -101,13 +106,17 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
              - k * INTERVAL '15 minutes' AS window_start,
            COUNT(*) AS n
     FROM events, (SELECT unnest(range(0, 4)) AS k)
+    WHERE ts IS NOT NULL
     GROUP BY window_start
     """,
 )
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (1h length, 15min slide): every event lands in 4
-    overlapping windows; both engines align windows to the unix epoch."""
-    stream = replay_stream(spark, sf_dir, "ordered")
+    overlapping windows; both engines align windows to the unix epoch.
+    NULL event-time rows dropped on both engines (r8 NULL-time seam)."""
+    stream = replay_stream(spark, sf_dir, "ordered").filter(
+        F.col("ts").isNotNull()
+    )
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour", "15 minutes"))
@@ -524,7 +533,8 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
            COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
-    FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY event_type, strftime(ts, '%Y-%m-%d')
     """,
 )
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,7 +554,11 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     StreamingQueryProgress (replay.LAST_PROGRESS) AND the oracle proves
     results are unchanged.
     """
-    stream = replay_stream(spark, sf_dir, "doubled")
+    # NULL event-time rows dropped on both engines (r8 NULL-time seam:
+    # watermark-bounded dedup state is keyed by event time)
+    stream = replay_stream(spark, sf_dir, "doubled").filter(
+        F.col("ts").isNotNull()
+    )
     deduped = stream.withWatermark("ts", "400 days").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
@@ -564,8 +578,10 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.event_id AS p_event, c.event_id AS c_event,
            p.user_id AS p_user, p.ts AS p_ts, c.ts AS c_ts
     FROM (SELECT * FROM events
-          WHERE event_type = 'purchase' AND user_id IS NOT NULL) p
-    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          WHERE event_type = 'purchase' AND user_id IS NOT NULL
+            AND ts IS NOT NULL) p
+    LEFT JOIN (SELECT * FROM events
+               WHERE event_type = 'click' AND ts IS NOT NULL) c
       ON p.user_id = c.user_id
      AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
     """,
@@ -594,8 +610,12 @@ def join_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL-keyed purchases are excluded on BOTH engines: the sentinel
     strip-filter (user_id >= 0) is three-valued and removes them from
     the Spark output, so the oracle's left side pins the same
-    `user_id IS NOT NULL` (NULL-attribute corruption replay)."""
-    stream = replay_stream(spark, sf_dir, "ordered", sentinel=True)
+    `user_id IS NOT NULL` (NULL-attribute corruption replay).
+    NULL event-time rows dropped on both engines (r8 NULL-time seam) —
+    the sentinel's far-future ts survives the filter."""
+    stream = replay_stream(spark, sf_dir, "ordered", sentinel=True).filter(
+        F.col("ts").isNotNull()
+    )
     p = (
         stream.filter(
             (F.col("event_type") == "purchase") | (F.col("user_id") < 0)
@@ -722,7 +742,12 @@ def stream_stateful_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    stream = replay_stream(spark, sf_dir, "ordered", sentinel=True)
+    # NULL event-time rows dropped (r8 NULL-time seam): NaT would turn
+    # into int64 garbage inside the pandas state kernel; the shared
+    # sessionize oracle already filters ts IS NOT NULL
+    stream = replay_stream(spark, sf_dir, "ordered", sentinel=True).filter(
+        F.col("ts").isNotNull()
+    )
     out = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy("user_id")
