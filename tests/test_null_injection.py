@@ -1938,6 +1938,24 @@ NULL_TIME_DAY_CONSUMERS = [
     "ts_bollinger_breakout",
     "ts_croston",
     "ts_turning_points",
+    # third-pass finds — the quantize-the-float-SUM class: ROUND(SUM(
+    # value)) of a FLOAT sum differs between engines when the physical
+    # row order puts a knife-edge day on different rounding sides
+    # (reproduced: regenerating the fixture flipped stat_runs_test's
+    # runs count and ts_effective_sample_size's rho1). Fixed by per-row
+    # quantization (SUM(CAST(ROUND(value*100,0) AS BIGINT)) — exact,
+    # order-free) across 22 sites in ten modules, plus NULL-day filters;
+    # a 6x-regenerated-fixture knife-edge test pinned zero divergences.
+    "stat_runs_test",
+    "ts_effective_sample_size",
+    "ts_haar_energy",
+    "ts_sax_similarity",
+    "ts_forecast_mase",
+    "ts_hier_reconcile",
+    "events_interrupted_ts",
+    "stat_hodges_lehmann",
+    "stat_kendall_tau",
+    "stat_theil_sen",
 ]
 
 

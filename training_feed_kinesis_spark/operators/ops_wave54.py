@@ -126,7 +126,7 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT date_trunc('day', ts) AS d,
-             CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS v
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
       FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     seq AS (
@@ -175,7 +175,7 @@ def ts_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped on both engines (the r8 NULL-time seam)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
-        F.round(F.sum("value") * 100, 0).cast("bigint").alias("v")
+        F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).cast("bigint").alias("v")
     )
     w_ord = Window.orderBy("d")
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)

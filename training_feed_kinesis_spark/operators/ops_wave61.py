@@ -39,8 +39,9 @@ def _haar_oracle() -> str:
         """
     a0 AS (
       SELECT ROW_NUMBER() OVER (ORDER BY d) - 1 AS i,
-             CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS v
-      FROM (SELECT date_trunc('day', ts) AS d, value FROM events)
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+      FROM (SELECT date_trunc('day', ts) AS d, value FROM events
+            WHERE ts IS NOT NULL)
       GROUP BY d
     )"""
     ]
@@ -81,9 +82,10 @@ def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the data-sized work is the daily aggregate; the
     transform runs over an O(#days) frame per level with i→i//2 grouping
     — iterate on aggregates, and levels are log₂(#days) deep."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL ts dropped on both engines (the r8 NULL-time seam)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
-        F.round(F.sum("value") * 100, 0).cast("bigint").alias("v")
+        F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).cast("bigint").alias("v")
     )
     approx = daily.select(
         (F.row_number().over(Window.orderBy("d")) - 1).alias("i"), "v"

@@ -31,8 +31,8 @@ CAT_TS = "2.L time-series analytics"
     """
     WITH daily AS (
       SELECT date_trunc('day', ts) AS d,
-             CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS v
-      FROM events GROUP BY 1
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     walsh AS (
       SELECT a.v + b.v AS s
@@ -61,9 +61,10 @@ def stat_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the pair set is over the DAY-grain series (n(n+1)/2 of
     #days, not of rows) — the O(n²) lives entirely in the domain-sized
     aggregate, the fact scan is one daily rollup."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL ts dropped on both engines (the r8 NULL-time seam)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
-        F.round(F.sum("value") * 100, 0).cast("bigint").alias("v")
+        F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).cast("bigint").alias("v")
     ).localCheckpoint()
     a = daily.select(F.col("d").alias("da"), F.col("v").alias("va"))
     b = daily.select(F.col("d").alias("db"), F.col("v").alias("vb"))
@@ -102,7 +103,7 @@ _BP = (-0.6745, 0.0, 0.6745)
     WITH daily AS (
       SELECT event_type, date_trunc('day', ts) AS d,
              COUNT(*)::DOUBLE AS v
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     norm AS (
       SELECT d.event_type, d.d,
@@ -147,7 +148,8 @@ def ts_sax_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one (type × day) aggregate, per-type moments, map-side
     symbolization, and a type×type comparison over 30-char strings —
     the pairwise part is domain-sized (5×5), never data-sized."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL ts dropped on both engines (the r8 NULL-time seam)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("d")
     ).agg(F.count(F.lit(1)).cast("double").alias("v"))

@@ -194,9 +194,9 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT date_trunc('day', ts) AS day,
-             CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS rev_cents,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents,
              COUNT(*)::BIGINT AS n_events
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     pairs AS (
       SELECT CASE WHEN (a.rev_cents - b.rev_cents) * (a.n_events - b.n_events) > 0
@@ -228,9 +228,10 @@ def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Revenue is compared in integer cents, so concordance tests are
     exact integer sign checks on both engines."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL ts dropped on both engines (the r8 NULL-time seam)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.round(F.sum("value") * 100, 0).cast("long").alias("rev_cents"),
+        F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).cast("long").alias("rev_cents"),
         F.count(F.lit(1)).alias("n_events"),
     )
     a, b = daily.alias("a"), daily.alias("b")
@@ -270,8 +271,8 @@ def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) - DATE '2024-01-01' AS d,
-             CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS rev_cents
-      FROM events GROUP BY 1
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     slopes AS (
       SELECT CAST(b.rev_cents - a.rev_cents AS DOUBLE)
@@ -294,11 +295,12 @@ def stat_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: same grain discipline as stat_kendall_tau — quadratic
     only on the 30-row daily aggregate (435 slopes), reported in
     currency units per day."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL ts dropped on both engines (the r8 NULL-time seam)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(
         F.datediff(F.date_trunc("day", "ts"), F.lit("2024-01-01")).alias("d")
     ).agg(
-        F.round(F.sum("value") * 100, 0).cast("long").alias("rev_cents")
+        F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).cast("long").alias("rev_cents")
     )
     a, b = daily.alias("a"), daily.alias("b")
     slopes = a.join(b, F.col("a.d") < F.col("b.d")).select(

@@ -41,7 +41,7 @@ ALPHA = 0.5  # Croston smoothing — exact binary fraction
 _DAILY_CENTS_SQL = """
     daily AS (
       SELECT date_trunc('day', ts) AS day,
-             CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS rev_cents
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
       FROM events WHERE ts IS NOT NULL GROUP BY 1
     )
 """
@@ -50,7 +50,7 @@ _DAILY_CENTS_SQL = """
 def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.round(F.sum("value") * 100, 0).cast("long").alias("rev_cents")
+        F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).cast("long").alias("rev_cents")
     )
 
 

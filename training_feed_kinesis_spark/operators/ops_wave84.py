@@ -217,8 +217,8 @@ def orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH cells AS (
       SELECT date_trunc('day', ts) AS day, event_type,
-             CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS cents
-      FROM events GROUP BY 1, 2
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     bounds AS (SELECT MAX(day) AS last_day FROM cells),
     final_week AS (
@@ -268,10 +268,11 @@ def ts_hier_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one (day, type) aggregate; everything downstream is
     domain-sized (7×5 cells) with broadcast share tables."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL ts dropped on both engines (the r8 NULL-time seam)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     cells = ev.groupBy(
         F.date_trunc("day", "ts").alias("day"), "event_type"
-    ).agg(F.round(F.sum("value") * 100, 0).cast("long").alias("cents"))
+    ).agg(F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).cast("long").alias("cents"))
     # cache + release_after: unpersisted when the returned frame dies
     # (r7 cache-residue class)
     cells = cells.cache()

@@ -248,8 +248,8 @@ def llm_bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT date_trunc('day', ts) AS day,
-             CAST(ROUND(SUM(value), 0) AS BIGINT) AS rev
-      FROM events GROUP BY 1
+             CAST(ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0, 0) AS BIGINT) AS rev
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     idx AS (
       SELECT rev, LAG(rev) OVER (ORDER BY day) AS prev,
@@ -283,9 +283,10 @@ def ts_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one day-grain aggregate and one lag window over the
     domain-sized series."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL ts dropped on both engines (the r8 NULL-time seam)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.round(F.sum("value"), 0).cast("long").alias("rev")
+        F.round(F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")) / 100.0, 0).cast("long").alias("rev")
     )
     w = Window.orderBy("day")
     wall = Window.partitionBy()

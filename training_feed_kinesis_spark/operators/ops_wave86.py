@@ -160,8 +160,8 @@ def events_evt_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT date_trunc('day', ts) AS day,
-             CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS rev
-      FROM events GROUP BY 1
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS rev
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     med AS (
       SELECT quantile_disc(rev, 0.5) AS md FROM daily
@@ -203,9 +203,10 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: day-grain aggregate, a broadcast scalar median, one
     lag window over the domain-sized sign sequence."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL ts dropped on both engines (the r8 NULL-time seam)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.round(F.sum("value") * 100, 0).cast("long").alias("rev")
+        F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).cast("long").alias("rev")
     )
     # discrete median: value at rank ceil(n/2) under (rev, day) order
     w = Window.orderBy("rev")

@@ -159,8 +159,8 @@ def llm_retrieval_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) - DATE '2024-01-01' AS d,
-             CAST(ROUND(SUM(value), 0) AS BIGINT) AS y
-      FROM events GROUP BY 1
+             CAST(ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0, 0) AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     pre AS (
       SELECT COUNT(*)::BIGINT AS n, SUM(d)::BIGINT AS sd,
@@ -198,10 +198,11 @@ def events_interrupted_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: day-grain aggregate → one 5-integer moment row → a
     broadcast scalar fit applied to the post rows; the cumulative
     window runs over the domain-sized series."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL ts dropped on both engines (the r8 NULL-time seam)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(
         F.datediff(F.date_trunc("day", "ts"), F.lit("2024-01-01")).alias("d")
-    ).agg(F.round(F.sum("value"), 0).cast("long").alias("y"))
+    ).agg(F.round(F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")) / 100.0, 0).cast("long").alias("y"))
     pre = daily.filter(F.col("d") < BREAK_DAY).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("d").alias("sd"),

@@ -122,8 +122,8 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT date_trunc('day', ts) AS day,
-             CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS rev_cents
-      FROM events GROUP BY 1
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     lagged AS (
       SELECT day, rev_cents,
@@ -163,9 +163,10 @@ def ts_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one day-grain aggregate then a single-series lag —
     partitioned by series key when scoring a catalog of series, with
     the same two exact integer sums per (series, split) cell."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL ts dropped on both engines (the r8 NULL-time seam)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.round(F.sum("value") * 100, 0).cast("long").alias("rev_cents")
+        F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).cast("long").alias("rev_cents")
     )
     wd = Window.orderBy("day")
     lagged = daily.select(
