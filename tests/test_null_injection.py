@@ -2149,3 +2149,103 @@ def test_dim_corrupt_fixture_nonvacuous(dim_corrupt_sf, spark, registry):
     assert n == 2  # original + verbatim duplicate
     rows = registry["q8_market_share"].fn(spark, dim_corrupt_sf).count()
     assert rows > 0
+
+
+# --- CUSTOMER re-ingest corruption (round 8, third campaign) -----------------
+
+# The customer table had never been stressed with the re-ingest
+# signatures: verbatim re-delivered duplicate c_custkey rows, conflicting
+# refetches (re-cased name, NULL segment, penny-shifted balance), and a
+# NULL c_nationkey sliver. A 54-consumer sweep found TWO genuine bugs:
+# set_except spelled SQL EXCEPT as exceptAll().distinct(), equivalent
+# only on a duplicate-free left side (a key appearing twice left / once
+# right survived — fixed to subtract(), the true set difference); and
+# q8_market_share's oracle still fanned out through the plain
+# customer-join hop where Spark used left_semi (the region/nation find,
+# one table deeper — the oracle now spells the WHOLE membership chain
+# as nested INs).
+
+CUST_REINGEST_CONSUMERS = [
+    # the two the campaign caught, now fixed
+    "set_except",
+    "q8_market_share",
+    # join/setop/TPC-H/analytics representatives over customer
+    "join_inner",
+    "join_left",
+    "join_semi",
+    "join_anti",
+    "join_multiway",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except_all",
+    "set_intersect_all",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q22_idle_customers",
+    "customer_rfm",
+    "customer_gini",
+    "customer_migration_matrix",
+    "dq_kanonymity",
+    "dq_orphan_census",
+    "dq_duplicate_pk_census",
+]
+
+
+@pytest.fixture(scope="module")
+def cust_reingest_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("custreingest")
+    for t in TABLES:
+        if t != "customer":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN c_custkey % 23 = 4 THEN NULL ELSE c_nationkey END
+              AS c_nationkey)
+          FROM read_parquet('{SF_DIR}/customer.parquet')
+          UNION ALL
+          SELECT * FROM read_parquet('{SF_DIR}/customer.parquet')
+          WHERE c_custkey % 31 = 2
+          UNION ALL
+          SELECT * REPLACE (upper(c_name) AS c_name,
+                            NULL AS c_mktsegment,
+                            c_acctbal + 0.01 AS c_acctbal)
+          FROM read_parquet('{SF_DIR}/customer.parquet')
+          WHERE c_custkey % 41 = 3
+        ) TO '{d}/customer.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_cust_reingest(cust_reingest_sf):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{cust_reingest_sf}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", CUST_REINGEST_CONSUMERS)
+def test_customer_ops_survive_reingest(
+    key, spark, registry, cust_reingest_sf, duck_cust_reingest
+):
+    spec = registry[key]
+    assert spec.oracle is not None, key
+    assert_matches_oracle(
+        spec.fn(spark, cust_reingest_sf), duck_cust_reingest, spec.oracle
+    )
+
+
+def test_cust_reingest_fixture_nonvacuous(cust_reingest_sf):
+    dup = duckdb.execute(
+        f"SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM"
+        f" read_parquet('{cust_reingest_sf}/customer.parquet')"
+    ).fetchone()[0]
+    assert dup > 0

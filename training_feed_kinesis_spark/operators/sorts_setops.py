@@ -123,7 +123,13 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"{_RICH_SQL} EXCEPT {_BUILDING_SQL}",
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _rich(spark, sf_dir).exceptAll(_building(spark, sf_dir)).distinct()
+    """subtract() IS set-EXCEPT. The old exceptAll().distinct() spelling
+    was equivalent only on a duplicate-free left side: a key appearing
+    twice on the left and once on the right survived the multiset
+    difference and then the distinct — the r8 customer re-ingest
+    campaign caught it (EXCEPT must drop any key present on the right,
+    regardless of left multiplicity)."""
+    return _rich(spark, sf_dir).subtract(_building(spark, sf_dir))
 
 
 @register(

@@ -164,24 +164,27 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ELSE 0 END) AS DOUBLE)
                  / CAST(SUM(volume_s) AS DOUBLE), 4) AS mkt_share
     FROM (
-      -- customer-side region membership is a SEMI join (IN), matching
-      -- the Spark left_semi: a plain n1⋈region chain is equivalent only
-      -- on duplicate-free dims — the r8 dim-corruption campaign caught
-      -- a duplicated region/nation row fanning out the oracle but not
-      -- the semi spelling. Membership is a set test, not a fan-out.
+      -- the whole customer-region membership chain is a SEMI (nested
+      -- IN), matching the Spark left_semi: plain join hops are
+      -- equivalent only on duplicate-free tables — the r8 dim campaign
+      -- caught a duplicated region row fanning out the oracle, and the
+      -- customer re-ingest campaign caught the duplicated CUSTOMER rows
+      -- doing the same through the c_custkey hop. Membership is a set
+      -- test, not a fan-out, at every hop.
       SELECT year(o_orderdate) AS o_year,
              {_REV_S} AS volume_s,
              n2.n_name AS supp_nation
       FROM part
       JOIN lineitem ON p_partkey = l_partkey
       JOIN orders   ON o_orderkey = l_orderkey
-      JOIN customer ON c_custkey = o_custkey
       JOIN supplier ON s_suppkey = l_suppkey
       JOIN nation n2 ON s_nationkey = n2.n_nationkey
       WHERE p_type = 'PROMO'
-        AND c_nationkey IN (SELECT n_nationkey FROM nation
-                            JOIN region ON n_regionkey = r_regionkey
-                            WHERE r_name = 'ASIA')
+        AND o_custkey IN (
+          SELECT c_custkey FROM customer
+          WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                                JOIN region ON n_regionkey = r_regionkey
+                                WHERE r_name = 'ASIA'))
     ) all_nations
     GROUP BY o_year
     """,
