@@ -166,12 +166,16 @@ _DSIR_B = 256
     nr AS (SELECT SUM(c) AS n FROM raw),
     lr AS (
       SELECT r.b,
-             ln((COALESCE(t.c, 0) + 1) / ((SELECT n FROM nt) + {_DSIR_B}))
-             - ln((r.c + 1) / ((SELECT n FROM nr) + {_DSIR_B})) AS llr
+             CAST(ROUND((ln((COALESCE(t.c, 0) + 1)
+                            / ((SELECT n FROM nt) + {_DSIR_B}))
+                         - ln((r.c + 1)
+                              / ((SELECT n FROM nr) + {_DSIR_B}))) * 1e6,
+                        0) AS BIGINT) AS llr_u
       FROM raw r LEFT JOIN tgt t ON t.b = r.b
     )
     SELECT tok.doc_id,
-           ROUND(AVG(lr.llr), 4) AS dsir_weight,
+           ROUND(CAST(SUM(CAST(lr.llr_u AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1e6, 4) AS dsir_weight,
            COUNT(*)::BIGINT AS n_tokens
     FROM tok JOIN lr ON lr.b = tok.b
     GROUP BY tok.doc_id
@@ -183,6 +187,14 @@ def llm_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     English slice, features = 256 md5 buckets with add-one smoothing.
     High weight ⇒ the document looks like the target domain; resampling
     by these weights is the DSIR data-selection step.
+
+    Order-free arithmetic: each bucket's llr is quantized ONCE to integer
+    micro-units (256 fixed BIGINTs), so the per-doc aggregate is an exact
+    integer SUM — immune to float accumulation order. The r8 driver run
+    proved the AVG(double) spelling flips the 4th decimal on knife-edge
+    docs depending on partition order (CORRECTNESS_r08: rows/schema match,
+    hash mismatch; same query MATCHes locally — run-dependent, the
+    float-sum-order class from the round-8 NULL-time campaign).
 
     Scale shape: both feature distributions are FIXED 256-row tables —
     they aggregate map-side and broadcast back onto the token stream; the
@@ -207,20 +219,30 @@ def llm_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nr))
         .select(
             "b",
-            (
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0.0)) + 1)
-                    / (F.col("nt") + F.lit(float(_DSIR_B)))
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0.0)) + 1)
+                        / (F.col("nt") + F.lit(float(_DSIR_B)))
+                    )
+                    - F.log(
+                        (F.col("cr") + 1) / (F.col("nr") + F.lit(float(_DSIR_B)))
+                    )
                 )
-                - F.log((F.col("cr") + 1) / (F.col("nr") + F.lit(float(_DSIR_B))))
-            ).alias("llr"),
+                * F.lit(1e6),
+                0,
+            )
+            .cast("long")
+            .alias("llr_u"),
         )
     )
     return (
         tok.join(F.broadcast(lr), "b")
         .groupBy("doc_id")
         .agg(
-            F.round(F.avg("llr"), 4).alias("dsir_weight"),
+            F.round(
+                F.sum("llr_u").cast("double") / F.count(F.lit(1)) / F.lit(1e6), 4
+            ).alias("dsir_weight"),
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
         )
     )
