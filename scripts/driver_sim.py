@@ -111,6 +111,10 @@ for i, k in enumerate(keys):
             status = f"ROWS-ONLY({len(pdf)})"
     except Exception as ex:
         status, fails = f"ERROR {type(ex).__name__}: {str(ex)[:200]}", fails + 1
+    # release_after lifetime contract (tables.py): never retain result
+    # references across keys — a sweep that accumulates them pins every
+    # weakref-finalized intermediate cache alive for the whole run
+    pdf = exp = None
     print(f"{k:24s} {status:14s} {time.time()-t0:5.1f}s")
 print(f"\n{len(keys)-fails}/{len(keys)} ok")
 sys.exit(1 if fails else 0)

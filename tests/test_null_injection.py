@@ -2070,14 +2070,20 @@ DIM_CORRUPT_CONSUMERS = [
     "cbo_join_reorder",
     "supplier_concentration_hhi",
     "dq_orphan_census",
+    # the detection side itself must oracle-match on the corruption it
+    # exists to flag (r8 ADVICE: NULL-FK / NULL-PK anti-join vs NOT IN)
+    "dq_dim_conformity",
 ]
 
 
 @pytest.fixture(scope="module")
 def dim_corrupt_sf(tmp_path_factory):
-    """region: NULL r_name for AFRICA + verbatim duplicate of ASIA;
-    nation: verbatim redelivery (n_nationkey % 7 = 2) + conflicting
-    refetch with lowercased n_name (n_nationkey % 11 = 3)."""
+    """region: NULL r_name for AFRICA + verbatim duplicate of ASIA + a
+    NULL-PK ghost row (NULL r_regionkey — poisons NOT IN for every
+    unmatched key, the r8 ADVICE seam); nation: verbatim redelivery
+    (n_nationkey % 7 = 2) + conflicting refetch with lowercased n_name
+    (n_nationkey % 11 = 3) + a NULL-FK refetch of nation 6 + an
+    orphan-FK row (n_regionkey = 999, no such region)."""
     d = tmp_path_factory.mktemp("dimcorrupt")
     for t in TABLES:
         if t not in ("region", "nation"):
@@ -2092,6 +2098,9 @@ def dim_corrupt_sf(tmp_path_factory):
           UNION ALL
           SELECT * FROM read_parquet('{SF_DIR}/region.parquet')
           WHERE r_regionkey = 2
+          UNION ALL
+          SELECT CAST(NULL AS INTEGER) AS r_regionkey,
+                 'LIMBO' AS r_name
         ) TO '{d}/region.parquet' (FORMAT PARQUET)
         """
     )
@@ -2106,6 +2115,13 @@ def dim_corrupt_sf(tmp_path_factory):
           SELECT n_nationkey, lower(n_name) AS n_name, n_regionkey
           FROM read_parquet('{SF_DIR}/nation.parquet')
           WHERE n_nationkey % 11 = 3
+          UNION ALL
+          SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
+          FROM read_parquet('{SF_DIR}/nation.parquet')
+          WHERE n_nationkey = 6
+          UNION ALL
+          SELECT CAST(99 AS INTEGER) AS n_nationkey,
+                 'ATLANTIS' AS n_name, CAST(999 AS INTEGER) AS n_regionkey
         ) TO '{d}/nation.parquet' (FORMAT PARQUET)
         """
     )

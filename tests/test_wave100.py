@@ -29,8 +29,11 @@ _REGISTRY = load_all()
 @pytest.fixture(scope="module")
 def dim_corrupt_dir(tmp_path_factory):
     """The r8 dim-campaign fixture shapes: NULL r_name, duplicated
-    region row, verbatim + conflicting duplicated nation rows, and a
-    planted ORPHAN nation (n_regionkey = 99)."""
+    region row, verbatim + conflicting duplicated nation rows, a
+    planted ORPHAN nation (n_regionkey = 99), a NULL-FK nation, and a
+    NULL-PK region ghost (the r8 ADVICE seam: the ghost poisons a NOT
+    IN spelling for EVERY unmatched key, and a left_anti would count
+    the NULL-FK row as an orphan where SQL NOT IN never does)."""
     d = tmp_path_factory.mktemp("w100dim")
     for t in TABLES:
         if t not in ("region", "nation"):
@@ -45,6 +48,8 @@ def dim_corrupt_dir(tmp_path_factory):
           UNION ALL
           SELECT * FROM read_parquet('{SF_DIR}/region.parquet')
           WHERE r_regionkey = 2
+          UNION ALL
+          SELECT CAST(NULL AS INTEGER) AS r_regionkey, 'LIMBO' AS r_name
         ) TO '{d}/region.parquet' (FORMAT PARQUET)
         """
     )
@@ -58,6 +63,9 @@ def dim_corrupt_dir(tmp_path_factory):
           UNION ALL
           SELECT 999 AS n_nationkey, 'ORPHANIA' AS n_name,
                  99 AS n_regionkey
+          UNION ALL
+          SELECT 998 AS n_nationkey, 'NULLMARK' AS n_name,
+                 CAST(NULL AS INTEGER) AS n_regionkey
         ) TO '{d}/nation.parquet' (FORMAT PARQUET)
         """
     )
@@ -84,10 +92,15 @@ def test_dim_conformity_flags_planted_corruption(spark, dim_corrupt_dir):
         .fn(spark, dim_corrupt_dir)
         .collect()
     }
-    assert rows["region"]["dup_excess"] == 1  # duplicated ASIA row
+    # region: 5 base + dup ASIA + NULL-PK LIMBO = 7 rows, 5 distinct
+    # non-NULL keys (COUNT(DISTINCT) ignores the NULL PK on both engines)
+    assert rows["region"]["dup_excess"] == 2  # dup ASIA + NULL-PK ghost
     assert rows["region"]["n_null_name"] == 1  # AFRICA nulled
     assert rows["nation"]["dup_excess"] >= 1  # verbatim redelivery
-    assert rows["nation"]["n_orphan"] == 1  # the planted ORPHANIA row
+    assert rows["nation"]["n_null_fk"] == 1  # the NULLMARK row
+    # exactly ORPHANIA: the NULL-FK row must NOT count as an orphan,
+    # and the NULL-PK region ghost must not NULL-poison the probe
+    assert rows["nation"]["n_orphan"] == 1
 
 
 # --- stat_cramers_v: structural identities -----------------------------------
@@ -155,6 +168,37 @@ def test_assortativity_matches_bruteforce_pearson(spark):
     r = (4 * m * A - B2 * B2) / (2 * m * C2 - B2 * B2)
     assert -1.0 <= row["assortativity"] <= 1.0
     assert row["assortativity"] == pytest.approx(r, abs=2e-4)
+
+
+def test_assortativity_survives_int64_overflow_degrees(spark):
+    """r8 ADVICE: the moment sums must widen past BIGINT. Planted
+    degrees of 2^30/2^31 make Σjk ≈ 1.6e19 > 2^63−1: the old BIGINT
+    spelling silently wraps on (non-ANSI) Spark and errors on DuckDB;
+    the DECIMAL(38,0) spelling is exact. Expected value computed with
+    Python arbitrary-precision ints."""
+    from training_feed_kinesis_spark.operators.ops_wave100 import (
+        _assortativity_from_jk,
+    )
+
+    big, small = 2**31, 2**30
+    jk = [
+        (big, big),
+        (big, small),
+        (small, big),
+        (small, small),
+        (big, big),
+        (small, small),
+    ]
+    A = sum(j * k for j, k in jk)
+    assert A > 2**63 - 1  # the fixture genuinely exceeds int64
+    m = len(jk)
+    B2 = sum(j + k for j, k in jk)
+    C2 = sum(j * j + k * k for j, k in jk)
+    expect = (4 * m * A - B2 * B2) / (2 * m * C2 - B2 * B2)
+    ed = spark.createDataFrame(jk, "j: long, k: long")
+    row = _assortativity_from_jk(ed).collect()[0]
+    assert row["n_edges"] == m
+    assert row["assortativity"] == pytest.approx(expect, abs=2e-4)
 
 
 # --- llm_length_winsor: robustness property ----------------------------------

@@ -75,6 +75,17 @@ VEC_ADMIT_SQL = """embeddings_adm AS (
 # (applicationId, resolved sf_dir) -> admitted DataFrame. Bounded: one
 # entry per distinct embeddings table touched in a session (bench: 1;
 # test suite: a handful of tiny sf0.001 corruption fixtures).
+#
+# IMMUTABLE-TABLE-DIR ASSUMPTION (r8 ADVICE): the census verdict is
+# decided ONCE per (applicationId, sf_dir). If the parquet under the
+# SAME dir is rewritten mid-session — re-ingested WITH duplicates after
+# a clean census — the memoized map-only gate would silently admit them
+# (TOCTOU on the gate). Same contract as tables.substrate's cached
+# relations. This matches the deployment shape (a table dir is a
+# write-once snapshot; re-ingest lands a NEW dir/snapshot-id), and every
+# corruption fixture in tests/ builds a FRESH dir for exactly this
+# reason. If mutable dirs ever became real, the memo key would need a
+# file-mtime/snapshot-id component.
 _ADMIT_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -88,7 +99,13 @@ def load_embeddings_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     window (re-ingest duplicates present), memoized per (session, table).
     Semantics are identical to VEC_ADMIT_SQL either way: on a
     duplicate-free table the oracle's ROW_NUMBER ... = 1 is a
-    pass-through of the NOT-NULL filter."""
+    pass-through of the NOT-NULL filter.
+
+    Two deliberate deviations from lazy-builder convention, both priced
+    in: the census ``isEmpty()`` runs an EAGER narrow job at first
+    plan-construction (key-only, once per session per table — the cost
+    of deciding map-only vs election), and the verdict is memoized under
+    the immutable-table-dir assumption documented at ``_ADMIT_MEMO``."""
     memo_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     hit = _ADMIT_MEMO.get(memo_key)
     if hit is not None:

@@ -53,6 +53,7 @@ CAT_TEXT = "2.J llm-pipeline (text)"
            (COUNT(*) - COUNT(DISTINCT r_regionkey))::BIGINT AS dup_excess,
            COALESCE(SUM(CASE WHEN r_name IS NULL THEN 1 END), 0)::BIGINT
              AS n_null_name,
+           0::BIGINT AS n_null_fk,
            0::BIGINT AS n_orphan
     FROM region
     UNION ALL
@@ -61,8 +62,13 @@ CAT_TEXT = "2.J llm-pipeline (text)"
            COUNT(DISTINCT n_nationkey)::BIGINT,
            (COUNT(*) - COUNT(DISTINCT n_nationkey))::BIGINT,
            COALESCE(SUM(CASE WHEN n_name IS NULL THEN 1 END), 0)::BIGINT,
-           COALESCE(SUM(CASE WHEN n_regionkey NOT IN
-                     (SELECT r_regionkey FROM region) THEN 1 END),
+           COALESCE(SUM(CASE WHEN n_regionkey IS NULL THEN 1 END),
+                    0)::BIGINT,
+           COALESCE(SUM(CASE WHEN n_regionkey IS NOT NULL
+                          AND n_regionkey NOT IN
+                              (SELECT r_regionkey FROM region
+                               WHERE r_regionkey IS NOT NULL)
+                         THEN 1 END),
                     0)::BIGINT
     FROM nation
     """,
@@ -92,15 +98,23 @@ def dq_dim_conformity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.when(F.col("r_name").isNull(), 1)), F.lit(0))
         .cast("bigint")
         .alias("n_null_name"),
+        zero.alias("n_null_fk"),
         zero.alias("n_orphan"),
     )
-    # orphan probe: LEFT anti against the (broadcast) region key set;
-    # NOT IN three-valued logic is irrelevant here because r_regionkey
-    # is never NULL — and if it were, both engines agree on the NULL-key
-    # row simply not matching
+    # orphan := NON-NULL FK with no parent. The NULL-key guard matters
+    # on BOTH sides: a left_anti RETAINS a NULL-FK nation row (it
+    # matches nothing) where SQL NOT IN yields NULL (not counted), and
+    # a NULL r_regionkey in region poisons NOT IN for every unmatched
+    # key — the r8 ADVICE seam. NULL FKs are censused separately as
+    # n_null_fk (same discipline as dq_orphan_census, ops_wave95).
     orphans = (
-        n.join(
-            F.broadcast(r.select("r_regionkey")),
+        n.filter(F.col("n_regionkey").isNotNull())
+        .join(
+            F.broadcast(
+                r.select("r_regionkey").filter(
+                    F.col("r_regionkey").isNotNull()
+                )
+            ),
             n.n_regionkey == F.col("r_regionkey"),
             "left_anti",
         )
@@ -116,6 +130,11 @@ def dq_dim_conformity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.when(F.col("n_name").isNull(), 1)), F.lit(0))
         .cast("bigint")
         .alias("n_null_name"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_regionkey").isNull(), 1)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_null_fk"),
     ).crossJoin(F.broadcast(orphans))
     return region_census.unionByName(nation_census)
 
@@ -313,13 +332,13 @@ _ASSORT_EDGES_SQL = """
       JOIN deg db ON db.node = e.pb
     ),
     s AS (
-      SELECT COUNT(*)::BIGINT AS m,
-             SUM(j * k)::BIGINT AS a,
-             SUM(j + k)::BIGINT AS b2,
-             SUM(j * j + k * k)::BIGINT AS c2
+      SELECT COUNT(*)::HUGEINT AS m,
+             SUM(j::HUGEINT * k::HUGEINT) AS a,
+             SUM(j::HUGEINT + k::HUGEINT) AS b2,
+             SUM(j::HUGEINT * j::HUGEINT + k::HUGEINT * k::HUGEINT) AS c2
       FROM ed
     )
-    SELECT m AS n_edges,
+    SELECT m::BIGINT AS n_edges,
            ROUND(CAST(4 * m * a - b2 * b2 AS DOUBLE)
                  / CAST(2 * m * c2 - b2 * b2 AS DOUBLE), 4)
              AS assortativity
@@ -352,16 +371,30 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = deg.select(F.col("node").alias("pa"), F.col("d").alias("j"))
     db = deg.select(F.col("node").alias("pb"), F.col("d").alias("k"))
     ed = e.join(da, "pa").join(db, "pb")
+    return _assortativity_from_jk(ed)
+
+
+def _assortativity_from_jk(ed: DataFrame) -> DataFrame:
+    """Newman r from an (j, k) endpoint-degree edge frame.
+
+    Widen PER ROW, not just per sum: at degree 2^31 the BIGINT row term
+    j²+k² is already 2^63 (ANSI Spark raises ARITHMETIC_OVERFLOW — the
+    planted-degree test hit exactly this), and the SUMS and the
+    closed-form numerator/denominator overflow long before that at
+    graph scale. DECIMAL(38,0) here = the oracle's per-row ::HUGEINT,
+    exactly like ts_variance_ratio above (r8 ADVICE: DuckDB errors on
+    int64 overflow where non-ANSI Spark silently wraps — the engines
+    must fail or succeed together)."""
+    dec = "decimal(38,0)"
+    j, k = F.col("j").cast(dec), F.col("k").cast(dec)
     s = ed.agg(
-        F.count(F.lit(1)).cast("bigint").alias("m"),
-        F.sum(F.col("j") * F.col("k")).cast("bigint").alias("a"),
-        F.sum(F.col("j") + F.col("k")).cast("bigint").alias("b2"),
-        F.sum(F.col("j") * F.col("j") + F.col("k") * F.col("k"))
-        .cast("bigint")
-        .alias("c2"),
+        F.count(F.lit(1)).cast(dec).alias("m"),
+        F.sum(j * k).alias("a"),
+        F.sum(j + k).alias("b2"),
+        F.sum(j * j + k * k).alias("c2"),
     )
     return s.select(
-        F.col("m").alias("n_edges"),
+        F.col("m").cast("bigint").alias("n_edges"),
         F.round(
             F.expr("CAST(4 * m * a - b2 * b2 AS DOUBLE)")
             / F.expr("CAST(2 * m * c2 - b2 * b2 AS DOUBLE)"),

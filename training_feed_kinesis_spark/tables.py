@@ -118,7 +118,17 @@ def release_after(result: DataFrame, *cached: DataFrame) -> DataFrame:
     release to the result's lifetime instead: a ``weakref.finalize`` on
     the result unpersists the intermediates when the caller drops the
     frame after its terminal action. Blocking=False, and a dead JVM is
-    tolerated (interpreter-shutdown GC)."""
+    tolerated (interpreter-shutdown GC).
+
+    LIFETIME CONTRACT (r8 ADVICE): the release is tied to CPython GC of
+    the EXACT returned wrapper object. Two caller obligations follow:
+    (1) act on (or derive from) the returned frame while still holding a
+    reference to IT — a caller that derives a child and drops the parent
+    before the terminal action loses the cache mid-pipeline (silent
+    recompute; correctness unaffected); (2) a sweep driver that retains
+    every result in a list pins every intermediate alive — exactly the
+    residue this helper exists to kill — so sweep loops must del/None
+    each result after consuming it (scripts/driver_sim.py does)."""
     jdfs = [c._jdf for c in cached]
 
     def _release(jdfs=jdfs):
@@ -152,7 +162,15 @@ def substrate(spark: SparkSession, sf_dir: str, name: str, builder) -> DataFrame
     "materialize the sketch table to storage at ingest, let queries scan
     it"; in one JVM the memo is the storage. Unlike the per-invocation
     ``.cache()`` it replaces, the footprint is bounded and enumerable:
-    len(_SUBSTRATE_MEMO) relations, not one per operator call."""
+    len(_SUBSTRATE_MEMO) relations, not one per operator call.
+
+    IMMUTABLE-TABLE-DIR ASSUMPTION (r8 ADVICE): the cached relation is
+    keyed on the dir path only — a rewrite of the parquet UNDER the same
+    dir mid-session serves the stale substrate (and Spark's own
+    CacheManager would too). A table dir is a write-once snapshot;
+    re-ingest means a new dir. Tests build fresh dirs per corruption
+    fixture for exactly this reason (same contract as
+    llm_similarity._ADMIT_MEMO)."""
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
     df = _SUBSTRATE_MEMO.get(key)
     if df is None:
