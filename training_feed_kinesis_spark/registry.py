@@ -195,41 +195,20 @@ def register(key: str, category: str, oracle: str | None = None):
 
 
 # The driver's correctness gate samples the FIRST 50 registered keys each
-# round. Round-8 rotation (VERDICT r5 item 1 standing; seventh consecutive
-# rotation): all 50 slots are the block staged at the end of round 7 —
-# never-driver-verified oracled keys in registration order. Entries past
-# 50 are the staged ROUND-9 front-of-line block, which per VERDICT r7
-# item 6 leads with the 12 never-sampled ROWS-ONLY keys (excluded from
-# every prior window by the oracled-keys-first rule, they could otherwise
-# never rotate in; the driver's rows-only check — >0 rows, no error — is
-# weak but nonzero and worth 12 slots once), followed by the next 38
+# round. Round-9 rotation (VERDICT r5 item 1 standing; eighth consecutive
+# rotation): all 50 slots are the block staged at the end of round 8 —
+# the 12 never-sampled ROWS-ONLY keys first (VERDICT r7 item 6, one-time:
+# excluded from every prior window by the oracled-keys-first rule, they
+# could otherwise never rotate in; the driver's rows-only check — >0
+# rows, no error — is weak but nonzero and worth 12 slots once), then
+# the next 38 never-sampled oracled keys in registration order. Entries
+# past 50 are the staged ROUND-10 front-of-line block: the next 50
 # never-sampled oracled keys in registration order.
-# Debt after the round-8 window lands: 217 - 50 = 167 oracled never-
-# sampled (+ the 12 rows-only, staged next), plus any round-8 net-new
-# (held <= 20 until oracled debt < 150).
+# Debt after the round-9 window lands: 167 - 38 = 129 oracled never-
+# sampled and 0 rows-only, plus any round-9 net-new (oracled debt is
+# now < 150, so the <= 20 net-new throttle can relax next round).
 _PRIORITY_KEYS = [
-    # round-7 staged front-of-line, verbatim (the round-8 driver window)
-    "llm_dsir_weight", "llm_tokenizer_fertility", "llm_minhash_est_error",
-    "stream_topk_windowed", "llm_perplexity_buckets", "llm_crosssource_dup",
-    "vec_trunc_recall", "stream_backfill_union", "feature_pit_snapshot",
-    "join_asof_nearest", "llm_stopshingle_jaccard", "stat_mann_whitney",
-    "sink_dynamic_overwrite", "llm_blocklist_filter", "llm_hard_negatives",
-    "llm_span_corruption", "stream_progress_metrics", "retention_decay_fit",
-    "llm_quality_length_confound", "llm_semdedup_cell",
-    "llm_readability_score", "llm_mattr", "ml_ridge_closed_form",
-    "ml_gbdt_stumps", "llm_preference_pairs", "multimodal_frame_sample",
-    "multimodal_audio_windows", "graph_bfs_distance",
-    "llm_ivf_build_manifest", "llm_ivf_query_router", "llm_code_detect",
-    "stream_quarantine_split", "llm_tokenizer_coverage",
-    "multimodal_resize_plan", "llm_dataloader_epoch_plan",
-    "llm_lsh_tuning_curve", "llm_shard_integrity", "events_cuped_adjust",
-    "llm_data_ablation_manifest", "events_power_analysis",
-    "llm_contamination_ngram_decay", "llm_dedup_quality_shift",
-    "vec_embedding_drift", "llm_vocab_overlap_matrix",
-    "llm_attention_cost_table", "events_funnel_window_sensitivity",
-    "ts_holt_linear", "events_feature_hashing", "events_did_estimator",
-    "llm_ngram_entropy_rate",
-    # --- 50-key window boundary; below = staged round-9 front-of-line ---
+    # round-8 staged front-of-line, verbatim (the round-9 driver window):
     # 12 never-sampled rows-only keys (one-time; VERDICT r7 item 6):
     "llm_sim_lsh", "llm_sim_ivf", "llm_ann_recall",
     "llm_multimodal_transform", "udf_mapinpandas", "agg_sketch_merge",
@@ -251,6 +230,29 @@ _PRIORITY_KEYS = [
     "events_qte", "agg_ams_f2_sketch", "source_xml", "fn_luhn",
     "sink_parquet_codecs", "stream_dedup_near_incremental",
     "agg_bitmap_builtin", "sql_session_variables",
+    # --- 50-key window boundary; below = staged round-10 front-of-line —
+    # the next 50 never-sampled oracled keys in registration order:
+    "fn_variant_explode", "events_peak_concurrency", "ts_haar_energy",
+    "multimodal_patch_plan", "events_eb_shrinkage",
+    "ml_isotonic_calibration", "events_event_study", "ml_shapley_r2",
+    "llm_anneal_schedule", "events_sequence_regex",
+    "llm_positional_nll_profile", "q2_shape_synthetic",
+    "vec_farthest_first_init", "stream_session_dynamic_gap",
+    "llm_watermark_detect", "vec_binary_sign_search",
+    "events_markov_absorption", "ml_conformal_interval",
+    "fn_url_canonicalize", "stat_hodges_lehmann", "ts_sax_similarity",
+    "events_cart_abandonment", "llm_heaps_law_curve",
+    "events_covariate_balance", "dq_candidate_keys",
+    "events_backlog_queue", "events_shard_utilization",
+    "events_kpl_pack_sim", "events_shard_split_plan", "stat_welch_ttest",
+    "stat_spearman", "stat_kendall_tau", "stat_theil_sen",
+    "ml_target_encoding_loo", "ml_woe_iv", "ml_ndcg",
+    "ml_brier_decomposition", "llm_sparse_cosine_pairs",
+    "llm_kneser_ney_bigram", "llm_term_burstiness",
+    "graph_clustering_coeff", "graph_linkpred_scores",
+    "graph_modularity_brand", "dq_tcloseness",
+    "agg_approx_percentile_bound", "fn_bround", "ts_bollinger_breakout",
+    "ts_croston", "ts_seasonal_strength", "ts_turning_points",
 ]
 
 
