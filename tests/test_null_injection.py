@@ -2265,3 +2265,146 @@ def test_cust_reingest_fixture_nonvacuous(cust_reingest_sf):
         f" read_parquet('{cust_reingest_sf}/customer.parquet')"
     ).fetchone()[0]
     assert dup > 0
+
+
+# --- SUPPLIER + PART re-ingest corruption (round 9 campaign) -----------------
+
+# The last two unstressed tables. Signatures mirror the customer
+# campaign: verbatim re-delivered duplicate PK rows, conflicting
+# refetches (re-cased names, NULL attribute slivers, penny-shifted
+# money/price), and a NULL-FK sliver (s_nationkey). One joint fixture
+# corrupts BOTH tables because they co-occur in q2/q9/q16/q20 — the
+# interaction (duplicated supplier x duplicated part through lineitem)
+# is the scary case a one-table fixture cannot exercise.
+
+SUPP_PART_REINGEST_CONSUMERS = [
+    # TPC-H shapes over supplier and/or part
+    "q2_shape_synthetic",
+    "q5_local_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity",
+    "q19_disjunctive_revenue",
+    "q20_stock_suppliers",
+    "q21_waiting_supplier",
+    # string/scan/function family reading part
+    "filter_like",
+    "fn_string",
+    "fn_regex",
+    "fn_regexp_extract_all",
+    "fn_collation_ci",
+    "join_fuzzy",
+    "scan_parquet",
+    # analytics over supplier/part
+    "rollup_rank_report",
+    "supplier_concentration_hhi",
+    "graph_modularity_brand",
+    # detection side: both censuses must oracle-match ON the corruption
+    "dq_orphan_census",
+    "dq_duplicate_pk_census",
+]
+
+
+@pytest.fixture(scope="module")
+def supp_part_reingest_sf(tmp_path_factory):
+    """supplier: NULL s_nationkey sliver (s_suppkey % 23 = 4), verbatim
+    redelivery (% 13 = 5), conflicting refetch (% 17 = 6: UPPER name +
+    penny-shifted acctbal); part: verbatim redelivery (p_partkey % 19 =
+    7), conflicting refetch (% 29 = 8: lower p_type, NULL p_brand,
+    penny-shifted retailprice), NULL p_size sliver (% 37 = 9)."""
+    d = tmp_path_factory.mktemp("supppartreingest")
+    for t in TABLES:
+        if t not in ("supplier", "part"):
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN s_suppkey % 23 = 4 THEN NULL ELSE s_nationkey END
+              AS s_nationkey)
+          FROM read_parquet('{SF_DIR}/supplier.parquet')
+          UNION ALL
+          SELECT * FROM read_parquet('{SF_DIR}/supplier.parquet')
+          WHERE s_suppkey % 13 = 5
+          UNION ALL
+          SELECT * REPLACE (upper(s_name) AS s_name,
+                            s_acctbal + 0.01 AS s_acctbal)
+          FROM read_parquet('{SF_DIR}/supplier.parquet')
+          WHERE s_suppkey % 17 = 6
+        ) TO '{d}/supplier.parquet' (FORMAT PARQUET)
+        """
+    )
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN p_partkey % 37 = 9 THEN NULL ELSE p_size END
+              AS p_size)
+          FROM read_parquet('{SF_DIR}/part.parquet')
+          UNION ALL
+          SELECT * FROM read_parquet('{SF_DIR}/part.parquet')
+          WHERE p_partkey % 19 = 7
+          UNION ALL
+          SELECT * REPLACE (lower(p_type) AS p_type,
+                            NULL AS p_brand,
+                            p_retailprice + 0.01 AS p_retailprice)
+          FROM read_parquet('{SF_DIR}/part.parquet')
+          WHERE p_partkey % 29 = 8
+        ) TO '{d}/part.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_supp_part(supp_part_reingest_sf):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{supp_part_reingest_sf}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", SUPP_PART_REINGEST_CONSUMERS)
+def test_supplier_part_ops_survive_reingest(
+    key, spark, registry, supp_part_reingest_sf, duck_supp_part
+):
+    spec = registry[key]
+    assert spec.oracle is not None, key
+    assert_matches_oracle(
+        spec.fn(spark, supp_part_reingest_sf), duck_supp_part, spec.oracle
+    )
+
+
+def test_supp_part_fixture_nonvacuous(supp_part_reingest_sf):
+    for tbl, pk in (("supplier", "s_suppkey"), ("part", "p_partkey")):
+        dup = duckdb.execute(
+            f"SELECT COUNT(*) - COUNT(DISTINCT {pk}) FROM"
+            f" read_parquet('{supp_part_reingest_sf}/{tbl}.parquet')"
+        ).fetchone()[0]
+        assert dup > 0, tbl
+    # every corruption signature must actually fire (region-campaign
+    # lesson: the first draft there nulled the hot region and produced
+    # vacuous 0-row greens)
+    checks = [
+        ("supplier", "s_nationkey IS NULL"),
+        ("supplier", "s_name = upper(s_name) AND s_name LIKE '%SUPPLIER%'"),
+        ("part", "p_brand IS NULL"),
+        ("part", "p_size IS NULL"),
+        ("part", "p_type = lower(p_type)"),
+    ]
+    for tbl, cond in checks:
+        n = duckdb.execute(
+            f"SELECT COUNT(*) FROM"
+            f" read_parquet('{supp_part_reingest_sf}/{tbl}.parquet')"
+            f" WHERE {cond}"
+        ).fetchone()[0]
+        assert n > 0, (tbl, cond)

@@ -30,9 +30,14 @@ CAT_VEC = "2.J llm-pipeline (similarity)"
 
 # synthetic partsupp: each part is offered by the 4 suppliers whose key
 # is congruent to a hash of (part, slot); supplycost is deterministic
-# integer cents — every engine derives the identical relation
+# integer cents — every engine derives the identical relation. The CTE
+# carries the part attributes the query needs (p_type, p_size) so the
+# consumer NEVER re-joins partsupp back to part on p_partkey: offers
+# derive per part ROW (the r9 supplier/part re-ingest campaign caught
+# the re-join spelling going quadratic under duplicated part rows —
+# oracle ×4 fan-out vs Spark's linear ×2).
 _PS_SQL = """
-    SELECT p.p_partkey,
+    SELECT p.p_partkey, p.p_type, p.p_size,
            1 + (p.p_partkey * 13 + slot * 101) % (SELECT COUNT(*) FROM supplier)
              AS ps_suppkey,
            100 + (p.p_partkey * 7 + slot * 31) % 90000 AS ps_supplycost_cents
@@ -45,22 +50,21 @@ _PS_SQL = """
     CAT_WORK,
     f"""
     WITH partsupp AS ({_PS_SQL})
-    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type,
+    SELECT s.s_acctbal, s.s_name, n.n_name, ps.p_partkey, ps.p_type,
            ps.ps_supplycost_cents
-    FROM part p
-    JOIN partsupp ps ON ps.p_partkey = p.p_partkey
+    FROM partsupp ps
     JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
     JOIN nation n ON n.n_nationkey = s.s_nationkey
     JOIN region r ON r.r_regionkey = n.n_regionkey
     WHERE r.r_name = 'EUROPE'
-      AND p.p_size = 15
+      AND ps.p_size = 15
       AND ps.ps_supplycost_cents = (
         SELECT MIN(ps2.ps_supplycost_cents)
         FROM partsupp ps2
         JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
         JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
         JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
-        WHERE ps2.p_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+        WHERE ps2.p_partkey = ps.p_partkey AND r2.r_name = 'EUROPE'
       )
     """,
 )

@@ -261,7 +261,11 @@ _PK_TABLES = [
     ("embeddings", ["vec_id"]),
     ("events", ["event_id"]),
     ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ("nation", ["n_nationkey"]),
     ("orders", ["o_orderkey"]),
+    ("part", ["p_partkey"]),
+    ("region", ["r_regionkey"]),
+    ("supplier", ["s_suppkey"]),
 ]
 
 
@@ -292,9 +296,14 @@ def dq_duplicate_pk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     ones — the check that catches at-least-once redelivery leaking into
     batch tables.
 
+    Covers EVERY PK-bearing table of the star (r9: supplier/part and
+    the region/nation dims joined the census when their re-ingest
+    campaigns landed — a uniqueness audit that skips tables is exactly
+    where redelivery hides).
+
     Scale shape: per table one partial-agg groupBy on the key (the
-    count collapses map-side) feeding a 1-row rollup; the six 1-row
-    results union driver-free."""
+    count collapses map-side) feeding a 1-row rollup; the per-table
+    1-row results union driver-free."""
     rows = []
     for tbl, pks in _PK_TABLES:
         t = load_table(spark, sf_dir, tbl)

@@ -323,13 +323,19 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT,
     """
     WITH partval AS (
+      -- supplier-nation MEMBERSHIP, not a join chain: a plain JOIN
+      -- fans each lineitem out per duplicated supplier row (r9
+      -- supplier re-ingest campaign find — the q8 class one edge
+      -- further); IN is a set test, matching Spark's left_semi
       SELECT l_partkey,
              SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
                  * CAST(ROUND(l_quantity * 4, 0) AS BIGINT)) AS val_s
       FROM lineitem
-      JOIN supplier ON s_suppkey = l_suppkey
-      JOIN nation   ON s_nationkey = n_nationkey
-      WHERE n_name IN ('NATION_3', 'NATION_7')
+      WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier
+        WHERE s_nationkey IN (
+          SELECT n_nationkey FROM nation
+          WHERE n_name IN ('NATION_3', 'NATION_7')))
       GROUP BY l_partkey
     )
     SELECT l_partkey, ROUND(CAST(val_s AS DOUBLE) / 400.0, 4) AS val
