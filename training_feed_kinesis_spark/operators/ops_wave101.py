@@ -164,16 +164,20 @@ _VQ_SQL = (
       FROM embeddings WHERE embedding IS NOT NULL
     ),
     el AS (
-      -- parallel unnests zip in DuckDB: (i, qi) pairs per vector
-      SELECT vec_id, grp,
+      -- parallel unnests zip in DuckDB: (i, qi) pairs per vector ROW
+      -- (never joined back on vec_id — a duplicated vec_id must not
+      -- cross-multiply its versions)
+      SELECT grp,
              unnest(range(1, len(vq) + 1)) AS i,
              unnest(vq) AS qi
       FROM q
     ),
     n AS (
-      SELECT COUNT(DISTINCT CASE WHEN grp = 'a' THEN vec_id END) AS na,
-             COUNT(DISTINCT CASE WHEN grp = 'b' THEN vec_id END) AS nb
-      FROM el
+      -- ROW counts, not distinct vec_ids: each row is one sample in
+      -- the moment sums, so the denominators must count the same rows
+      SELECT SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS nb
+      FROM q
     ),
     m1 AS (
       SELECT i,
@@ -182,12 +186,19 @@ _VQ_SQL = (
       FROM el GROUP BY i
     ),
     m2 AS (
-      SELECT x.i AS i, x.j AS j,
-             SUM(CASE WHEN x.grp = 'a' THEN x.qij ELSE 0 END) AS sa,
-             SUM(CASE WHEN x.grp = 'b' THEN x.qij ELSE 0 END) AS sb
-      FROM (SELECT a.vec_id, a.grp, a.i, b.i AS j, a.qi * b.qi AS qij
-            FROM el a JOIN el b ON a.vec_id = b.vec_id) x
-      GROUP BY x.i, x.j
+      -- per-ROW outer product via zipped unnest of the flattened
+      -- d² term list (matches the Spark map-side spelling exactly)
+      SELECT (idx // d) + 1 AS i, (idx % d) + 1 AS j,
+             SUM(CASE WHEN grp = 'a' THEN qij ELSE 0 END) AS sa,
+             SUM(CASE WHEN grp = 'b' THEN qij ELSE 0 END) AS sb
+      FROM (
+        SELECT grp, len(vq) AS d,
+               unnest(range(0, len(vq) * len(vq))) AS idx,
+               unnest(flatten(list_transform(vq,
+                 x -> list_transform(vq, y -> x * y)))) AS qij
+        FROM q
+      )
+      GROUP BY 1, 2
     ),
     lin AS (
       SELECT SUM((ua * (SELECT nb FROM n) - ub * (SELECT na FROM n))::HUGEINT
@@ -239,29 +250,38 @@ def vec_mmd_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("label") <= 4, "a").otherwise("b").alias("grp"),
         F.expr(_VQ_SPARK).alias("vq"),
     )
-    el = q.select(
-        "vec_id", "grp", F.posexplode("vq").alias("i0", "qi")
-    ).select("vec_id", "grp", (F.col("i0") + 1).alias("i"), "qi")
-    n = el.agg(
-        F.countDistinct(F.when(F.col("grp") == "a", F.col("vec_id")))
-        .alias("na"),
-        F.countDistinct(F.when(F.col("grp") == "b", F.col("vec_id")))
-        .alias("nb"),
+    n = q.agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0)).alias("nb"),
     )
+    el = q.select(
+        "grp", F.posexplode("vq").alias("i0", "qi")
+    ).select("grp", (F.col("i0") + 1).alias("i"), "qi")
     m1 = el.groupBy("i").agg(
         F.sum(F.when(F.col("grp") == "a", F.col("qi")).otherwise(0))
         .alias("ua"),
         F.sum(F.when(F.col("grp") == "b", F.col("qi")).otherwise(0))
         .alias("ub"),
     )
-    el_b = el.select(
-        F.col("vec_id").alias("vid2"), F.col("i").alias("j"),
-        F.col("qi").alias("qj"),
+    # the outer product is generated MAP-SIDE per vector (flattened
+    # nested transform, d² terms per row) and partial-aggregates to d²
+    # cells per partition BEFORE the one shuffle — the join-on-vec_id
+    # spelling would shuffle the whole n·d element relation instead
+    # (caught in the r9 plan audit; the docstring's claim is now the
+    # plan's actual shape)
+    d2 = q.select(
+        "grp",
+        F.size("vq").alias("d"),
+        F.posexplode(
+            F.expr("flatten(transform(vq, x -> transform(vq, y -> x * y)))")
+        ).alias("idx", "qij"),
     )
     m2 = (
-        el.join(el_b, el.vec_id == el_b.vid2)
-        .select(
-            "grp", "i", "j", (F.col("qi") * F.col("qj")).alias("qij")
+        d2.select(
+            "grp",
+            F.expr("idx DIV d + 1").cast("int").alias("i"),
+            F.expr("idx % d + 1").cast("int").alias("j"),
+            "qij",
         )
         .groupBy("i", "j")
         .agg(
