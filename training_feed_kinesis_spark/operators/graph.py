@@ -64,7 +64,17 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _edges_cache.get(sf_dir)
     if cached is not None:
         return cached
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # A line item with a NULL order key belongs to NO basket: the
+    # oracle's self-join ON l_orderkey drops such rows (NULL never
+    # equals), but groupBy would collect them into one spurious
+    # mega-basket whose O(n²) pairs poison the edge set — the r9
+    # NULL-PK campaign caught all ten graph/mining consumers at once
+    # through this seam.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_orderkey").isNotNull())
+    )
     # Pair generation spelled as groupBy(order)+collect_list then a
     # row-local array-combinations explode, NOT a lineitem self-join: one
     # shuffle (keyed by order) instead of two sorted join legs, and the

@@ -67,7 +67,8 @@ VEC_ADMIT_SQL = """embeddings_adm AS (
                  md5(array_to_string(list_transform(embedding,
                    x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 10000, 0)
                         AS BIGINT) AS VARCHAR)), ','))) AS rn
-        FROM embeddings WHERE embedding IS NOT NULL
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
       ) WHERE rn = 1
     )"""
 
@@ -110,8 +111,12 @@ def load_embeddings_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _ADMIT_MEMO.get(memo_key)
     if hit is not None:
         return hit
+    # NULL vec_id is rejected alongside NULL vectors (r9 NULL-PK
+    # campaign): an identity-less vector cannot be versioned by the
+    # election window — and a NULL partition key would otherwise lump
+    # every such row into ONE window partition and keep exactly one.
     e = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
     )
     has_dupes = not (
         e.groupBy("vec_id")
@@ -426,7 +431,8 @@ _EDGES_SQL = f"""
     f"""
     WITH RECURSIVE edges AS ({_EDGES_SQL}),
     reach(node, label) AS (
-      SELECT vec_id, vec_id FROM embeddings
+      -- an identity-less vector cannot be cluster-labeled (NULL-PK r9)
+      SELECT vec_id, vec_id FROM embeddings WHERE vec_id IS NOT NULL
       UNION
       SELECT CASE WHEN r.node = e.a THEN e.b ELSE e.a END, r.label
       FROM reach r JOIN edges e ON r.node = e.a OR r.node = e.b
@@ -451,7 +457,11 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed labels, never a data collect. Oracle: DuckDB RECURSIVE CTE
     computing the same reachability minimum — an oracled iterative
     operator, not rows-only."""
-    em = load_table(spark, sf_dir, "embeddings")
+    # identity-less vectors (NULL vec_id) are excluded: they cannot be
+    # labeled, and the a<b edge join drops them anyway (NULL-PK r9)
+    em = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull()
+    )
     # norms depend only on the vector, so they are computed ONCE per side
     # before the O(n²) join — the per-pair filter is then a single dot
     # aggregate plus a divide instead of dot + two 64-step norm aggregates
@@ -527,7 +537,8 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH RECURSIVE edges AS ({_EDGES_SQL}),
     reach(node, label) AS (
-      SELECT vec_id, vec_id FROM embeddings
+      -- an identity-less vector cannot be cluster-labeled (NULL-PK r9)
+      SELECT vec_id, vec_id FROM embeddings WHERE vec_id IS NOT NULL
       UNION
       SELECT CASE WHEN r.node = e.a THEN e.b ELSE e.a END, r.label
       FROM reach r JOIN edges e ON r.node = e.a OR r.node = e.b

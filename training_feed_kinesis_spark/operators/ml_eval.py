@@ -65,8 +65,11 @@ def _ratio4_duck(num: str, den: str) -> str:
     CAT,
     f"""
     WITH b AS (
+      -- an unscorable row (NULL l_orderkey => NULL score, NULL-PK r9)
+      -- is excluded: the score-ordered window would place the NULL
+      -- group at opposite ends on the two engines
       SELECT {_SCORE_SQL} AS score, {_LABEL_SQL} AS lab
-      FROM lineitem
+      FROM lineitem WHERE {_SCORE_SQL} IS NOT NULL
     ),
     g AS (
       SELECT score, COUNT(*)::BIGINT AS n, SUM(lab)::BIGINT AS p,
@@ -98,8 +101,13 @@ def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row sort. The numerator stays in exact BIGINT (doubled to absorb
     the half-credit term) and the final divide uses exact HALF_UP 4dp.
     """
-    b = load_table(spark, sf_dir, "lineitem").select(
-        F.expr(_SCORE_SQL).alias("score"), F.expr(_LABEL_SQL).alias("lab")
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.expr(_SCORE_SQL).alias("score"),
+            F.expr(_LABEL_SQL).alias("lab"),
+        )
+        .filter(F.col("score").isNotNull())
     )
     g = b.groupBy("score").agg(
         F.count(F.lit(1)).alias("n"),

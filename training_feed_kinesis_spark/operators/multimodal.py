@@ -169,7 +169,7 @@ def _wav_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
              list_transform(range(1, 17), i ->
                (strpos('0123456789abcdef', substr(md5(text), 2*i - 1, 1)) - 1) * 16
                + (strpos('0123456789abcdef', substr(md5(text), 2*i, 1)) - 1)) AS bytes
-      FROM documents WHERE text IS NOT NULL)
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL)
     SELECT doc_id,
            1::INT AS channels,
            (8000 + (doc_id % 3) * 4000)::INT AS sample_rate,
@@ -194,14 +194,17 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     PIL/ffmpeg decode changes only the function body — the plumbing
     (schema, Arrow batching, partition behavior) is what this operator
     pins down."""
-    # payload-less rows (NULL text -> NULL md5 payload) are quarantined
-    # BEFORE the codec kernels — bytes(None) is a task crash, and a real
-    # ingest routes payload-less rows aside, not into decoders
-    # (doc-corruption replay)
+    # payload-less rows (NULL text -> NULL md5 payload) AND id-less rows
+    # (NULL doc_id) are quarantined BEFORE the codec kernels —
+    # bytes(None)/int(None) are task crashes, and the encode parameters
+    # are keyed on doc_id; a real ingest routes both aside, not into
+    # decoders (doc-corruption + NULL-PK replays)
     src = (
         _with_payload(spark, sf_dir)
         .select("doc_id", "payload")
-        .filter(F.col("payload").isNotNull())
+        .filter(
+            F.col("payload").isNotNull() & F.col("doc_id").isNotNull()
+        )
     )
     wavs = src.mapInPandas(_wav_encode_batch, "doc_id long, wav binary")
     return wavs.mapInPandas(

@@ -42,7 +42,7 @@ _EPOCHS = 2
              SUM(n_chars) OVER (ORDER BY doc_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING
                                      AND 1 PRECEDING) AS off
-      FROM documents
+      FROM documents WHERE doc_id IS NOT NULL
     )
     SELECT CAST(COALESCE(off, 0) // {_SHARD_BYTES} AS BIGINT) AS shard_id,
            COUNT(*)::BIGINT AS n_items,
@@ -66,8 +66,13 @@ def multimodal_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to ``llm_pack_chunks`` — the single ordered
     cumsum is the one global dependency, replaced at 100 TB by per-shard
     offsets + a driver-side prefix over shard totals; payload BYTES never
-    shuffle (the manifest carries sizes, the tar writer streams files)."""
-    d = load_table(spark, sf_dir, "documents").select(
+    shuffle (the manifest carries sizes, the tar writer streams files).
+
+    NULL-PK r9: a doc with no id has no place in the id-ordered pack —
+    and engines disagree on where NULLs sort."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    ).select(
         "doc_id",
         "n_chars",
         F.when(F.col("doc_id") % 3 == 0, "text")

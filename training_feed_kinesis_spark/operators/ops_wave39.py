@@ -92,10 +92,11 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT_MM,
     f"""
     WITH sized AS (
+      -- id-ordered pack: a doc with no id has no position (NULL-PK r9)
       SELECT doc_id, n_chars,
              COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-      FROM documents
+      FROM documents WHERE doc_id IS NOT NULL
     ),
     shards AS (
       SELECT CAST(off // {SHARD_BYTES} AS BIGINT) AS shard_id,
@@ -129,7 +130,9 @@ def llm_dataloader_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (at 100 TB it runs per shard-group with offsets composed two-level,
     as multimodal_shard_pack documents); everything after operates on
     shard-count rows."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     w_off = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     sized = d.select(
         "doc_id",

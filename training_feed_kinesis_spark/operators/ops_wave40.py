@@ -88,10 +88,13 @@ def llm_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT_MM,
     f"""
     WITH sized AS (
+      -- a doc with no id has no position in the id-ordered pack
+      -- (NULL-PK r9: Spark sorts NULLS FIRST, DuckDB LAST — every
+      -- shard boundary would shift by the NULL sliver)
       SELECT doc_id, n_chars, md5(text) AS doc_hash,
              COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-      FROM documents
+      FROM documents WHERE doc_id IS NOT NULL
     ),
     sharded AS (
       SELECT CAST(off // {SHARD_BYTES} AS BIGINT) AS shard_id,
@@ -120,7 +123,9 @@ def llm_shard_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     hundred 32-char hashes (shard-bounded, not corpus-bounded), so the
     digest concat is small and the shuffle carries (shard_id, hash)
     pairs, never text."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     w_off = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     sized = d.select(
         "doc_id",

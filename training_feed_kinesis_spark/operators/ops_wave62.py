@@ -34,7 +34,10 @@ CAT_EXP = "2.L experimentation"
     CAT_ML,
     f"""
     WITH base AS (
+      -- unscorable rows excluded (NULL l_orderkey => NULL score;
+      -- NULL-PK r9 — engines order the NULL score group differently)
       SELECT {_SCORE_SQL} AS score, {_LABEL_SQL} AS lab FROM lineitem
+      WHERE {_SCORE_SQL} IS NOT NULL
     ),
     g AS (SELECT score, COUNT(*)::BIGINT AS n, SUM(lab)::BIGINT AS k
           FROM base GROUP BY score),
@@ -79,8 +82,13 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     after operates on the score-cardinality table (a model's score
     buckets — hundreds, not rows). The cubic term lives entirely in
     that tiny domain."""
-    b = load_table(spark, sf_dir, "lineitem").select(
-        F.expr(_SCORE_SQL).alias("score"), F.expr(_LABEL_SQL).alias("lab")
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.expr(_SCORE_SQL).alias("score"),
+            F.expr(_LABEL_SQL).alias("lab"),
+        )
+        .filter(F.col("score").isNotNull())
     )
     g = b.groupBy("score").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

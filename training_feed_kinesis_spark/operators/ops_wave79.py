@@ -134,7 +134,7 @@ def _bmp_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     CAT,
     f"""
     WITH b AS (SELECT doc_id, md5(text) AS h FROM documents
-               WHERE text IS NOT NULL),
+               WHERE text IS NOT NULL AND doc_id IS NOT NULL),
     geo AS (
       SELECT doc_id,
              CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 8 END AS w,
@@ -165,13 +165,16 @@ def multimodal_image_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: two map-only mapInPandas stages; payload bytes never
     shuffle. A PIL/libjpeg decode drops into the same kernel slot."""
-    # quarantine payload-less rows before the codec kernels (NULL text
-    # -> NULL payload; bytes(None) crashes the task — doc-corruption
-    # replay); a real ingest routes them aside, not into decoders
+    # quarantine payload-less (NULL text -> NULL payload) AND id-less
+    # rows before the codec kernels — bytes(None)/int(None) crash the
+    # task, and the BMP geometry is keyed on doc_id (doc-corruption +
+    # NULL-PK replays); a real ingest routes both aside
     src = (
         _with_payload(spark, sf_dir)
         .select("doc_id", "payload")
-        .filter(F.col("payload").isNotNull())
+        .filter(
+            F.col("payload").isNotNull() & F.col("doc_id").isNotNull()
+        )
     )
     bmps = src.mapInPandas(_bmp_encode_batch, "doc_id long, bmp binary")
     return bmps.mapInPandas(

@@ -118,11 +118,13 @@ def llm_chunk_dedup_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT_TEXT,
     """
     WITH seq AS (
+      -- adjacency is id-order: a doc with no id has no neighbors, and
+      -- engines disagree on where NULLs sort (NULL-PK r9)
       SELECT doc_id, lang, n_chars,
              LEAD(doc_id) OVER (ORDER BY doc_id) AS next_id,
              LEAD(lang) OVER (ORDER BY doc_id) AS next_lang,
              LEAD(n_chars) OVER (ORDER BY doc_id) AS next_chars
-      FROM documents
+      FROM documents WHERE doc_id IS NOT NULL
     ),
     matches AS (
       SELECT lang AS la, next_lang AS lb,
@@ -176,7 +178,9 @@ def llm_bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one global LEAD window builds matches; all fitting
     state is |players| + |player pairs| — iterate-on-aggregates, the
     graph_pagerank discipline."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     w = Window.orderBy("doc_id")
     seq = d.select(
         "doc_id",

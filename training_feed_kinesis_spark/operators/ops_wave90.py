@@ -78,7 +78,7 @@ def _score_terms(h: str) -> dict[str, str]:
     f"""
     WITH b AS ({" UNION ALL ".join(
         f"SELECT '{name}' AS variant, {expr} AS score, {_LABEL_SQL} AS y"
-        f" FROM lineitem"
+        f" FROM lineitem WHERE l_orderkey IS NOT NULL"
         for name, expr in _score_terms(_H).items()
     )}),
     g AS (
@@ -121,7 +121,11 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤97-group census per variant, windows over score groups — never
     over rows."""
     variants = _score_terms(_H_SPARK)
-    li = load_table(spark, sf_dir, "lineitem")
+    # unscorable rows excluded: NULL l_orderkey NULLs both the base
+    # score and every md5 scramble key (NULL-PK r9)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey").isNotNull()
+    )
     b = None
     for name, expr in variants.items():
         leg = li.select(

@@ -470,7 +470,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand <> 'Brand#5'
       AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
-      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%3')
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_name LIKE '%3'
+                              AND s_suppkey IS NOT NULL)
     GROUP BY p_brand, p_type, p_size
     """,
 )
@@ -479,6 +481,11 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     a denylisted supplier set. NOT IN becomes a left-anti join against the
     (tiny, broadcast) denylist; COUNT(DISTINCT) runs as Spark's two-phase
     distinct aggregate. lineitem stands in for the absent partsupp.
+
+    The denylist subquery guards s_suppkey IS NOT NULL (NULL-PK r9): a
+    single NULL-keyed supplier row in the denylist NULL-poisons NOT IN
+    for EVERY candidate (0 rows) where the anti-join is unaffected —
+    the dq_dim_conformity seam, here on the hot TPC-H path.
     """
     deny = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_name").like("%3")
