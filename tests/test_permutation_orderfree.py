@@ -43,6 +43,11 @@ PERMUTATION_SENSITIVE_KEYS = [
     "events_eb_shrinkage",
     "ml_ridge_closed_form",
     "vec_pca_power",
+    # the r9 sf0.1-permutation finds: ROUND of a float revenue SUM per
+    # entity flipped a cent with accumulation order; now _REV_S-exact
+    "supplier_concentration_hhi",
+    "orders_abc_xyz",
+    "revenue_abc_class",
 ]
 
 

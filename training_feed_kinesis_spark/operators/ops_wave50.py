@@ -28,27 +28,31 @@ CAT_REP = "2.L reporting"
     CAT_REP,
     """
     WITH per_supp AS (
+      -- per-ROW exact scale-1e4 revenue units (_REV_S discipline):
+      -- ROUND(SUM(double)) flips a cent with accumulation order on
+      -- knife-edge suppliers (caught by the r9 sf0.1 permutation sweep)
       SELECT l_suppkey,
-             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100, 0)
-                  AS BIGINT) AS rev_cents
+             SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+               AS rev_s
       FROM lineitem GROUP BY l_suppkey
     ),
     located AS (
-      SELECT n.n_name, p.rev_cents
+      SELECT n.n_name, p.rev_s
       FROM per_supp p
       JOIN supplier s ON s.s_suppkey = p.l_suppkey
       JOIN nation n ON n.n_nationkey = s.s_nationkey
     ),
     tot AS (
-      SELECT n_name, SUM(rev_cents) AS tc, COUNT(*)::BIGINT AS n_suppliers
+      SELECT n_name, SUM(rev_s) AS tc, COUNT(*)::BIGINT AS n_suppliers
       FROM located GROUP BY n_name
     )
     SELECT l.n_name,
            t.n_suppliers,
-           CAST(t.tc AS BIGINT) AS nation_rev_cents,
-           ROUND(SUM((l.rev_cents::DOUBLE / t.tc)
-                     * (l.rev_cents::DOUBLE / t.tc)), 4) AS hhi,
-           ROUND(MAX(l.rev_cents::DOUBLE / t.tc), 4) AS top_share
+           CAST((t.tc + 50) // 100 AS BIGINT) AS nation_rev_cents,
+           ROUND(SUM((l.rev_s::DOUBLE / t.tc)
+                     * (l.rev_s::DOUBLE / t.tc)), 4) AS hhi,
+           ROUND(MAX(l.rev_s::DOUBLE / t.tc), 4) AS top_share
     FROM located l JOIN tot t ON t.n_name = l.n_name
     GROUP BY l.n_name, t.n_suppliers, t.tc
     """,
@@ -66,11 +70,12 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows."""
     li = load_table(spark, sf_dir, "lineitem")
     per_supp = li.groupBy("l_suppkey").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100, 0
-        )
-        .cast("bigint")
-        .alias("rev_cents")
+        F.sum(
+            F.expr(
+                "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+                " * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))"
+            )
+        ).alias("rev_s")
     )
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
@@ -79,13 +84,13 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(s), per_supp.l_suppkey == s.s_suppkey
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .select("n_name", "rev_cents")
+        .select("n_name", "rev_s")
     )
     tot = located.groupBy("n_name").agg(
-        F.sum("rev_cents").alias("tc"),
+        F.sum("rev_s").alias("tc"),
         F.count(F.lit(1)).cast("long").alias("n_suppliers"),
     )
-    share = F.col("rev_cents").cast("double") / F.col("tc")
+    share = F.col("rev_s").cast("double") / F.col("tc")
     return (
         located.join(tot, "n_name")
         .groupBy("n_name", "n_suppliers", "tc")
@@ -96,7 +101,9 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_name",
             "n_suppliers",
-            F.col("tc").cast("bigint").alias("nation_rev_cents"),
+            F.expr("(tc + 50) DIV 100")
+            .cast("bigint")
+            .alias("nation_rev_cents"),
             "hhi",
             "top_share",
         )

@@ -105,21 +105,24 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT_REP,
     """
     WITH per_part AS (
+      -- per-ROW exact scale-1e4 units (_REV_S): ROUND of a float SUM
+      -- flips a cent with accumulation order (r9 permutation sweep)
       SELECT l_partkey,
-             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100, 0)
-                  AS BIGINT) AS rev_cents
+             SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+               AS rev_s
       FROM lineitem GROUP BY 1
     ),
     abc AS (
-      SELECT l_partkey, rev_cents,
-             CASE WHEN 10 * (SUM(rev_cents) OVER (
-                    ORDER BY rev_cents DESC, l_partkey ASC
+      SELECT l_partkey, rev_s,
+             CASE WHEN 10 * (SUM(rev_s) OVER (
+                    ORDER BY rev_s DESC, l_partkey ASC
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-                  <= 7 * (SUM(rev_cents) OVER ()) THEN 'A'
-                  WHEN 10 * (SUM(rev_cents) OVER (
-                    ORDER BY rev_cents DESC, l_partkey ASC
+                  <= 7 * (SUM(rev_s) OVER ()) THEN 'A'
+                  WHEN 10 * (SUM(rev_s) OVER (
+                    ORDER BY rev_s DESC, l_partkey ASC
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-                  <= 9 * (SUM(rev_cents) OVER ()) THEN 'B'
+                  <= 9 * (SUM(rev_s) OVER ()) THEN 'B'
                   ELSE 'C' END AS abc_class
       FROM per_part
     ),
@@ -137,7 +140,7 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a.abc_class, x.xyz_class,
            COUNT(*)::BIGINT AS n_parts,
-           CAST(SUM(a.rev_cents) AS BIGINT) AS rev_cents
+           CAST((SUM(a.rev_s) + 50) // 100 AS BIGINT) AS rev_cents
     FROM abc a JOIN xyz x USING (l_partkey)
     GROUP BY a.abc_class, x.xyz_class
     """,
@@ -159,27 +162,27 @@ def orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a part-grain join — no fact-scale joins."""
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100,
-            0,
-        )
-        .cast("long")
-        .alias("rev_cents")
+        F.sum(
+            F.expr(
+                "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+                " * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))"
+            )
+        ).alias("rev_s")
     )
     w_cum = Window.orderBy(
-        F.col("rev_cents").desc(), F.col("l_partkey").asc()
+        F.col("rev_s").desc(), F.col("l_partkey").asc()
     ).rowsBetween(Window.unboundedPreceding, 0)
     w_all = Window.partitionBy()
     # corpus-scale cumulative/total accumulators + the ×10 threshold
     # cross-multiplications exceed int64 before the part-grain inputs
     # do — widen to DECIMAL(38,0) over the aggregated rows (§5.3.6c;
     # DuckDB widens to HUGEINT on its own)
-    rev_d = F.col("rev_cents").cast("decimal(38,0)")
+    rev_d = F.col("rev_s").cast("decimal(38,0)")
     cum = F.sum(rev_d).over(w_cum)
     tot = F.sum(rev_d).over(w_all)
     abc = per_part.select(
         "l_partkey",
-        "rev_cents",
+        "rev_s",
         F.when(10 * cum <= 7 * tot, "A")
         .when(10 * cum <= 9 * tot, "B")
         .otherwise("C")
@@ -206,7 +209,9 @@ def orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("abc_class", "xyz_class")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.sum("rev_cents").cast("long").alias("rev_cents"),
+            F.expr("CAST((SUM(rev_s) + 50) DIV 100 AS BIGINT)").alias(
+                "rev_cents"
+            ),
         )
     )
 

@@ -323,29 +323,32 @@ def events_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT_REP,
     """
     WITH per_part AS (
+      -- per-ROW exact scale-1e4 units (_REV_S): ROUND of a float SUM
+      -- flips a cent with accumulation order (r9 permutation sweep)
       SELECT l_partkey,
-             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100, 0)
-                  AS BIGINT) AS rev_cents
+             SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+               AS rev_s
       FROM lineitem GROUP BY 1
     ),
     ranked AS (
-      SELECT l_partkey, rev_cents,
-             SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey ASC
-                                  ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND CURRENT ROW) AS cum_cents,
-             SUM(rev_cents) OVER () AS tot_cents
+      SELECT l_partkey, rev_s,
+             SUM(rev_s) OVER (ORDER BY rev_s DESC, l_partkey ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum_s,
+             SUM(rev_s) OVER () AS tot_s
       FROM per_part
     ),
     classed AS (
-      SELECT CASE WHEN cum_cents * 5 <= tot_cents * 4 THEN 'A'
-                  WHEN cum_cents * 20 <= tot_cents * 19 THEN 'B'
+      SELECT CASE WHEN cum_s * 5 <= tot_s * 4 THEN 'A'
+                  WHEN cum_s * 20 <= tot_s * 19 THEN 'B'
                   ELSE 'C' END AS abc_class,
-             rev_cents, tot_cents
+             rev_s, tot_s
       FROM ranked
     )
     SELECT abc_class, COUNT(*)::BIGINT AS n_parts,
-           ROUND(SUM(rev_cents) / 100.0, 2) AS revenue,
-           ROUND(SUM(rev_cents)::DOUBLE / MAX(tot_cents), 4) AS rev_share
+           ROUND(SUM(rev_s) / 10000.0, 2) AS revenue,
+           ROUND(SUM(rev_s)::DOUBLE / MAX(tot_s), 4) AS rev_share
     FROM classed GROUP BY 1
     """,
 )
@@ -364,40 +367,42 @@ def revenue_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100, 0)
-        .cast("bigint")
-        .alias("rev_cents")
+        F.sum(
+            F.expr(
+                "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+                " * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))"
+            )
+        ).alias("rev_s")
     )
     # cumulative and total accumulators range over CORPUS revenue — and
     # the ×5/×20 threshold cross-multiplications exceed int64 well before
     # the sums themselves do — so both windows widen to DECIMAL(38,0)
     # over the part-grain rows (§5.3.6c; DuckDB widens to HUGEINT on its
     # own). The fact-grain per-part sum keeps the BIGINT fast path.
-    rev_d = F.col("rev_cents").cast("decimal(38,0)")
+    rev_d = F.col("rev_s").cast("decimal(38,0)")
     w_cum = (
-        Window.orderBy(F.col("rev_cents").desc(), F.col("l_partkey").asc())
+        Window.orderBy(F.col("rev_s").desc(), F.col("l_partkey").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ranked = per_part.select(
         "l_partkey",
-        "rev_cents",
-        F.sum(rev_d).over(w_cum).alias("cum_cents"),
-        F.sum(rev_d).over(Window.partitionBy()).alias("tot_cents"),
+        "rev_s",
+        F.sum(rev_d).over(w_cum).alias("cum_s"),
+        F.sum(rev_d).over(Window.partitionBy()).alias("tot_s"),
     )
     classed = ranked.select(
-        F.when(F.col("cum_cents") * 5 <= F.col("tot_cents") * 4, "A")
-        .when(F.col("cum_cents") * 20 <= F.col("tot_cents") * 19, "B")
+        F.when(F.col("cum_s") * 5 <= F.col("tot_s") * 4, "A")
+        .when(F.col("cum_s") * 20 <= F.col("tot_s") * 19, "B")
         .otherwise("C")
         .alias("abc_class"),
-        "rev_cents",
-        "tot_cents",
+        "rev_s",
+        "tot_s",
     )
     return classed.groupBy("abc_class").agg(
         F.count(F.lit(1)).alias("n_parts"),
-        F.round(F.sum(rev_d).cast("double") / 100.0, 2).alias("revenue"),
+        F.round(F.sum(rev_d).cast("double") / 10000.0, 2).alias("revenue"),
         F.round(
-            F.sum(rev_d).cast("double")
-            / F.max("tot_cents").cast("double"),
+            F.sum(rev_d).cast("double") / F.max("tot_s").cast("double"),
             4,
         ).alias("rev_share"),
     )
