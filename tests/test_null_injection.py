@@ -2408,3 +2408,153 @@ def test_supp_part_fixture_nonvacuous(supp_part_reingest_sf):
             f" WHERE {cond}"
         ).fetchone()[0]
         assert n > 0, (tbl, cond)
+
+
+# --- NULL PRIMARY KEYS (round 9 campaign) ------------------------------------
+
+# The r8 campaigns stressed NULL FKs, NULL attributes, and NULL time
+# keys — never NULL PKs on the fact/content tables. An exhaustive
+# full-registry sweep over this fixture found 37 divergences in six
+# families, each fixed with one spelling per family:
+#   basket/graph: a NULL-orderkey line item belongs to NO basket
+#     (groupBy was building a spurious mega-basket; the oracle's
+#     self-join dropped it) — fixed at the two basket substrates;
+#   identity dedup/sampling/packing: identity-keyed operations exclude
+#     id-less rows on BOTH engines (dropDuplicates groups all NULLs as
+#     one key; md5(NULL) ordering and id-ordered pack offsets diverge);
+#   score windows: unscorable rows excluded before score-ordered ranks;
+#   order tiebreaks: event_id pinned ASC NULLS LAST both engines;
+#   NOT IN denylists: IS NOT NULL guard (one NULL-keyed supplier
+#     NULL-poisoned q16 to 0 rows);
+#   sources/codecs: empty-field wire convention for NULL ids, parity
+#     routing for three-valued filters, NULL-safe sort keys in the
+#     Python stream reader, int(None) quarantined before kernels.
+
+NULLPK_CONSUMERS = [
+    # basket/graph family (substrate fix)
+    "assoc_rules",
+    "graph_assortativity",
+    "graph_bfs_distance",
+    "graph_clustering_coeff",
+    "graph_degree",
+    "graph_kcore",
+    "graph_label_propagation",
+    "graph_linkpred_scores",
+    "graph_modularity_brand",
+    "graph_triangles",
+    # embedding identity (admission gate + CC seeds)
+    "llm_dedup_clusters",
+    "llm_dedup_apply",
+    "vec_pca_power",
+    "llm_semdedup_cell",
+    # id-ordered packing / adjacency
+    "llm_shard_integrity",
+    "llm_dataloader_epoch_plan",
+    "llm_bradley_terry_strength",
+    "multimodal_shard_pack",
+    # codec kernels
+    "llm_multimodal_features",
+    "multimodal_image_decode_bmp",
+    # score windows
+    "ml_auc_rank",
+    "ml_isotonic_calibration",
+    "ml_permutation_importance",
+    # NOT IN denylist
+    "q16_supplier_variety",
+    # identity sampling
+    "sample_per_group",
+    "sample_reservoir_fixedk",
+    "sample_stratified_neyman",
+    "sample_weighted",
+    # order tiebreaks
+    "sort_nulls_ordering",
+    "win_ranking",
+    "win_percent_rank_cume",
+    # sources
+    "source_text",
+    "source_schema_evolution",
+    # identity dedup streams
+    "stream_dedup",
+    "stream_dedup_watermark",
+    "stream_backfill_union",
+    # detection side
+    "dq_duplicate_pk_census",
+    "dq_orphan_census",
+    "dq_key_skew_census",
+]
+
+
+@pytest.fixture(scope="module")
+def null_pk_sf(tmp_path_factory):
+    """NULL-PK slivers on every PK-bearing fact/content table (~1-3%):
+    the re-ingest-with-broken-id signature."""
+    d = tmp_path_factory.mktemp("nullpksf")
+    specs = {
+        "documents": "CASE WHEN doc_id % 41 = 7 THEN NULL ELSE doc_id END"
+                     " AS doc_id",
+        "embeddings": "CASE WHEN vec_id % 37 = 5 THEN NULL ELSE vec_id END"
+                      " AS vec_id",
+        "events": "CASE WHEN event_id % 53 = 9 THEN NULL ELSE event_id END"
+                  " AS event_id",
+        "orders": "CASE WHEN o_orderkey % 61 = 11 THEN NULL"
+                  " ELSE o_orderkey END AS o_orderkey",
+        "lineitem": "CASE WHEN l_orderkey % 67 = 13 AND l_linenumber = 1"
+                    " THEN NULL ELSE l_orderkey END AS l_orderkey",
+        "supplier": "CASE WHEN s_suppkey % 29 = 3 THEN NULL"
+                    " ELSE s_suppkey END AS s_suppkey",
+        "part": "CASE WHEN p_partkey % 43 = 17 THEN NULL"
+                " ELSE p_partkey END AS p_partkey",
+        "customer": "CASE WHEN c_custkey % 47 = 19 THEN NULL"
+                    " ELSE c_custkey END AS c_custkey",
+    }
+    for t in TABLES:
+        if t in specs:
+            duckdb.execute(
+                f"""
+                COPY (SELECT * REPLACE ({specs[t]})
+                      FROM read_parquet('{SF_DIR}/{t}.parquet'))
+                TO '{d}/{t}.parquet' (FORMAT PARQUET)
+                """
+            )
+        else:
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_null_pk(null_pk_sf):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{null_pk_sf}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", NULLPK_CONSUMERS)
+def test_ops_survive_null_primary_keys(
+    key, spark, registry, null_pk_sf, duck_null_pk
+):
+    spec = registry[key]
+    assert spec.oracle is not None, key
+    assert_matches_oracle(spec.fn(spark, null_pk_sf), duck_null_pk, spec.oracle)
+
+
+def test_null_pk_fixture_nonvacuous(null_pk_sf):
+    for tbl, pk in (
+        ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+        ("events", "event_id"),
+        ("orders", "o_orderkey"),
+        ("lineitem", "l_orderkey"),
+        ("supplier", "s_suppkey"),
+        ("part", "p_partkey"),
+        ("customer", "c_custkey"),
+    ):
+        n = duckdb.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{null_pk_sf}/{tbl}.parquet')"
+            f" WHERE {pk} IS NULL"
+        ).fetchone()[0]
+        assert n > 0, (tbl, pk)

@@ -103,10 +103,17 @@ def stream_trigger_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_stratified_neyman",
     CAT_SAMPLE,
     f"""
-    WITH strata AS (
+    WITH frame AS (
+      -- the sampling frame excludes id-less docs: the md5 rank order
+      -- needs identity, and the allocation must count the same frame
+      -- it draws from (NULL-PK r9)
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE doc_id IS NOT NULL
+    ),
+    strata AS (
       SELECT lang, COUNT(*)::DOUBLE AS nh,
              COALESCE(stddev_samp(n_chars), 0) AS sh
-      FROM documents GROUP BY lang
+      FROM frame GROUP BY lang
     ),
     tot AS (SELECT SUM(nh * sh) AS w FROM strata),
     alloc AS (
@@ -120,7 +127,7 @@ def stream_trigger_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY d.lang
                                 ORDER BY md5(d.doc_id::VARCHAR), d.doc_id)
                AS rk
-      FROM documents d
+      FROM frame d
     )
     SELECT r.lang, r.doc_id, r.rk, a.n_stratum, a.n_alloc
     FROM ranked r JOIN alloc a ON a.lang = r.lang
@@ -139,7 +146,9 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     draw is one rank window per stratum — at 100 TB replace ROW_NUMBER
     with an approximate md5 threshold per stratum (n_alloc/N_h quantile)
     and verify counts, same two-pass shape as ``sample_hash``."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     strata = d.groupBy("lang").agg(
         F.count(F.lit(1)).cast("double").alias("nh"),
         F.coalesce(F.stddev_samp("n_chars"), F.lit(0.0)).alias("sh"),

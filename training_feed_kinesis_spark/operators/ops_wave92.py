@@ -49,6 +49,7 @@ _RESERVOIR_K = 100
     f"""
     SELECT doc_id, lang, source
     FROM documents
+    WHERE doc_id IS NOT NULL  -- hash priority needs identity (NULL-PK r9)
     ORDER BY md5(doc_id::VARCHAR), doc_id
     LIMIT {_RESERVOIR_K}
     """,
@@ -67,7 +68,9 @@ def sample_reservoir_fixedk(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed reservoir algorithm, with the hash as the priority key
     (Efraimidis-Spirakis A-Res with uniform weights). The plan shape is
     CI-asserted (tests/test_plans.py)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     return (
         d.select("doc_id", "lang", "source")
         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
@@ -87,7 +90,7 @@ def sample_reservoir_fixedk(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- NULLS LAST pinned explicitly: Spark windows default NULLS FIRST,
     -- DuckDB NULLS LAST — a NULL value row would shift every rank
     WINDOW w AS (PARTITION BY event_type
-                 ORDER BY value ASC NULLS LAST, event_id)
+                 ORDER BY value ASC NULLS LAST, event_id ASC NULLS LAST)
     """,
 )
 def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,9 +104,11 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical cost to any ranking window; nothing global."""
     ev = load_table(spark, sf_dir, "events")
     # asc_nulls_last pins the cross-engine NULL ordering divergence
-    # (Spark defaults NULLS FIRST, DuckDB NULLS LAST)
+    # (Spark defaults NULLS FIRST, DuckDB NULLS LAST) — on the
+    # event_id TIEBREAK too, not just the value (NULL-PK r9)
     w = Window.partitionBy("event_type").orderBy(
-        F.col("value").asc_nulls_last(), "event_id"
+        F.col("value").asc_nulls_last(),
+        F.col("event_id").asc_nulls_last(),
     )
     return (
         ev.filter(F.col("event_type").isin("click", "purchase"))

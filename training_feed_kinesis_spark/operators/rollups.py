@@ -82,7 +82,8 @@ _U_SQL = (
       SELECT doc_id, lang, n_chars,
              -ln({_U_SQL} + 1e-300) / n_chars AS wkey
       FROM documents
-      WHERE n_chars > 0
+      WHERE n_chars > 0 AND doc_id IS NOT NULL
+        -- hash priority needs identity (NULL-PK r9)
     )
     SELECT doc_id, lang, n_chars
     FROM keyed
@@ -103,7 +104,9 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     +1e-300 guards ln(0) for the one-in-2^52 all-zero hash identically on
     both engines.
     """
-    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("n_chars") > 0) & F.col("doc_id").isNotNull()
+    )
     wkey = (-F.log(F.expr(_U_SPARK) + F.lit(1e-300)) / F.col("n_chars")).alias(
         "wkey"
     )

@@ -177,11 +177,14 @@ def hist_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT,
     f"""
     SELECT doc_id, lang, sample_rank FROM (
+      -- identity-hash sampling needs identity: md5(NULL) is NULL and
+      -- the engines order the NULL hash group at opposite ends
+      -- (NULL-PK r9)
       SELECT doc_id, lang,
              ROW_NUMBER() OVER (PARTITION BY lang
                  ORDER BY {_BUCKET_SQL.replace('1, 2', '1, 8')}, doc_id)
                AS sample_rank
-      FROM documents
+      FROM documents WHERE doc_id IS NOT NULL
     ) WHERE sample_rank <= 20
     """,
 )
@@ -198,7 +201,9 @@ def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
     w = Window.partitionBy("lang").orderBy(h, "doc_id")
     return (

@@ -47,7 +47,8 @@ _CUTOFF = "2024-01-20 00:00:00"
     CAT_STREAM,
     """
     SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id)::BIGINT AS n_users
-    FROM events WHERE ts IS NOT NULL GROUP BY event_type
+    FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+    GROUP BY event_type
     """,
 )
 def stream_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,7 +67,9 @@ def stream_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL event-time rows belong to NEITHER epoch (the history predicate
     ts < cutoff and the tail predicate ts >= cutoff-1d are both unknown
     on NULL), so the oracle pins the same exclusion — the r8 NULL-time
-    seam; an undated event cannot be assigned to a migration side."""
+    seam; an undated event cannot be assigned to a migration side. An
+    ID-LESS event cannot cross the seam either (NULL-PK r9): the seam
+    dedup is keyed on event_id, so both engines exclude it."""
     from ..streaming.replay import drain, replay_stream
 
     ev = load_table(spark, sf_dir, "events")
@@ -76,7 +79,14 @@ def stream_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         >= F.lit(_CUTOFF).cast("timestamp") - F.expr("INTERVAL 1 DAY")
     )
     tail = drain(tail_stream, "append")
-    merged = history.unionByName(tail).dropDuplicates(["event_id"])
+    # an id-less event cannot cross the seam exactly-once: the dedup
+    # key is the identity (NULL-PK r9; dropDuplicates would keep ONE
+    # survivor for ALL NULL ids where the batch oracle counts each)
+    merged = (
+        history.unionByName(tail)
+        .filter(F.col("event_id").isNotNull())
+        .dropDuplicates(["event_id"])
+    )
     return merged.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").cast("long").alias("n_users"),

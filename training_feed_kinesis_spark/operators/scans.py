@@ -179,7 +179,13 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the capability matters for the evolution boundary itself.)"""
     d = load_table(spark, sf_dir, "documents")
     out = scratch_dir("schema_evo_")
-    v1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
+    # a NULL doc_id matches NEITHER parity filter (three-valued logic
+    # silently dropped the row — NULL-PK r9); id-less rows are routed
+    # to the v1 legacy writer, matching the oracle's CASE which gives
+    # them NULL quality
+    v1 = d.filter(
+        (F.col("doc_id") % 2 == 0) | F.col("doc_id").isNull()
+    ).select("doc_id", "lang", "n_chars")
     v2 = (
         d.filter(F.col("doc_id") % 2 == 1)
         .select("doc_id", "lang", "n_chars")

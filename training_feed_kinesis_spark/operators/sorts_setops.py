@@ -175,9 +175,11 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE user_id = 3
     )
     SELECT event_id, ROUND(val, 4) AS val,
-           ROW_NUMBER() OVER (ORDER BY val ASC NULLS FIRST, event_id ASC)
+           ROW_NUMBER() OVER (ORDER BY val ASC NULLS FIRST,
+                                       event_id ASC NULLS LAST)
              AS rn_nulls_first,
-           ROW_NUMBER() OVER (ORDER BY val DESC NULLS LAST, event_id ASC)
+           ROW_NUMBER() OVER (ORDER BY val DESC NULLS LAST,
+                                       event_id ASC NULLS LAST)
              AS rn_nulls_last
     FROM v
     """,
@@ -201,11 +203,13 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("value"))
         .alias("val"),
     )
+    # the event_id TIEBREAK is pinned too: under a NULL-PK sliver the
+    # unpinned tiebreak put the NULL-id rows at opposite ends (r9)
     w_first = Window.orderBy(
-        F.col("val").asc_nulls_first(), F.col("event_id").asc()
+        F.col("val").asc_nulls_first(), F.col("event_id").asc_nulls_last()
     )
     w_last = Window.orderBy(
-        F.col("val").desc_nulls_last(), F.col("event_id").asc()
+        F.col("val").desc_nulls_last(), F.col("event_id").asc_nulls_last()
     )
     return v.select(
         "event_id",

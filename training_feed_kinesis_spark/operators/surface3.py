@@ -233,17 +233,22 @@ def source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     # field left), so a NULL lang must ride as an EMPTY field and read
     # back as NULL — the same empty-field convention as fn_csv (caught
     # by the NULL-attribute corruption replay)
+    # ... and a NULL doc_id too (NULL-PK r9): concat_ws silently DROPS
+    # a null field, shifting lang into the id slot — the ANSI cast then
+    # crashes on 'de'. Every field rides the empty-field convention.
     docs.select(
         F.concat_ws(
             "\t",
-            "doc_id",
+            F.coalesce(F.col("doc_id").cast("string"), F.lit("")),
             F.coalesce(F.col("lang"), F.lit("")),
             F.coalesce(F.col("text"), F.lit("")),
         ).alias("value")
     ).write.mode("overwrite").text(out)
     lines = spark.read.text(out)
     return lines.select(
-        F.substring_index("value", "\t", 1).cast("bigint").alias("doc_id"),
+        F.nullif(F.substring_index("value", "\t", 1), F.lit(""))
+        .cast("bigint")
+        .alias("doc_id"),
         F.nullif(
             F.substring_index(
                 F.substring_index("value", "\t", 2), "\t", -1

@@ -35,13 +35,17 @@ CAT = "2.E window functions"
            ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
            ROUND(CUME_DIST()    OVER w, 4) AS cume
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)
+    -- every ORDER BY column pins NULL placement: Spark defaults NULLS
+    -- FIRST on ASC, DuckDB NULLS LAST — a NULL in EITHER the value or
+    -- the event_id tiebreak shifts every rank (NULL-PK r9)
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY value DESC NULLS LAST, event_id ASC NULLS LAST)
     """,
 )
 def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
-        F.col("value").desc(), F.col("event_id").asc()
+        F.col("value").desc_nulls_last(), F.col("event_id").asc_nulls_last()
     )
     return ev.select(
         "event_id",

@@ -189,7 +189,17 @@ if _PYDS_AVAILABLE:
         rows = t.to_pylist()
         seq: dict[int, int] = {}
         out = []
-        for r in sorted(rows, key=lambda r: r["event_id"]):
+        # NULL event_ids sort LAST (matching the batch reader's Arrow
+        # sort_by default) in stable original order — sorted() on a
+        # raw None key is a TypeError (NULL-PK r9); a Kinesis envelope
+        # does not require a payload id, so the record still flows
+        for r in sorted(
+            rows,
+            key=lambda r: (
+                r["event_id"] is None,
+                r["event_id"] if r["event_id"] is not None else 0,
+            ),
+        ):
             # same empty-partition-key convention as the batch reader
             key = str(r["user_id"]) if r["user_id"] is not None else ""
             sh = _shard_of_hex(hashlib.md5(key.encode()).hexdigest()[0])

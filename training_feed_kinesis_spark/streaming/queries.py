@@ -198,7 +198,8 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT,
     """
     SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
-    FROM events GROUP BY event_type
+    FROM events WHERE event_id IS NOT NULL
+    GROUP BY event_type
     """,
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,7 +210,14 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicatesWithinWatermark to bound the key state; unbounded here to
     keep CI deterministic."""
     stream = replay_stream(spark, sf_dir, "doubled")
-    deduped = stream.dropDuplicates(["event_id"])
+    # identity dedup needs identity (NULL-PK r9): dropDuplicates groups
+    # ALL NULL event_ids as one key and keeps a single survivor, while
+    # the exactly-once batch oracle counts every such row — an id-less
+    # event cannot be distinguished from its redelivery, so it is
+    # excluded from the exactly-once contract on both engines
+    deduped = stream.filter(F.col("event_id").isNotNull()).dropDuplicates(
+        ["event_id"]
+    )
     agg = deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 4).alias("total_value"),
@@ -533,7 +541,7 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
            COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
-    FROM events WHERE ts IS NOT NULL
+    FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
     GROUP BY event_type, strftime(ts, '%Y-%m-%d')
     """,
 )
@@ -559,8 +567,11 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = replay_stream(spark, sf_dir, "doubled").filter(
         F.col("ts").isNotNull()
     )
-    deduped = stream.withWatermark("ts", "400 days").dropDuplicatesWithinWatermark(
-        ["event_id"]
+    # identity dedup needs identity (NULL-PK r9; see stream_dedup)
+    deduped = (
+        stream.filter(F.col("event_id").isNotNull())
+        .withWatermark("ts", "400 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
     )
     agg = deduped.groupBy(
         "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
