@@ -28,13 +28,15 @@ CAT_REP = "2.L reporting"
     CAT_REP,
     """
     WITH per_supp AS (
-      -- per-ROW exact scale-1e4 revenue units (_REV_S discipline):
-      -- ROUND(SUM(double)) flips a cent with accumulation order on
-      -- knife-edge suppliers (caught by the r9 sf0.1 permutation sweep)
+      -- per-ROW cent quantization (the r8 float-sum convention):
+      -- ROUND of a float SUM flips a cent with accumulation order on
+      -- knife-edge suppliers (caught by the r9 sf0.1 permutation
+      -- sweep); the per-row double product is the same IEEE op
+      -- sequence on both engines, and cents (not 1e-4 units) keep
+      -- whale rows inside BIGINT (wave-97 whale fixture)
       SELECT l_suppkey,
-             SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-                 * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
-               AS rev_s
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                      AS BIGINT)) AS rev_s
       FROM lineitem GROUP BY l_suppkey
     ),
     located AS (
@@ -49,7 +51,7 @@ CAT_REP = "2.L reporting"
     )
     SELECT l.n_name,
            t.n_suppliers,
-           CAST((t.tc + 50) // 100 AS BIGINT) AS nation_rev_cents,
+           CAST(t.tc AS BIGINT) AS nation_rev_cents,
            ROUND(SUM((l.rev_s::DOUBLE / t.tc)
                      * (l.rev_s::DOUBLE / t.tc)), 4) AS hhi,
            ROUND(MAX(l.rev_s::DOUBLE / t.tc), 4) AS top_share
@@ -72,8 +74,8 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_supp = li.groupBy("l_suppkey").agg(
         F.sum(
             F.expr(
-                "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
-                " * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))"
+                "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)"
+                " AS BIGINT)"
             )
         ).alias("rev_s")
     )
@@ -101,9 +103,7 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_name",
             "n_suppliers",
-            F.expr("(tc + 50) DIV 100")
-            .cast("bigint")
-            .alias("nation_rev_cents"),
+            F.col("tc").cast("bigint").alias("nation_rev_cents"),
             "hhi",
             "top_share",
         )

@@ -105,12 +105,13 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT_REP,
     """
     WITH per_part AS (
-      -- per-ROW exact scale-1e4 units (_REV_S): ROUND of a float SUM
-      -- flips a cent with accumulation order (r9 permutation sweep)
+      -- per-ROW cent quantization (r8 float-sum convention): ROUND of
+      -- a float SUM flips a cent with accumulation order (r9
+      -- permutation sweep); cents keep whale rows inside BIGINT
+      -- (wave-97 whale fixture)
       SELECT l_partkey,
-             SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-                 * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
-               AS rev_s
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                      AS BIGINT)) AS rev_s
       FROM lineitem GROUP BY 1
     ),
     abc AS (
@@ -140,7 +141,7 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a.abc_class, x.xyz_class,
            COUNT(*)::BIGINT AS n_parts,
-           CAST((SUM(a.rev_s) + 50) // 100 AS BIGINT) AS rev_cents
+           CAST(SUM(a.rev_s) AS BIGINT) AS rev_cents
     FROM abc a JOIN xyz x USING (l_partkey)
     GROUP BY a.abc_class, x.xyz_class
     """,
@@ -164,8 +165,8 @@ def orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = li.groupBy("l_partkey").agg(
         F.sum(
             F.expr(
-                "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
-                " * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))"
+                "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)"
+                " AS BIGINT)"
             )
         ).alias("rev_s")
     )
@@ -209,9 +210,7 @@ def orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("abc_class", "xyz_class")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.expr("CAST((SUM(rev_s) + 50) DIV 100 AS BIGINT)").alias(
-                "rev_cents"
-            ),
+            F.sum("rev_s").cast("long").alias("rev_cents"),
         )
     )
 

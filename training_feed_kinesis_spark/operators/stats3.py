@@ -323,12 +323,13 @@ def events_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT_REP,
     """
     WITH per_part AS (
-      -- per-ROW exact scale-1e4 units (_REV_S): ROUND of a float SUM
-      -- flips a cent with accumulation order (r9 permutation sweep)
+      -- per-ROW cent quantization (r8 float-sum convention): ROUND of
+      -- a float SUM flips a cent with accumulation order (r9
+      -- permutation sweep); cents keep whale rows inside BIGINT
+      -- (wave-97 whale fixture)
       SELECT l_partkey,
-             SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-                 * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
-               AS rev_s
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                      AS BIGINT)) AS rev_s
       FROM lineitem GROUP BY 1
     ),
     ranked AS (
@@ -347,7 +348,7 @@ def events_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked
     )
     SELECT abc_class, COUNT(*)::BIGINT AS n_parts,
-           ROUND(SUM(rev_s) / 10000.0, 2) AS revenue,
+           ROUND(SUM(rev_s) / 100.0, 2) AS revenue,
            ROUND(SUM(rev_s)::DOUBLE / MAX(tot_s), 4) AS rev_share
     FROM classed GROUP BY 1
     """,
@@ -369,8 +370,8 @@ def revenue_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = li.groupBy("l_partkey").agg(
         F.sum(
             F.expr(
-                "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
-                " * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))"
+                "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)"
+                " AS BIGINT)"
             )
         ).alias("rev_s")
     )
@@ -400,7 +401,7 @@ def revenue_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return classed.groupBy("abc_class").agg(
         F.count(F.lit(1)).alias("n_parts"),
-        F.round(F.sum(rev_d).cast("double") / 10000.0, 2).alias("revenue"),
+        F.round(F.sum(rev_d).cast("double") / 100.0, 2).alias("revenue"),
         F.round(
             F.sum(rev_d).cast("double") / F.max("tot_s").cast("double"),
             4,
