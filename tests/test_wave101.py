@@ -317,6 +317,28 @@ def test_dp_plan_formula_and_monotonicity(spark):
     assert rows[(1.0, 3)]["epsilon"] > rows[(1.0, 1)]["epsilon"]
 
 
+def test_dp_plan_empty_corpus_yields_no_plan(spark, tmp_path):
+    """r9 empty-table sweep: q = B/0 was an ANSI DIVIDE_BY_ZERO crash
+    (DuckDB silently gives Inf). An empty corpus must yield an EMPTY
+    plan on both engines."""
+    import shutil as _sh
+
+    d = tmp_path / "emptydocs"
+    d.mkdir()
+    for t in TABLES:
+        if t == "documents":
+            duckdb.execute(
+                f"COPY (SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+                f" WHERE 1=0) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        else:
+            _sh.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    rows = (
+        _REGISTRY["dp_epsilon_composition_plan"].fn(spark, str(d)).collect()
+    )
+    assert rows == []
+
+
 # --- sql_order_by_all: ordering contract -------------------------------------
 
 

@@ -732,9 +732,13 @@ _DP_DELTA = 1e-5
     CAT_DQ,
     f"""
     WITH n AS (
+      -- nn > 0 guard: an EMPTY corpus has no training plan — without
+      -- it q = B/0 is an ANSI DIVIDE_BY_ZERO on Spark and Inf on
+      -- DuckDB (caught by the r9 empty-table sweep)
       SELECT COUNT(*) AS nn,
              LEAST({_DP_BATCH}, COUNT(*)) AS b_eff
       FROM documents
+      HAVING COUNT(*) > 0
     ),
     grid AS (
       SELECT sigma, epochs FROM
@@ -780,9 +784,15 @@ def dp_epsilon_composition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one count(*) scan (metadata-answerable for parquet)
     plus a 6-row broadcast grid. Trivially 100 TB-safe."""
-    n = load_table(spark, sf_dir, "documents").agg(
-        F.count(F.lit(1)).alias("nn"),
-        F.least(F.lit(_DP_BATCH), F.count(F.lit(1))).alias("b_eff"),
+    # empty-corpus guard: no rows -> no plan (r9 empty-table sweep:
+    # q = B/0 is an ANSI DIVIDE_BY_ZERO crash vs DuckDB's Inf)
+    n = (
+        load_table(spark, sf_dir, "documents")
+        .agg(
+            F.count(F.lit(1)).alias("nn"),
+            F.least(F.lit(_DP_BATCH), F.count(F.lit(1))).alias("b_eff"),
+        )
+        .filter(F.col("nn") > 0)
     )
     grid = spark.createDataFrame(
         [(s, e) for s in _DP_SIGMAS for e in _DP_EPOCHS],
