@@ -283,6 +283,12 @@ def llm_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("vec")
     )
+    if em.isEmpty():
+        # MLlib LSH.fit throws on a zero-row dataset (r9 empty-table
+        # sweep); an empty corpus has no candidate pairs
+        return spark.createDataFrame(
+            [], "a_id long, b_id long, euclidean_dist double"
+        )
     lsh = BucketedRandomProjectionLSH(
         inputCol="vec", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
     )
@@ -597,6 +603,12 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector(unit).alias("vec")
     )
+    if em.isEmpty():
+        # MLlib LSH.fit throws on a zero-row dataset (r9 empty-table
+        # sweep); no queries -> no recall rows
+        return spark.createDataFrame(
+            [], "n_queries long, avg_recall double"
+        )
     lsh = BucketedRandomProjectionLSH(
         inputCol="vec", outputCol="hashes", bucketLength=1.0,
         numHashTables=6, seed=42,

@@ -381,16 +381,21 @@ _N_PERMS = 199
       FROM perms WHERE na > 0 AND nb > 0
     ),
     tobs AS (
+      -- both arms must have exposure or the test is undefined — on an
+      -- empty/one-sided corpus this yields ZERO rows on both engines
+      -- (r9 empty-table sweep: the unguarded scalar spelling returned
+      -- NULLs on Spark and a vacuous p on DuckDB)
       SELECT CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb AS t
-      FROM obs
+      FROM obs WHERE na > 0 AND nb > 0
     )
-    SELECT ROUND((SELECT t FROM tobs), 4) AS t_obs_cents,
+    SELECT ROUND(tobs.t, 4) AS t_obs_cents,
            {_N_PERMS}::BIGINT AS n_perms,
            (SELECT COUNT(*) FROM tstats
-            WHERE ABS(t) >= ABS((SELECT t FROM tobs)))::BIGINT AS n_ge,
+            WHERE ABS(t) >= ABS(tobs.t))::BIGINT AS n_ge,
            ROUND((1.0 + (SELECT COUNT(*) FROM tstats
-                         WHERE ABS(t) >= ABS((SELECT t FROM tobs))))
+                         WHERE ABS(t) >= ABS(tobs.t)))
                  / (1.0 + {_N_PERMS}), 4) AS p_value
+    FROM tobs
     """,
 )
 def stat_permutation_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -426,10 +431,12 @@ def stat_permutation_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sb"),
         F.sum(F.when(F.col("user_id") % 2 == 1, F.col("n_ev")).otherwise(0))
         .alias("nb"),
-    ).select(
+    ).filter((F.col("na") > 0) & (F.col("nb") > 0)).select(
         (F.col("sa").cast("double") / F.col("na")
          - F.col("sb").cast("double") / F.col("nb")).alias("t_obs")
     )
+    # the na/nb > 0 guard makes an empty/one-sided corpus yield ZERO
+    # rows instead of NULL statistics (r9 empty-table sweep)
     grid = spark.range(1, _N_PERMS + 1).select(F.col("id").alias("k"))
     flip = F.substring(
         F.md5(F.concat_ws(":", F.col("user_id"), F.col("k"))), 1, 1
@@ -454,10 +461,18 @@ def stat_permutation_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
              - F.col("sb").cast("double") / F.col("nb")).alias("t")
         )
     )
-    counted = perms.crossJoin(F.broadcast(obs)).agg(
-        F.sum(
-            F.when(F.abs(F.col("t")) >= F.abs(F.col("t_obs")), 1).otherwise(0)
-        ).alias("n_ge")
+    counted = (
+        perms.crossJoin(F.broadcast(obs))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("t")) >= F.abs(F.col("t_obs")), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("n_ge")
+        )
     )
     return (
         obs.crossJoin(F.broadcast(counted))

@@ -88,11 +88,14 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
         F.count(F.lit(1)).cast("double").alias("n")
     )
+    # an EMPTY series must yield an empty result like the oracle's
+    # WHERE i = MAX(i) over no days (r9 empty-table sweep: slice with
+    # length size(ys)-1 = -1 crashes on a zero-day corpus)
     series = daily.agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("d", "n"))), lambda s: s.n
         ).alias("ys")
-    )
+    ).filter(F.size("ys") >= 1)
     fold = F.expr(
         f"""aggregate(
               slice(ys, 2, size(ys) - 1),

@@ -113,11 +113,14 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
         F.count(F.lit(1)).cast("double").alias("n")
     )
+    # series shorter than one season yield ZERO rows, exactly like the
+    # oracle's last-row match against a seed that needs 7 days (r9
+    # empty-table sweep: slice length size-7 < 0 crashed on Spark)
     series = daily.agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("d", "n"))), lambda s: s.n
         ).alias("ys")
-    )
+    ).filter(F.size("ys") >= _SEASON)
     fold = F.expr(
         f"""aggregate(
               slice(ys, {_SEASON + 1}, size(ys) - {_SEASON}),

@@ -160,8 +160,12 @@ def _ff_oracle() -> str:
       ORDER BY mind DESC, vec_id LIMIT 1
     )""")
         chosen.append(f"(SELECT cid FROM c{r})")
+    # FROM-based selects (not scalar subqueries): on an EMPTY corpus
+    # every c{r} is zero rows / NULL, and the result must be EMPTY on
+    # both engines, not four NULL rows (r9 empty-table sweep)
     selects = " UNION ALL ".join(
-        f"SELECT {r} AS round, (SELECT cid FROM c{r})::BIGINT AS center_id"
+        f"SELECT {r} AS round, cid::BIGINT AS center_id FROM c{r}"
+        f" WHERE cid IS NOT NULL"
         for r in range(_K_CENTERS)
     )
     return "WITH " + ",".join(ctes) + " " + selects
@@ -191,6 +195,10 @@ def vec_farthest_first_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vq"),
     ).localCheckpoint()
     first = q.agg(F.min("vec_id")).first()[0]
+    if first is None:
+        # empty corpus: no points, no centers (r9 empty-table sweep —
+        # int(None) was a driver-side TypeError)
+        return spark.createDataFrame([], "round int, center_id long")
     chosen = [int(first)]
     rows = [(0, chosen[0])]
     d2 = F.expr(

@@ -328,11 +328,15 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lagged WHERE prev IS NOT NULL AND nxt IS NOT NULL
     ),
     nn AS (SELECT COUNT(*)::BIGINT AS n FROM daily)
+    -- n >= 2 guard: Var[T] = (16n-29)/90 goes negative below n=2 —
+    -- DuckDB errors on sqrt(negative) where Spark yields NaN (r9
+    -- empty-table sweep); the test is undefined on a shorter series
     SELECT t.turns, t.n_interior,
            ROUND(2.0 * (n.n - 2) / 3, 4) AS expected,
            ROUND((t.turns - 2.0 * (n.n - 2) / 3)
                  / sqrt((16.0 * n.n - 29) / 90), 4) AS z_score
     FROM tp t CROSS JOIN nn n
+    WHERE n.n >= 2
     """,
 )
 def ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,7 +371,7 @@ def ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("turns"),
     )
-    nn = daily.agg(F.count(F.lit(1)).alias("n"))
+    nn = daily.agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") >= 2)
     return tp.crossJoin(F.broadcast(nn)).select(
         "turns",
         "n_interior",

@@ -192,6 +192,11 @@ def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             mmr = 7 * rels[v] if pen is None else 7 * rels[v] - 3 * pen
             if best is None or mmr > best[1] or (mmr == best[1] and v < best[0]):
                 best = (v, mmr)
+        if best is None:
+            # candidate pool exhausted (empty corpus or < N_PICK
+            # candidates) — stop, like the oracle's zero-row CTE chain
+            # (r9 empty-table sweep: best[0] was a NoneType subscript)
+            break
         selected.append(best[0])
         rows.append((pick, best[0], rels[best[0]], best[1]))
     cand.unpersist()

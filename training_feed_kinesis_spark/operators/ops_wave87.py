@@ -196,6 +196,15 @@ def events_attribution_markov_removal(
     p = {}
     for r in cells:
         p.setdefault(r["frm"], []).append((r["to_s"], r["p"]))
+    if "start" not in p:
+        # no journeys at all (r9 empty-table sweep: v['start'] was a
+        # driver-side KeyError) — no channels, no credit, empty report
+        # on both engines
+        return spark.createDataFrame(
+            [],
+            "channel string, base_conv double, removed_conv double,"
+            " removal_effect double, credit_share double",
+        )
     results = []
     for removed in ("none",) + CHANNELS:
         v = {s: 0.0 for s in states}

@@ -28,6 +28,11 @@ CAT = "2.M workloads"
            COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
     FROM events
     GROUP BY ROLLUP (year(ts), month(ts), dayofmonth(ts))
+    -- empty-input parity (r9 empty-table sweep): standard SQL emits
+    -- the () grouping-set grand row even over ZERO input rows, but
+    -- Spark's rollup yields no rows; groups of a non-empty input
+    -- always have COUNT > 0, so this filter only bites on empty
+    HAVING COUNT(*) > 0
     """,
 )
 def ts_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:

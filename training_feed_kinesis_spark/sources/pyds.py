@@ -90,7 +90,12 @@ try:  # Python Data Source API requires pyspark >= 4.0
                 _shard_of_hex(hashlib.md5(k.encode()).hexdigest()[0])
                 for k in keys
             ]
-            mask = pa.array([s == partition.shard_id for s in shard])
+            # explicit bool type: an EMPTY python list infers pa.null()
+            # and Table.filter rejects a null-typed mask (r9 empty-table
+            # sweep — zero-row events file)
+            mask = pa.array(
+                [s == partition.shard_id for s in shard], pa.bool_()
+            )
             t = t.append_column("partition_key", pa.array(keys, pa.string()))
             t = t.filter(mask)
             # per-shard sequence order = event_id (arrival order in replay)
