@@ -196,42 +196,19 @@ def register(key: str, category: str, oracle: str | None = None):
 
 
 # The driver's correctness gate samples the FIRST 50 registered keys each
-# round. Round-9 rotation (VERDICT r5 item 1 standing; eighth consecutive
-# rotation): all 50 slots are the block staged at the end of round 8 —
-# the 12 never-sampled ROWS-ONLY keys first (VERDICT r7 item 6, one-time:
-# excluded from every prior window by the oracled-keys-first rule, they
-# could otherwise never rotate in; the driver's rows-only check — >0
-# rows, no error — is weak but nonzero and worth 12 slots once), then
-# the next 38 never-sampled oracled keys in registration order. Entries
-# past 50 are the staged ROUND-10 front-of-line block: the next 50
-# never-sampled oracled keys in registration order.
-# Debt after the round-9 window lands: 167 - 38 = 129 oracled never-
-# sampled and 0 rows-only, plus any round-9 net-new (oracled debt is
-# now < 150, so the <= 20 net-new throttle can relax next round).
+# round. Round-10 rotation (VERDICT r5 item 1 standing; ninth consecutive
+# rotation): all 50 slots are the block staged at the end of round 9 —
+# the next 50 never-sampled oracled keys in registration order (verified
+# by independent recount this round: 571 oracled − 429 oracled-and-
+# sampled = 142 never-sampled at round-10 start, matching VERDICT r9's
+# correction of the §7 ledger's optimistic 129). Entries past 50 are the
+# staged ROUND-11 front-of-line block: the next 50 never-sampled oracled
+# keys in registration order.
+# Debt after the round-10 window lands: 142 - 50 = 92 oracled never-
+# sampled and 0 rows-only, plus any round-10 net-new; round-11 takes it
+# to 42, round-12 clears the tail.
 _PRIORITY_KEYS = [
-    # round-8 staged front-of-line, verbatim (the round-9 driver window):
-    # 12 never-sampled rows-only keys (one-time; VERDICT r7 item 6):
-    "llm_sim_lsh", "llm_sim_ivf", "llm_ann_recall",
-    "llm_multimodal_transform", "udf_mapinpandas", "agg_sketch_merge",
-    "agg_histogram_numeric", "llm_pack_bestfit", "dq_schema_drift",
-    "llm_compression_ratio", "agg_theta_setops",
-    "stream_watermark_gap_census",
-    # next 38 never-sampled oracled keys in registration order:
-    "llm_byte_fallback_rate", "events_rfm_segmentation",
-    "events_cohort_ltv_curve", "supplier_concentration_hhi",
-    "dq_kanonymity", "dq_ldiversity", "vec_pq_codebook",
-    "llm_source_winrate", "llm_curriculum_order", "events_rate_limit_audit",
-    "orders_ship_latency", "vec_energy_profile", "ml_knn_eval",
-    "stream_chained_aggs", "llm_dedup_method_matrix", "llm_chunk_stitch",
-    "attribution_model_compare", "llm_vocab_coverage_curve",
-    "events_ab_srm_check", "ts_best_split", "events_ipw_ate",
-    "llm_quality_router", "sql_named_parameters", "ts_holt_winters",
-    "llm_split_leakage_neardup", "graph_label_propagation", "fn_try_cast",
-    "multimodal_pairing_audit", "llm_bpe_apply", "stat_anova_oneway",
-    "events_qte", "agg_ams_f2_sketch", "source_xml", "fn_luhn",
-    "sink_parquet_codecs", "stream_dedup_near_incremental",
-    "agg_bitmap_builtin", "sql_session_variables",
-    # --- 50-key window boundary; below = staged round-10 front-of-line —
+    # round-9 staged front-of-line, verbatim (the round-10 driver window):
     # the next 50 never-sampled oracled keys in registration order:
     "fn_variant_explode", "events_peak_concurrency", "ts_haar_energy",
     "multimodal_patch_plan", "events_eb_shrinkage",
@@ -254,6 +231,29 @@ _PRIORITY_KEYS = [
     "graph_modularity_brand", "dq_tcloseness",
     "agg_approx_percentile_bound", "fn_bround", "ts_bollinger_breakout",
     "ts_croston", "ts_seasonal_strength", "ts_turning_points",
+    # --- 50-key window boundary; below = staged round-11 front-of-line —
+    # the next 50 never-sampled oracled keys in registration order:
+    "multimodal_image_decode_bmp", "multimodal_byte_entropy",
+    "multimodal_balance_plan", "sql_execute_immediate",
+    "sql_scripting_batch", "sink_parquet_bloom",
+    "llm_wordpiece_merge_step", "events_session_gap_sweep",
+    "orders_skyline", "events_poisson_two_rate", "vec_mmr_rerank",
+    "vec_sq8_recall", "events_bot_heuristics", "agg_percentile_disc",
+    "orders_abc_xyz", "ts_hier_reconcile", "dq_freshness_lag",
+    "llm_chunk_dedup_size_sweep", "llm_bradley_terry_strength",
+    "ts_effective_sample_size", "scan_recursive_glob",
+    "events_evt_gumbel", "stat_runs_test", "llm_negative_sampling_table",
+    "events_attribution_markov_removal", "dq_category_drift",
+    "sql_udf_scalar", "sql_udf_table", "q1_pricing_summary",
+    "events_entropy_over_time", "llm_retrieval_fusion_rrf",
+    "events_interrupted_ts", "ml_permutation_importance",
+    "ml_learning_curve", "fn_regexp_extract_all", "events_hill_diversity",
+    "orders_customer_migration_matrix", "sample_reservoir_fixedk",
+    "win_percent_rank_cume", "ts_forecast_mase", "dq_pii_census",
+    "dq_embedding_validate", "llm_dedup_tier_census", "fn_json_typed",
+    "dq_payload_type_census", "dq_orphan_census", "dq_duplicate_pk_census",
+    "sample_poisson_bootstrap", "vec_hnsw_level_plan",
+    "llm_pii_redact_apply",
 ]
 
 
