@@ -77,9 +77,11 @@ HEADLINE = [
 # compared against the previous round's recording with the same >15%
 # flag, so a regression here is mechanical, not archaeological.
 TIER2 = [
-    "llm_dedup_clusters",   # MinHash-LSH pairs -> to-convergence CC
-    "llm_dedup_apply",      # CC clusters applied back to the corpus
-    "llm_simhash_pairs",    # 64-bit SimHash hamming pair scan
+    "llm_dedup_clusters",      # exact all-pairs cosine edges -> CC (oracled baseline)
+    "llm_dedup_apply",         # baseline CC clusters applied back to the corpus
+    "llm_dedup_clusters_lsh",  # banded MinHash-LSH edges -> same CC (default scale path)
+    "llm_dedup_apply_lsh",     # LSH-edge clusters applied back to the corpus
+    "llm_simhash_pairs",       # 64-bit SimHash hamming pair scan
 ]
 
 
@@ -178,9 +180,15 @@ def main() -> None:
             retried[key] = retried.get(key, 0) + 1
             timings[key] = min(timings[key], _time_once(key))
 
-    # tier-2: one timed run each (expensive outliers; see TIER2 note),
-    # same >15%-vs-previous-recording retry guard, one retry only
+    # tier-2 (expensive outliers; see TIER2 note): cold and warm recorded
+    # SEPARATELY (VERDICT r9 item 5 — the r9 min-of-1 cold numbers
+    # mis-flagged clusters/apply as regressed: 11.6 s cold vs 8.6 s warm,
+    # the delta being one-time substrate materialization, not plan cost).
+    # tier2[key] is the WARM time (second run, substrates hot) — the
+    # round-over-round comparable; tier2_cold[key] keeps the first-run
+    # cost visible. Same >15%-vs-previous retry guard on the warm value.
     tier2: dict[str, float] = {}
+    tier2_cold: dict[str, float] = {}
     prev_t2 = {}
     if benches:
         try:
@@ -194,17 +202,12 @@ def main() -> None:
     for key in TIER2:
         if key not in registry:
             continue
-        t0 = time.perf_counter()
-        _consume(registry[key].fn(spark, sf_dir))
-        tier2[key] = round(time.perf_counter() - t0, 3)
+        tier2_cold[key] = _time_once(key)
+        tier2[key] = _time_once(key)
         p = prev_t2.get(key)
         if p and tier2[key] > 1.15 * p:
             retried[key] = retried.get(key, 0) + 1
-            t0 = time.perf_counter()
-            _consume(registry[key].fn(spark, sf_dir))
-            tier2[key] = min(
-                tier2[key], round(time.perf_counter() - t0, 3)
-            )
+            tier2[key] = min(tier2[key], _time_once(key))
 
     print(
         json.dumps(
@@ -214,6 +217,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "tier2": tier2,
+                "tier2_cold": tier2_cold,
                 "sf": sf,
                 "runs_per_query": n_runs,
                 "estimator": "per-query min",

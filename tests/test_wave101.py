@@ -347,3 +347,64 @@ def test_order_by_all_is_fully_ordered(spark):
     assert len(rows) > 0
     keys = [(r["priority"], r["in_1996"], r["n_orders"]) for r in rows]
     assert keys == sorted(keys)
+
+
+# --- vec_mmd_moment: int64-overflow widening proof (ADVICE r9) ----------------
+
+
+@pytest.fixture(scope="module")
+def mmd_overflow_dir(tmp_path_factory):
+    """Embeddings whose second-moment cross product sa·n_b genuinely
+    exceeds int64: 20+20 constant vectors at 16600.0 / 16590.0 give
+    per-cell sa = 20·(1.66e8)² ≈ 5.5e17, so sa·n_b ≈ 1.1e19 > 2⁶³−1.
+    The pre-widening BIGINT spelling raises ARITHMETIC_OVERFLOW under
+    ANSI where the oracle's HUGEINT succeeds (the engines-must-fail-
+    together class); the per-term DECIMAL(38,0) spelling is exact."""
+    d = tmp_path_factory.mktemp("w101mmdovf")
+    for t in TABLES:
+        if t != "embeddings":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    duckdb.execute(
+        f"""
+        COPY (
+          SELECT g.k AS vec_id,
+                 list_transform(range(1, 65),
+                   i -> CAST(CASE WHEN g.k < 20 THEN 16600.0
+                             ELSE 16590.0 END AS FLOAT)) AS embedding,
+                 CASE WHEN g.k < 20 THEN 0 ELSE 9 END AS label
+          FROM (SELECT unnest(range(0, 40)) AS k) g
+        ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+def test_mmd_survives_int64_overflow_moments(spark, mmd_overflow_dir):
+    qa, qb, na, nb = 166000000, 165900000, 20, 20
+    sa_cell = na * qa * qa  # exact python int
+    assert sa_cell * nb > 2**63 - 1  # the fixture genuinely exceeds int64
+    # exact integer expected values (python ints), then double division
+    lin = 64 * (na * qa * nb - nb * qb * na) ** 2
+    p2 = 64 * 64 * (sa_cell * nb - nb * qb * qb * na) ** 2
+    exp_lin = lin / (na * nb * 1e4) ** 2
+    exp_p2 = p2 / (na * nb * 1e8) ** 2
+    row = _REGISTRY["vec_mmd_moment"].fn(spark, mmd_overflow_dir).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (na, nb)
+    assert row["mmd2_lin"] == pytest.approx(exp_lin, rel=1e-9)
+    assert row["mmd2_poly2"] == pytest.approx(exp_p2, rel=1e-9)
+    # and the oracle agrees on the same fixture (engine parity held)
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM"
+                f" read_parquet('{mmd_overflow_dir}/{t}.parquet')"
+            )
+        got = con.execute(
+            _REGISTRY["vec_mmd_moment"].oracle
+        ).fetchall()[0]
+        assert got[0] == na and got[1] == nb
+        assert got[2] == pytest.approx(exp_lin, rel=1e-9)
+        assert got[3] == pytest.approx(exp_p2, rel=1e-9)
+    finally:
+        con.close()

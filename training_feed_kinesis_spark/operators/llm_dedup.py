@@ -230,11 +230,10 @@ def llm_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_sigs(spark, sf_dir)
 
 
-@register(
-    "llm_dedup_near",
-    CAT,
-    f"""
-    WITH sigs AS ({_MINHASH_SQL}),
+# The full banded-LSH near-dup pair chain as reusable CTE text: shared by
+# the llm_dedup_near oracle below and by the cluster-formation oracles
+# (ops_wave102's RECURSIVE reachability over this same edge set).
+NEAR_PAIRS_CTES = f"""sigs AS ({_MINHASH_SQL}),
     bands AS (
       SELECT doc_id, seed // {BAND_SIZE} AS band,
              md5((seed // {BAND_SIZE})::VARCHAR || ':' ||
@@ -254,13 +253,22 @@ def llm_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sh sa ON sa.doc_id = c.a_id
       JOIN sh sb ON sb.doc_id = c.b_id AND sb.sh = sa.sh
       GROUP BY c.a_id, c.b_id
-    )
-    SELECT v.a_id, v.b_id,
+    )"""
+
+NEAR_PAIRS_SELECT = f"""SELECT v.a_id, v.b_id,
            ROUND(v.inter * 1.0 / (ca.n + cb.n - v.inter), 4) AS jaccard
     FROM verified v
     JOIN counts ca ON ca.doc_id = v.a_id
     JOIN counts cb ON cb.doc_id = v.b_id
-    WHERE v.inter * 1.0 / (ca.n + cb.n - v.inter) >= {JACCARD_THRESHOLD}
+    WHERE v.inter * 1.0 / (ca.n + cb.n - v.inter) >= {JACCARD_THRESHOLD}"""
+
+
+@register(
+    "llm_dedup_near",
+    CAT,
+    f"""
+    WITH {NEAR_PAIRS_CTES}
+    {NEAR_PAIRS_SELECT}
     """,
 )
 def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:

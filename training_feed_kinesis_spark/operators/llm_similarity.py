@@ -431,76 +431,28 @@ _EDGES_SQL = f"""
 """
 
 
-@register(
-    "llm_dedup_clusters",
-    "2.J llm-pipeline (dedup)",
-    f"""
-    WITH RECURSIVE edges AS ({_EDGES_SQL}),
-    reach(node, label) AS (
-      -- an identity-less vector cannot be cluster-labeled (NULL-PK r9)
-      SELECT vec_id, vec_id FROM embeddings WHERE vec_id IS NOT NULL
-      UNION
-      SELECT CASE WHEN r.node = e.a THEN e.b ELSE e.a END, r.label
-      FROM reach r JOIN edges e ON r.node = e.a OR r.node = e.b
-    )
-    SELECT node AS vec_id, MIN(label) AS component FROM reach GROUP BY node
-    """,
-)
-def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster formation: connected components over the
-    similarity graph (cosine ≥ threshold), via Pregel-style min-label
-    propagation — each iteration sends every node's current label across
-    its edges and keeps the minimum; fixpoint = every node labeled with its
-    component's smallest vec_id. The step after ANY pairwise dedup signal
-    (MinHash, SimHash, embedding cosine): pairs must become clusters before
-    a keeper can be chosen.
+def cc_min_label(labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """Connected components by Pregel-style min-label propagation with
+    pointer doubling — the shared iteration behind every duplicate-cluster
+    operator (``llm_dedup_clusters`` over exact cosine edges,
+    ``llm_dedup_clusters_lsh`` over banded MinHash-LSH candidate edges).
 
-    Iterative-algorithm mechanics on Spark: a driver-side loop of
-    join+groupBy rounds, converging in graph-diameter iterations (near-dup
-    graphs are shallow — tight clusters, small diameter); localCheckpoint
-    truncates the growing lineage each round (cluster deployments use
-    checkpoint(dir) for fault tolerance); convergence is a count() of
-    changed labels, never a data collect. Oracle: DuckDB RECURSIVE CTE
-    computing the same reachability minimum — an oracled iterative
-    operator, not rows-only."""
-    # identity-less vectors (NULL vec_id) are excluded: they cannot be
-    # labeled, and the a<b edge join drops them anyway (NULL-PK r9)
-    em = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id").isNotNull()
-    )
-    # norms depend only on the vector, so they are computed ONCE per side
-    # before the O(n²) join — the per-pair filter is then a single dot
-    # aggregate plus a divide instead of dot + two 64-step norm aggregates
-    # (3× the flops on every one of the n²/2 pairs). The expression value
-    # is bit-identical to a per-pair norm (same double arithmetic on the
-    # same vector), so oracle parity is untouched.
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.expr(f"aggregate({c}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
-    )
-    a = em.select(
-        F.col("vec_id").alias("a"),
-        F.col("embedding").alias("a_emb"),
-        norm("embedding").alias("a_norm"),
-    )
-    b = parallelize(em).select(
-        F.col("vec_id").alias("b"),
-        F.col("embedding").alias("b_emb"),
-        norm("embedding").alias("b_norm"),
-    )
-    dot = F.expr(_DOT.format(a="a_emb", b="b_emb"))
-    edges = (
-        F.broadcast(a)
-        .join(b, F.col("a") < F.col("b"))
-        .filter(dot / (F.col("a_norm") * F.col("b_norm")) >= COS_EDGE_THRESHOLD)
-        .select("a", "b")
-        .localCheckpoint()
-    )
-    labels = em.select(F.col("vec_id").alias("node"), F.col("vec_id").alias("label"))
-    # Runs TO CONVERGENCE (a fixed iteration cap silently under-merges
-    # long-chain components — observed at sf0.1). Each round combines
-    # neighbor min-label propagation with pointer doubling (adopt your
-    # label's own label), so rounds needed is O(log diameter), not
-    # O(diameter); the cap below is a runaway backstop, not a tuning knob.
+    ``labels``: seed frame (node, label), conventionally label = node.
+    ``edges``: undirected edge frame (a, b). Returns the converged
+    (node, label) frame — every node labeled with its component's minimum.
+
+    Runs TO CONVERGENCE (a fixed iteration cap silently under-merges
+    long-chain components — observed at sf0.1). Each round combines
+    neighbor min-label propagation with pointer doubling (adopt your
+    label's own label), so rounds needed is O(log diameter), not
+    O(diameter); the cap below is a runaway backstop, not a tuning knob.
+    localCheckpoint truncates the growing lineage each round (cluster
+    deployments use checkpoint(dir) for fault tolerance); convergence is
+    a count() of changed labels, never a data collect."""
+    # edges are consumed 2× per round × O(log d) rounds: pin them once so
+    # a lazily-derived edge set (e.g. the LSH candidate verify join) isn't
+    # recomputed every iteration
+    edges = edges.localCheckpoint()
     for _ in range(64):
         msgs = (
             edges.join(labels, edges.a == labels.node)
@@ -534,6 +486,76 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     else:  # pragma: no cover - backstop only
         raise RuntimeError("connected components did not converge in 64 rounds")
+    return labels
+
+
+@register(
+    "llm_dedup_clusters",
+    "2.J llm-pipeline (dedup)",
+    f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    reach(node, label) AS (
+      -- an identity-less vector cannot be cluster-labeled (NULL-PK r9)
+      SELECT vec_id, vec_id FROM embeddings WHERE vec_id IS NOT NULL
+      UNION
+      SELECT CASE WHEN r.node = e.a THEN e.b ELSE e.a END, r.label
+      FROM reach r JOIN edges e ON r.node = e.a OR r.node = e.b
+    )
+    SELECT node AS vec_id, MIN(label) AS component FROM reach GROUP BY node
+    """,
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation: connected components over the
+    similarity graph (cosine ≥ threshold), via Pregel-style min-label
+    propagation — each iteration sends every node's current label across
+    its edges and keeps the minimum; fixpoint = every node labeled with its
+    component's smallest vec_id. The step after ANY pairwise dedup signal
+    (MinHash, SimHash, embedding cosine): pairs must become clusters before
+    a keeper can be chosen.
+
+    Iterative-algorithm mechanics on Spark: a driver-side loop of
+    join+groupBy rounds (``cc_min_label``), converging in O(log diameter)
+    iterations. Oracle: DuckDB RECURSIVE CTE computing the same
+    reachability minimum — an oracled iterative operator, not rows-only.
+
+    Scale caveat (VERDICT r9): the EDGE SET here is exact all-pairs
+    cosine — the oracled correctness baseline, quadratic in the corpus.
+    The default 100 TB cluster path is ``llm_dedup_clusters_lsh``
+    (ops_wave102), which feeds banded MinHash-LSH candidate edges into
+    this same ``cc_min_label`` iteration."""
+    # identity-less vectors (NULL vec_id) are excluded: they cannot be
+    # labeled, and the a<b edge join drops them anyway (NULL-PK r9)
+    em = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull()
+    )
+    # norms depend only on the vector, so they are computed ONCE per side
+    # before the O(n²) join — the per-pair filter is then a single dot
+    # aggregate plus a divide instead of dot + two 64-step norm aggregates
+    # (3× the flops on every one of the n²/2 pairs). The expression value
+    # is bit-identical to a per-pair norm (same double arithmetic on the
+    # same vector), so oracle parity is untouched.
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.expr(f"aggregate({c}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    )
+    a = em.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("a_emb"),
+        norm("embedding").alias("a_norm"),
+    )
+    b = parallelize(em).select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("b_emb"),
+        norm("embedding").alias("b_norm"),
+    )
+    dot = F.expr(_DOT.format(a="a_emb", b="b_emb"))
+    edges = (
+        F.broadcast(a)
+        .join(b, F.col("a") < F.col("b"))
+        .filter(dot / (F.col("a_norm") * F.col("b_norm")) >= COS_EDGE_THRESHOLD)
+        .select("a", "b")
+    )
+    labels = em.select(F.col("vec_id").alias("node"), F.col("vec_id").alias("label"))
+    labels = cc_min_label(labels, edges)
     return labels.select(F.col("node").alias("vec_id"), F.col("label").alias("component"))
 
 

@@ -291,29 +291,24 @@ def vec_mmd_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sb"),
         )
     )
+    # per-TERM widening to DECIMAL(38,0) BEFORE the products and the
+    # subtraction (ADVICE r9, mirroring _assortativity_from_jk): the
+    # moment sums are BIGINT, so sa*nb at ~3e5 rows/group overflows the
+    # 64-bit product under ANSI while the oracle's HUGEINT SUM sails
+    # through — the engines-must-fail-together class. Widened first, the
+    # whole difference-and-square stays exact integer decimal.
     dec = "decimal(38,0)"
+    _w = lambda c: F.col(c).cast(dec)  # noqa: E731
+    lin_diff = _w("ua") * _w("nb") - _w("ub") * _w("na")
     lin = (
         m1.crossJoin(F.broadcast(n))
-        .select(
-            (
-                (F.col("ua") * F.col("nb") - F.col("ub") * F.col("na"))
-                .cast(dec)
-                * (F.col("ua") * F.col("nb") - F.col("ub") * F.col("na"))
-                .cast(dec)
-            ).alias("d2")
-        )
+        .select((lin_diff * lin_diff).alias("d2"))
         .agg(F.sum("d2").alias("s_lin"))
     )
+    p2_diff = _w("sa") * _w("nb") - _w("sb") * _w("na")
     p2 = (
         m2.crossJoin(F.broadcast(n))
-        .select(
-            (
-                (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na"))
-                .cast(dec)
-                * (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na"))
-                .cast(dec)
-            ).alias("d2")
-        )
+        .select((p2_diff * p2_diff).alias("d2"))
         .agg(F.sum("d2").alias("s_p2"))
     )
     return (
