@@ -39,8 +39,13 @@ def make_permuted_dir(seed: int) -> str:
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         dst = f"{out}/{t}.parquet"
-        if os.path.exists(dst):
-            continue
+        # ALWAYS rebuild, via temp-name + atomic rename (ADVICE r9): an
+        # `if exists: continue` reused an interrupted prior run's partial
+        # parquet — or a permuted dir built from a since-regenerated
+        # source fixture — silently sweeping against stale data. The
+        # rebuild costs seconds at sf0.01; a stale-data verdict costs a
+        # round.
+        tmp = f"{dst}.tmp.{os.getpid()}"
         # deterministic permutation: order by a keyed hash of the whole
         # row text + seed (md5 of CSV-ish concat; collisions only make
         # the order locally arbitrary, which is the point anyway)
@@ -49,9 +54,10 @@ def make_permuted_dir(seed: int) -> str:
             COPY (
               SELECT * FROM read_parquet('{SRC}/{t}.parquet') _r
               ORDER BY md5(CONCAT('{seed}', '|', _r::VARCHAR))
-            ) TO '{dst}' (FORMAT PARQUET)
+            ) TO '{tmp}' (FORMAT PARQUET)
             """
         )
+        os.replace(tmp, dst)
     return out
 
 

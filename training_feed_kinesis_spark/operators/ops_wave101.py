@@ -34,6 +34,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load_table, substrate
+from .scale_ops import _DF_CAP, stopshingle_kept
 
 CAT_DQ = "2.L data quality"
 CAT_STAT = "2.L statistics"
@@ -384,12 +385,16 @@ _N_PERMS = 199
       FROM obs WHERE na > 0 AND nb > 0
     )
     SELECT ROUND(tobs.t, 4) AS t_obs_cents,
-           {_N_PERMS}::BIGINT AS n_perms,
+           -- RETAINED permutations (ADVICE r9): the na>0/nb>0 guard can
+           -- drop degenerate one-sided draws on tiny corpora, so the
+           -- reported count and the p-value denominator are COUNT(tstats),
+           -- not the nominal {_N_PERMS}
+           (SELECT COUNT(*) FROM tstats)::BIGINT AS n_perms,
            (SELECT COUNT(*) FROM tstats
             WHERE ABS(t) >= ABS(tobs.t))::BIGINT AS n_ge,
            ROUND((1.0 + (SELECT COUNT(*) FROM tstats
                          WHERE ABS(t) >= ABS(tobs.t)))
-                 / (1.0 + {_N_PERMS}), 4) AS p_value
+                 / (1.0 + (SELECT COUNT(*) FROM tstats)), 4) AS p_value
     FROM tobs
     """,
 )
@@ -456,6 +461,10 @@ def stat_permutation_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
              - F.col("sb").cast("double") / F.col("nb")).alias("t")
         )
     )
+    # n_kept = RETAINED permutations (ADVICE r9): the na/nb > 0 guard can
+    # drop degenerate one-sided draws on tiny corpora, so the reported
+    # count and the p-value denominator are the retained count, not the
+    # nominal _N_PERMS
     counted = (
         perms.crossJoin(F.broadcast(obs))
         .agg(
@@ -466,17 +475,18 @@ def stat_permutation_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).otherwise(0)
                 ),
                 F.lit(0),
-            ).alias("n_ge")
+            ).alias("n_ge"),
+            F.count(F.lit(1)).alias("n_kept"),
         )
     )
     return (
         obs.crossJoin(F.broadcast(counted))
         .select(
             F.round(F.col("t_obs"), 4).alias("t_obs_cents"),
-            F.lit(_N_PERMS).cast("bigint").alias("n_perms"),
+            F.col("n_kept").cast("bigint").alias("n_perms"),
             F.col("n_ge").cast("bigint").alias("n_ge"),
             F.round(
-                (1.0 + F.col("n_ge")) / (1.0 + F.lit(_N_PERMS)), 4
+                (1.0 + F.col("n_ge")) / (1.0 + F.col("n_kept")), 4
             ).alias("p_value"),
         )
     )
@@ -504,7 +514,7 @@ _CONTAIN_T = 0.8  # containment threshold: A is (mostly) inside B
     df AS (SELECT sh, COUNT(*) AS d FROM sh GROUP BY sh),
     kept AS (
       SELECT s.doc_id, s.sh FROM sh s JOIN df ON df.sh = s.sh
-      WHERE df.d <= 10
+      WHERE df.d <= {_DF_CAP}
     ),
     counts AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
     inter AS (
@@ -534,15 +544,10 @@ def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, different decision metric. The threshold comparison is
     cross-multiplied (i ≥ t·n in integers scaled by the constant) so
     the survivor SET is exact on both engines."""
-    from .llm_dedup import _shingle_rows
-
-    sh = _shingle_rows(spark, sf_dir)
-    df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("d"))
-    kept = substrate(
-        spark, sf_dir, "stopshingle_kept",
-        lambda: sh.join(df_counts.filter(F.col("d") <= 10), "sh")
-        .select("doc_id", "sh"),
-    )
+    # shared kept-substrate helper (ADVICE r9): a hard-coded cap here
+    # beside scale_ops._DF_CAP was a first-builder-wins memo collision
+    # waiting for either constant to change alone
+    kept = stopshingle_kept(spark, sf_dir)
     counts = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = kept.select(F.col("doc_id").alias("a_id"), "sh")
     b = kept.select(F.col("doc_id").alias("b_id"), "sh")

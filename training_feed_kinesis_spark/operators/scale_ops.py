@@ -241,6 +241,25 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DF_CAP = 10  # shingles in more than this many docs are boilerplate
 
 
+def stopshingle_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-thinned shingle relation (doc_id, sh) with boilerplate
+    shingles (df > _DF_CAP) dropped — a SESSION SUBSTRATE shared by
+    llm_stopshingle_jaccard and llm_containment_pairs. One shared
+    builder (ADVICE r9): the substrate memo is first-builder-wins, so
+    two call sites with independent caps would silently serve whichever built
+    first; routing every consumer through this helper makes the
+    relation provably identical."""
+    from .llm_dedup import _shingle_rows
+
+    sh = _shingle_rows(spark, sf_dir)
+    df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("d"))
+    return substrate(
+        spark, sf_dir, "stopshingle_kept",
+        lambda: sh.join(df_counts.filter(F.col("d") <= _DF_CAP), "sh")
+        .select("doc_id", "sh"),
+    )
+
+
 @register(
     "llm_stopshingle_jaccard",
     CAT_DEDUP,
@@ -289,19 +308,11 @@ def llm_stopshingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Jaccard here is over the THINNED shingle sets (both engines agree on
     that definition, so the oracle holds exactly)."""
-    from .llm_dedup import _shingle_rows
-
-    sh = _shingle_rows(spark, sf_dir)
-    df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("d"))
     # SESSION SUBSTRATE (tables.substrate): the df-thinned shingle
     # relation is cached once per (session, table dir) and shared by the
     # counts leg, both join legs, and repeated invocations — bounded
     # footprint, no per-call cache residue (r7 class)
-    kept = substrate(
-        spark, sf_dir, "stopshingle_kept",
-        lambda: sh.join(df_counts.filter(F.col("d") <= _DF_CAP), "sh")
-        .select("doc_id", "sh"),
-    )
+    kept = stopshingle_kept(spark, sf_dir)
     counts = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = kept.select(F.col("doc_id").alias("a_id"), "sh")
     b = kept.select(F.col("doc_id").alias("b_id"), "sh")
