@@ -1,0 +1,192 @@
+"""Joint-corruption replay class (round 10).
+
+Every prior campaign corrupted ONE signature at a time (re-ingest r8/r9,
+NULL-PK r9, empty tables r9). VERDICT r9 item 3: COMPOSE them — the
+composition reaches states no single-signature dir can. The round-10
+campaign dir (NULL-PK slivers + duplicated/conflicting re-ingest on the
+SAME tables + an EMPTY region dim, built over sf0.01) found 11
+divergences in three families, each fixed one-semantics-both-engines:
+
+  * empty-dim rollup grand row (agg_grouping_flags, agg_rollup,
+    rollup_rank_report): an empty REGION empties the star join; standard
+    SQL still emits the () grand-total row over zero input while Spark's
+    rollup emits nothing — the r6 "non-empty-input precondition" met in
+    the wild. Pinned via HAVING COUNT(*) > 0 (the r9 ts_rollup_hierarchy
+    pattern).
+  * NULL-id ∧ redelivery order tie (sql_named_window, topk_per_group,
+    win_frame_rows, win_lag_lead, win_rolling_median; win_value latent):
+    a NULL-PK row and its redelivered real-id twin TIE on (user_id, ts)
+    — the composition no single campaign produced — and the id TIEBREAK
+    was unpinned: Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST, so
+    the twins sat on opposite sides of the tie. Pinned ASC NULLS LAST on
+    both engines, plus the same pin on every bare event_id tiebreak in
+    the window family.
+  * exactly-once vs raw-row oracles (stream_dedup, stream_dedup_watermark,
+    stream_backfill_union): the SOURCE TABLE itself carrying redelivered
+    duplicate event_ids is exactly what dedup must collapse, but the
+    oracles counted raw non-NULL-id rows. Re-spelled over the distinct-id
+    relation (redelivery is verbatim by contract; conflicting same-id
+    payloads belong to the admission-gate family).
+
+This module pins the class at sf0.001 with moduli chosen so EVERY
+redelivered row's base copy is NULL-keyed — maximal tie pressure that
+the sf0.01 campaign only hit via CRT coincidence.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import duckdb
+import pytest
+
+from training_feed_kinesis_spark.registry import load_all
+from training_feed_kinesis_spark.tables import TABLES
+
+from .conftest import SF_DIR, assert_matches_oracle
+
+_REGISTRY = load_all()
+
+JOINT_CONSUMERS = [
+    # empty-dim rollup grand row
+    "agg_grouping_flags",
+    "agg_rollup",
+    "rollup_rank_report",
+    # NULL-id + redelivery order tie
+    "sql_named_window",
+    "topk_per_group",
+    "win_frame_rows",
+    "win_lag_lead",
+    "win_rolling_median",
+    "win_value",        # latent member, pinned proactively
+    "win_ranking",      # r9 member of the same family — must stay green
+    # exactly-once oracles under source-level redelivery
+    "stream_dedup",
+    "stream_dedup_watermark",
+    "stream_backfill_union",
+    # sentinels: unrelated shapes that must stay green on the joint dir
+    "agg_basic",
+    "llm_dedup_exact",
+    "llm_dedup_clusters_lsh",
+    "win_frame_range",  # RANGE frame: order-insensitive by construction
+]
+
+
+@pytest.fixture(scope="module")
+def joint_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("joint_r10")
+    specs = {
+        # empty broadcast dim
+        "region": "SELECT * FROM src WHERE 1=0",
+        # every redelivered row's base copy is NULL-keyed: the NULL twin
+        # and the real twin share (user_id, ts) — guaranteed order ties
+        "events": """
+          SELECT * REPLACE (CASE WHEN event_id % 10 = 3 THEN NULL
+                            ELSE event_id END AS event_id) FROM src
+          UNION ALL
+          SELECT * FROM src WHERE event_id % 10 = 3
+        """,
+        "orders": """
+          SELECT * REPLACE (CASE WHEN o_orderkey % 10 = 3 THEN NULL
+                            ELSE o_orderkey END AS o_orderkey) FROM src
+          UNION ALL
+          SELECT * FROM src WHERE o_orderkey % 10 = 3
+        """,
+        # NULL-PK sliver + verbatim dup + conflicting refetch
+        "documents": """
+          SELECT * REPLACE (CASE WHEN doc_id % 11 = 7 THEN NULL
+                            ELSE doc_id END AS doc_id) FROM src
+          UNION ALL
+          SELECT * FROM src WHERE doc_id % 10 = 3
+          UNION ALL
+          SELECT doc_id, upper(text) AS text, lang, source, n_chars
+          FROM src WHERE doc_id % 10 = 6
+        """,
+        "embeddings": """
+          SELECT * REPLACE (CASE WHEN vec_id % 11 = 5 THEN NULL
+                            ELSE vec_id END AS vec_id) FROM src
+          UNION ALL
+          SELECT * FROM src WHERE vec_id % 10 = 3
+          UNION ALL
+          SELECT vec_id, list_transform(embedding,
+                   x -> x + CAST(0.125 AS FLOAT)) AS embedding, label
+          FROM src WHERE vec_id % 10 = 6
+        """,
+    }
+    for t in TABLES:
+        if t in specs:
+            q = specs[t].replace(
+                "src", f"read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+            duckdb.execute(
+                f"COPY ({q}) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        else:
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_joint(joint_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{joint_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_joint_fixture_nonvacuous(joint_dir):
+    """The composition must actually exist: an empty region, AND at
+    least one (user_id, ts) pair carrying both a NULL-id and a real-id
+    event row (the tie the window family diverged on)."""
+    n_region = duckdb.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{joint_dir}/region.parquet')"
+    ).fetchone()[0]
+    assert n_region == 0
+    n_ties = duckdb.execute(
+        f"""
+        SELECT COUNT(*) FROM (
+          SELECT user_id, ts FROM read_parquet('{joint_dir}/events.parquet')
+          GROUP BY user_id, ts
+          HAVING SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) > 0
+             AND SUM(CASE WHEN event_id IS NOT NULL THEN 1 ELSE 0 END) > 0
+        )
+        """
+    ).fetchone()[0]
+    assert n_ties > 0
+    # the orders tie the topk family diverged on: a NULL-key order and
+    # its real-key twin sharing (o_custkey, o_totalprice)
+    n_order_ties = duckdb.execute(
+        f"""
+        SELECT COUNT(*) FROM (
+          SELECT o_custkey, o_totalprice
+          FROM read_parquet('{joint_dir}/orders.parquet')
+          GROUP BY o_custkey, o_totalprice
+          HAVING SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) > 0
+             AND SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) > 0
+        )
+        """
+    ).fetchone()[0]
+    assert n_order_ties > 0
+    # genuine duplicate real PKs (the dedup family's target) exist in
+    # documents: the dup sliver (% 10 = 3) and NULL sliver (% 11 = 7)
+    # mostly miss each other
+    n_dup_docs = duckdb.execute(
+        f"""
+        SELECT COUNT(*) FROM (
+          SELECT doc_id FROM read_parquet('{joint_dir}/documents.parquet')
+          WHERE doc_id IS NOT NULL GROUP BY doc_id HAVING COUNT(*) > 1
+        )
+        """
+    ).fetchone()[0]
+    assert n_dup_docs > 0
+
+
+@pytest.mark.parametrize("key", JOINT_CONSUMERS)
+def test_ops_survive_joint_corruption(key, spark, joint_dir, duck_joint):
+    spec = _REGISTRY[key]
+    assert spec.oracle is not None, key
+    assert_matches_oracle(spec.fn(spark, joint_dir), duck_joint, spec.oracle)

@@ -256,13 +256,21 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP (r_name, n_name)
+    -- empty-input parity (r10 joint-corruption sweep: an EMPTY region
+    -- dim empties the join — the r6 precondition met in the wild);
+    -- standard SQL emits the () grand row over zero input, Spark's
+    -- rollup emits nothing; COUNT > 0 on any non-empty input
+    HAVING COUNT(*) > 0
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PRECONDITION (empty-corpus census r6, applies to the whole
-    grouping-sets family): over an EMPTY input Spark returns zero rows
-    while DuckDB emits the SQL-standard grand-total row — pinned by
-    tests/test_null_injection.py::test_grouping_sets_empty_divergence_pinned."""
+    """Empty-input parity via HAVING COUNT(*) > 0 in the oracle (the r9
+    ts_rollup_hierarchy pattern): Spark's rollup emits nothing over zero
+    joined rows, standard SQL emits the () grand row — an empty dim
+    (r10 joint-corruption campaign) empties the whole join. agg_cube /
+    agg_grouping_sets still carry the r6 non-empty-input precondition
+    (their fact tables are never empty in any replay class; pinned by
+    tests/test_null_injection.py::test_grouping_sets_empty_divergence_pinned)."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")

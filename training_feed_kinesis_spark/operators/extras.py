@@ -31,6 +31,10 @@ CAT_FN = "2.H scalar functions"
            COUNT(*) AS n
     FROM nation JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP (r_name, n_name)
+    -- empty-input parity (r10 joint-corruption sweep: an EMPTY region
+    -- dim empties the join; standard SQL still emits the () grand row,
+    -- Spark's rollup emits nothing; COUNT > 0 on any non-empty input)
+    HAVING COUNT(*) > 0
     """,
 )
 def agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:

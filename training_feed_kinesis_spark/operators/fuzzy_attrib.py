@@ -162,7 +162,7 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", F.col("event_id").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     tagged = ev.withColumn(

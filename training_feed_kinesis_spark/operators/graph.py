@@ -273,7 +273,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # NULL ts dropped on both engines (the r8 NULL-time seam)
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", F.col("event_id").asc_nulls_last())
     seq = ev.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
     ).filter(F.col("prev_type").isNotNull())

@@ -71,7 +71,7 @@ def events_seq_train_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isNotNull() & F.col("ts").isNotNull()
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", F.col("event_id").asc_nulls_last())
     seq = ev.select(
         "event_type",
         F.lag("event_type", 3).over(w).alias("c1"),
@@ -96,11 +96,11 @@ def events_seq_train_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROW_NUMBER() OVER w AS rn,
            LAG(value) OVER w AS prev_value,
            ROUND(SUM(value) OVER (PARTITION BY user_id
-                 ORDER BY ts NULLS LAST, event_id
+                 ORDER BY ts NULLS LAST, event_id NULLS LAST
                  ROWS UNBOUNDED PRECEDING), 4) AS running_value
     FROM events
     WHERE event_type = 'purchase'
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id NULLS LAST)
     """,
 )
 def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,12 +119,12 @@ def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER w AS rn,
                LAG(value) OVER w AS prev_value,
                ROUND(SUM(value) OVER (PARTITION BY user_id
-                     ORDER BY ts NULLS LAST, event_id
+                     ORDER BY ts NULLS LAST, event_id NULLS LAST
                      ROWS UNBOUNDED PRECEDING), 4)
                  AS running_value
         FROM tfk_events_nw
         WHERE event_type = 'purchase'
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id NULLS LAST)
         """
     )
 

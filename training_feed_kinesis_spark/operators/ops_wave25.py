@@ -139,7 +139,7 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", F.col("event_id").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     last_click = F.max(

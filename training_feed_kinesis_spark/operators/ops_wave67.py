@@ -225,7 +225,7 @@ def events_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterate-on-aggregates discipline again. NULL ts dropped on both
     engines (the r8 NULL-time seam)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", F.col("event_id").asc_nulls_last())
     steps = ev.select(
         F.col("event_type").alias("cur"),
         F.lead("event_type").over(w).alias("nxt"),

@@ -189,7 +189,7 @@ def events_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast over the gap stream — sweep cost is independent of the
     number of thresholds' sessionizations."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", F.col("event_id").asc_nulls_last())
     gaps = ev.select(
         "user_id",
         (

@@ -228,7 +228,7 @@ def events_bot_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by user — three shuffles on the same key, no joins beyond
     user-grain tables."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", F.col("event_id").asc_nulls_last())
     gaps = ev.select(
         "user_id",
         (

@@ -76,7 +76,7 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile sketch (agg_approx_percentile_bound measures
     exactly what that trade costs)."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w = Window.partitionBy("event_type").orderBy("value", F.col("event_id").asc_nulls_last())
     wn = Window.partitionBy("event_type")
     ranked = ev.select(
         "event_type",

@@ -131,7 +131,7 @@ def _transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cartesian) independently of the driver-side value iteration."""
     # NULL ts dropped on both engines (the r8 NULL-time seam)
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", F.col("event_id").asc_nulls_last())
     seq = ev.select(
         "user_id", "event_type", F.row_number().over(w).alias("rn")
     )

@@ -301,7 +301,7 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts").isNotNull())
         .select("user_id", "ts", "event_id", "event_type")
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", F.col("event_id").asc_nulls_last())
     us = F.unix_micros(F.col("ts"))
     flagged = ev.withColumn(
         "new_session",

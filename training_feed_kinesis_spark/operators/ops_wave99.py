@@ -385,7 +385,7 @@ def events_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("conv"),
     )
-    w = Window.partitionBy("variant").orderBy("ts", "event_id")
+    w = Window.partitionBy("variant").orderBy("ts", F.col("event_id").asc_nulls_last())
     path = ev.select(
         "variant",
         F.row_number().over(w).alias("t"),

@@ -156,10 +156,10 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ends of the island order across engines and renumbers every island).
     """
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wo = Window.partitionBy("user_id").orderBy("ts", F.col("event_id").asc_nulls_last())
     wrun = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", F.col("event_id").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     marked = ev.withColumn(

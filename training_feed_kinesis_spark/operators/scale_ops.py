@@ -45,9 +45,18 @@ _CUTOFF = "2024-01-20 00:00:00"
 @register(
     "stream_backfill_union",
     CAT_STREAM,
+    # exactly-once over the distinct-id relation (r10 joint sweep; see
+    # stream_dedup — the source table itself may carry redelivered ids,
+    # and the seam dedup collapses them like any other redelivery)
     """
+    WITH once AS (
+      SELECT event_id, MIN(event_type) AS event_type,
+             MIN(user_id) AS user_id
+      FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+      GROUP BY event_id
+    )
     SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id)::BIGINT AS n_users
-    FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+    FROM once
     GROUP BY event_type
     """,
 )
@@ -205,7 +214,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     a hot user costs O(n log n) sort, never O(n²) pairs. NULL ts
     dropped on both engines (the r8 NULL-time seam)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = Window.partitionBy("user_id").orderBy("ts", F.col("event_id").asc_nulls_last())
     p_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
     prev_p = F.max(p_ts).over(
         base.rowsBetween(Window.unboundedPreceding, -1)

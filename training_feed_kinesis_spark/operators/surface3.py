@@ -43,7 +43,7 @@ CAT_WORK = "2.L workloads"
     SELECT user_id, event_id,
            ROUND(quantile_cont(value, 0.5)
                    OVER (PARTITION BY user_id
-                         ORDER BY ts NULLS LAST, event_id
+                         ORDER BY ts NULLS LAST, event_id NULLS LAST
                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
              AS med7
     FROM events
@@ -54,12 +54,14 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact ``percentile`` over a bounded ROWS frame (frame = the state, so
     memory is O(7) per row at any scale); DuckDB's interpolating
     quantile_cont matches Spark's percentile definition exactly.
-    ts NULLS LAST both engines (the r8 NULL-time seam).
+    ts NULLS LAST both engines (r8 NULL-time seam); event_id tiebreak
+    NULLS LAST too (r10 joint sweep: NULL-id row tying its redelivered
+    twin on ts).
     """
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc_nulls_last(), F.col("event_id"))
+        .orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last())
         .rowsBetween(-6, Window.currentRow)
     )
     return ev.select(
@@ -145,6 +147,9 @@ def fn_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation ON s_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY ROLLUP (r_name, n_name)
+      -- empty-input parity (r10 joint-corruption sweep: empty region
+      -- dim): SQL emits the () grand row over zero rows, Spark none
+      HAVING COUNT(*) > 0
     ),
     flagged AS (
       SELECT COALESCE(r_name, '(all)') AS region,

@@ -70,16 +70,19 @@ def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
            LAG(value, 2, -1.0) OVER w AS prev2_or_default
     FROM events
     WINDOW w AS (PARTITION BY user_id
-                 ORDER BY ts ASC NULLS LAST, event_id ASC)
+                 ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST)
     """,
 )
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # ts ASC NULLS LAST both engines: Spark defaults NULLS FIRST, DuckDB
     # NULLS LAST — a NULL-ts sliver would otherwise sit at opposite ends
-    # of every partition (the r8 NULL-time sweep caught this family)
+    # of every partition (the r8 NULL-time sweep caught this family).
+    # The event_id TIEBREAK is pinned NULLS LAST too (r10 joint sweep):
+    # a NULL-id row tying a redelivered real-id twin on (user_id, ts)
+    # otherwise sits on opposite sides of the tie across engines.
     w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc_nulls_last(), F.col("event_id").asc()
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
     )
     return ev.select(
         "event_id",
@@ -99,19 +102,21 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id,
            ROUND(SUM(value) OVER (PARTITION BY user_id
-                 ORDER BY ts NULLS LAST, event_id
+                 ORDER BY ts NULLS LAST, event_id NULLS LAST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total,
            ROUND(AVG(value) OVER (PARTITION BY user_id
-                 ORDER BY ts NULLS LAST, event_id
+                 ORDER BY ts NULLS LAST, event_id NULLS LAST
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)         AS moving_avg3
     FROM events
     """,
 )
 def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    # ts NULLS LAST both engines (the r8 NULL-time seam)
+    # ts NULLS LAST both engines (r8 NULL-time seam); event_id tiebreak
+    # NULLS LAST too (r10 joint sweep: NULL-id row tying its redelivered
+    # real-id twin on ts sat on opposite sides of the tie across engines)
     w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc_nulls_last(), F.col("event_id")
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
     )
     return ev.select(
         "event_id",
@@ -169,7 +174,7 @@ def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
            NTH_VALUE(event_type, 2) OVER w AS second_type
     FROM events
     WINDOW w AS (PARTITION BY user_id
-                 ORDER BY ts ASC NULLS LAST, event_id ASC
+                 ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
@@ -178,10 +183,11 @@ def win_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     default frame ends at CURRENT ROW, which silently makes LAST_VALUE ≡
     current row in both engines; the explicit frame is the correct spelling."""
     ev = load_table(spark, sf_dir, "events")
-    # ts ASC NULLS LAST both engines (the r8 NULL-time seam)
+    # ts ASC NULLS LAST both engines (r8 NULL-time seam); event_id
+    # tiebreak NULLS LAST too (r10 joint sweep, latent here)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc())
+        .orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return ev.select(
@@ -201,7 +207,8 @@ def win_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT c_custkey, o_orderkey, o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY c_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                                ORDER BY o_totalprice DESC,
+                                         o_orderkey ASC NULLS LAST) AS rn
       FROM customer JOIN orders ON c_custkey = o_custkey
     ) t WHERE rn <= 3
     """,
@@ -210,12 +217,15 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer. row_number-filter is the scalable per-group
     top-k: one shuffle on the partition key, per-key heap in the sort, no
     global sort. (At extreme k×groups, pre-aggregate with a partial top-k
-    per map task first — not needed at these cardinalities.)"""
+    per map task first — not needed at these cardinalities.)
+    o_orderkey tiebreak pinned ASC NULLS LAST both engines (r10 joint
+    sweep: a NULL-key order tying its duplicated real-key twin on
+    o_totalprice ranked on opposite sides of the tie across engines)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     joined = c.join(o, c.c_custkey == o.o_custkey)
     w = Window.partitionBy("c_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc_nulls_last()
     )
     return (
         joined.withColumn("order_rank", F.row_number().over(w))

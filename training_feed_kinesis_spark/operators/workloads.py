@@ -459,7 +459,7 @@ def events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL ts dropped on both engines (the r8 NULL-time seam): an
     # untimestamped event has no position in a per-user sequence
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", F.col("event_id").asc_nulls_last())
     seq = ev.select(
         F.col("event_type").alias("cur"),
         F.lag("event_type").over(w).alias("prev"),

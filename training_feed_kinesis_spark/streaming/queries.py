@@ -196,9 +196,22 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_dedup",
     CAT,
+    # exactly-once = ONE row per distinct event_id (r10 joint-corruption
+    # sweep): the SOURCE TABLE itself may carry redelivered duplicate ids
+    # — exactly what dedup must collapse — so the oracle's per-row COUNT
+    # must run over the distinct-id relation, not raw rows. Redelivery is
+    # verbatim by contract (at-least-once re-sends the same record), so
+    # MIN per column reconstructs the unique payload; conflicting same-id
+    # payloads are a re-ingest corruption owned by the admission-gate
+    # family, not stream dedup.
     """
+    WITH once AS (
+      SELECT event_id, MIN(event_type) AS event_type, MIN(value) AS value
+      FROM events WHERE event_id IS NOT NULL
+      GROUP BY event_id
+    )
     SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
-    FROM events WHERE event_id IS NOT NULL
+    FROM once
     GROUP BY event_type
     """,
 )
@@ -538,10 +551,18 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_dedup_watermark",
     CAT,
+    # exactly-once over the distinct-id relation (r10 joint sweep; see
+    # stream_dedup — the source table itself may carry redelivered ids)
     """
+    WITH once AS (
+      SELECT event_id, MIN(ts) AS ts, MIN(event_type) AS event_type,
+             MIN(value) AS value
+      FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+      GROUP BY event_id
+    )
     SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
            COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
-    FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+    FROM once
     GROUP BY event_type, strftime(ts, '%Y-%m-%d')
     """,
 )
