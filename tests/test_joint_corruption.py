@@ -28,9 +28,23 @@ divergences in three families, each fixed one-semantics-both-engines:
     relation (redelivery is verbatim by contract; conflicting same-id
     payloads belong to the admission-gate family).
 
-This module pins the class at sf0.001 with moduli chosen so EVERY
-redelivered row's base copy is NULL-keyed — maximal tie pressure that
-the sf0.01 campaign only hit via CRT coincidence.
+A SECOND sweep escalated the composition to MAX-TIE moduli (the NULL
+sliver and the redelivery share one modulus on EVERY PK table, so 100%
+of redelivered rows tie a NULL twin — the sf0.01 campaign dir hit such
+ties only by CRT coincidence) and found seven more: sort_multikey /
+limit_offset_paging (global-order o_orderkey tiebreak unpinned),
+orders_skyline / llm_best_of_n / llm_preference_pairs (id-less rows
+must not be electable — outputs cite ids; preference pairs were also
+silently dropped through the three-valued != filter), ts_ewma
+(AVG(double) daily mean hit a 4dp knife edge once a redelivered
+duplicate joined the group — now an exact-cents sum with one division),
+and ts_theil_sen (raw-double medians interpolate with a 1-ulp engine
+difference — Spark a+(b−a)·0.5 vs DuckDB (a+b)/2 — flipping the 4dp
+round of a ~1e9 intercept; slopes/residuals now quantize to integer
+1e-4 units per ROW before the median).
+
+This module pins the class at sf0.001 with the max-tie moduli on every
+PK-bearing table.
 """
 
 from __future__ import annotations
@@ -64,6 +78,15 @@ JOINT_CONSUMERS = [
     "stream_dedup",
     "stream_dedup_watermark",
     "stream_backfill_union",
+    # max-tie escalation (second sweep, moduli forcing 100% base-copy
+    # NULLing on every table): seven more members
+    "sort_multikey",        # global-rank o_orderkey tiebreak unpinned
+    "limit_offset_paging",  # page boundary sliced the tie differently
+    "orders_skyline",       # id-less rows excluded: skyline cites keys
+    "llm_best_of_n",        # id-less docs not electable as kept_doc
+    "llm_preference_pairs", # NULL-id election + three-valued != drop
+    "ts_ewma",              # exact-cents daily mean (AVG knife edge)
+    "ts_theil_sen",         # per-row 1e-4 slope/residual quantization
     # sentinels: unrelated shapes that must stay green on the joint dir
     "agg_basic",
     "llm_dedup_exact",
@@ -91,6 +114,31 @@ def joint_dir(tmp_path_factory):
                             ELSE o_orderkey END AS o_orderkey) FROM src
           UNION ALL
           SELECT * FROM src WHERE o_orderkey % 10 = 3
+        """,
+        "lineitem": """
+          SELECT * REPLACE (CASE WHEN l_orderkey % 10 = 3
+                                  AND l_linenumber = 1 THEN NULL
+                            ELSE l_orderkey END AS l_orderkey) FROM src
+          UNION ALL
+          SELECT * FROM src WHERE l_orderkey % 10 = 3 AND l_linenumber = 1
+        """,
+        "customer": """
+          SELECT * REPLACE (CASE WHEN c_custkey % 10 = 3 THEN NULL
+                            ELSE c_custkey END AS c_custkey) FROM src
+          UNION ALL
+          SELECT * FROM src WHERE c_custkey % 10 = 3
+        """,
+        "supplier": """
+          SELECT * REPLACE (CASE WHEN s_suppkey % 10 = 3 THEN NULL
+                            ELSE s_suppkey END AS s_suppkey) FROM src
+          UNION ALL
+          SELECT * FROM src WHERE s_suppkey % 10 = 3
+        """,
+        "part": """
+          SELECT * REPLACE (CASE WHEN p_partkey % 10 = 3 THEN NULL
+                            ELSE p_partkey END AS p_partkey) FROM src
+          UNION ALL
+          SELECT * FROM src WHERE p_partkey % 10 = 3
         """,
         # NULL-PK sliver + verbatim dup + conflicting refetch
         "documents": """

@@ -119,7 +119,11 @@ def llm_judge_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_distinct(string_split(lower(text), ' ')))::DOUBLE
                / len(string_split(lower(text), ' '))
                * ln(1 + n_chars) AS score
-      FROM documents
+      -- an id-less document cannot be elected kept_doc (r10 max-tie
+      -- sweep: a NULL-id row tying its redelivered twin on score made
+      -- the winner engine-dependent; the identity discipline of the
+      -- r9 NULL-PK campaign applies to elections too)
+      FROM documents WHERE doc_id IS NOT NULL
     ),
     ranked AS (
       SELECT source, doc_id, score,
@@ -148,8 +152,11 @@ def llm_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one window pass per group key (score is row-local); the
     kept rows plus gains come from the same sort — no second pass, no
-    join."""
-    d = load_table(spark, sf_dir, "documents")
+    join. Id-less documents are excluded on both engines (r10 max-tie
+    sweep): kept_doc is a doc_id citation."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     toks = F.split(F.lower("text"), " ")
     scored = d.select(
         "doc_id",

@@ -289,7 +289,11 @@ def ml_gbdt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(len(list_distinct(string_split(lower(text), ' ')))::DOUBLE
                    / GREATEST(len(string_split(lower(text), ' ')), 1), 4)
                AS quality
-      FROM documents WHERE text IS NOT NULL
+      -- id-less docs excluded (r10 max-tie sweep): chosen/rejected are
+      -- doc_id citations, and a NULL-id election both made the winner
+      -- engine-dependent AND silently dropped the pair through the
+      -- three-valued t.doc_id != b.doc_id filter
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
     ),
     ranked AS (
       SELECT doc_id, lang, source, quality,
@@ -325,9 +329,12 @@ def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffles."""
     # complete-case: a NULL-text doc has no quality score, and the two
     # rank windows would place its NULL differently per engine (Spark
-    # ASC = NULLS FIRST vs DuckDB NULLS LAST — doc-corruption replay)
+    # ASC = NULLS FIRST vs DuckDB NULLS LAST — doc-corruption replay).
+    # Id-less docs excluded too (r10 max-tie sweep): chosen/rejected are
+    # doc_id citations, and a NULL-id election made the winner
+    # engine-dependent and NULL-poisoned the != filter.
     d = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
     )
     toks = F.split(F.lower("text"), " ")
     scored = d.select(

@@ -232,7 +232,12 @@ def events_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderkey,
              CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
              CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS recency
-      FROM orders
+      -- identity-less orders are excluded (r10 max-tie sweep): the
+      -- skyline is a CITATION of orderkeys, and a NULL-key row tying a
+      -- real row on price has no deterministic place in the running-max
+      -- order (two tied NULL-key rows with different recency would be
+      -- engine-unstable even with a pinned null order)
+      FROM orders WHERE o_orderkey IS NOT NULL
     ),
     ranked AS (
       SELECT o_orderkey, price_cents, recency,
@@ -259,8 +264,14 @@ def orders_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: a global sort — at 100 TB, range-partition by price
     and run the running max per partition plus a per-partition prefix
     max merge (the standard distributed-skyline two-phase plan); the
-    window spelling is that plan's one-node degenerate case."""
-    o = load_table(spark, sf_dir, "orders")
+    window spelling is that plan's one-node degenerate case.
+
+    Identity-less orders (NULL o_orderkey) are excluded on both engines
+    (r10 max-tie sweep): the skyline cites orderkeys, and NULL-key rows
+    tied on price have no deterministic running-max position."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey").isNotNull()
+    )
     pts = o.select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(

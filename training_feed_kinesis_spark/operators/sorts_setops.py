@@ -24,7 +24,7 @@ CAT_SET = "2.G set operations"
     """
     SELECT o_orderkey, o_orderpriority, o_totalprice,
            ROW_NUMBER() OVER (ORDER BY o_orderpriority DESC, o_totalprice ASC,
-                              o_orderkey ASC) AS rank_pos
+                              o_orderkey ASC NULLS LAST) AS rank_pos
     FROM orders WHERE o_orderstatus = 'P'
     """,
 )
@@ -33,10 +33,15 @@ def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     order itself observable under an order-insensitive hash. Note: an
     unpartitioned window is a single-task operation — fine here because the
     'P' filter bounds the input; at 100 TB a global rank would instead be
-    computed per-partition + offset (zipWithIndex pattern) or avoided."""
+    computed per-partition + offset (zipWithIndex pattern) or avoided.
+    o_orderkey tiebreak pinned ASC NULLS LAST both engines (r10 max-tie
+    sweep: a NULL-key order tying its redelivered twin sat on opposite
+    sides across engines; two tied NULL-key rows are verbatim-identical,
+    so their mutual order is unobservable)."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
     w = Window.orderBy(
-        F.col("o_orderpriority").desc(), F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+        F.col("o_orderpriority").desc(), F.col("o_totalprice").asc(),
+        F.col("o_orderkey").asc_nulls_last()
     )
     return o.select(
         "o_orderkey",
@@ -225,7 +230,7 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey, o_totalprice
     FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC
+    ORDER BY o_totalprice DESC, o_orderkey ASC NULLS LAST
     LIMIT 20 OFFSET 40
     """,
 )
@@ -240,9 +245,12 @@ def limit_offset_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
     (OFFSET 10^6) degrades linearly; production paging at scale keys the
     page by the last-seen sort key (seek method) instead, which is the
     WHERE-clause spelling of this same total order."""
+    # o_orderkey tiebreak pinned NULLS LAST both engines (r10 max-tie
+    # sweep: the page boundary sliced NULL-key/real-key price ties
+    # differently across engines)
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc_nulls_last())
         .offset(40)
         .limit(20)
         .select("o_orderkey", "o_totalprice")

@@ -415,24 +415,30 @@ def revenue_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH monthly AS (
       SELECT (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS mi,
-             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
-                  AS DOUBLE) / 100.0 AS y
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS y_c
       FROM orders GROUP BY 1
     ),
     slopes AS (
-      SELECT (b.y - a.y) / (b.mi - a.mi) AS slope
+      -- per-ROW slope quantization to integer 1e-4 dollar units (r10
+      -- max-tie sweep: a raw-double median interpolates with a 1-ulp
+      -- engine difference that flipped the 4dp round of a ~1e9
+      -- intercept); medians over exact integers interpolate identically
+      SELECT CAST(ROUND((b.y_c - a.y_c) * 100.0 / (b.mi - a.mi), 0)
+                  AS BIGINT) AS slope_q
       FROM monthly a JOIN monthly b ON a.mi < b.mi
     ),
     med AS (
-      SELECT ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY slope), 4)
-               AS slope
+      SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY slope_q)
+               AS slope_qm
       FROM slopes
     )
     SELECT (SELECT COUNT(*)::BIGINT FROM monthly) AS n_months,
-           slope,
+           ROUND(slope_qm / 10000.0, 4) AS slope,
+           -- residuals in exact 1e-4 units: cents*100 - slope_qm*mi is
+           -- exact double arithmetic (slope_qm is k or k+0.5)
            ROUND((SELECT percentile_cont(0.5)
-                    WITHIN GROUP (ORDER BY y - med.slope * mi)
-                  FROM monthly), 4) AS intercept
+                    WITHIN GROUP (ORDER BY y_c * 100.0 - med.slope_qm * mi)
+                  FROM monthly) / 10000.0, 4) AS intercept
     FROM med
     """,
 )
@@ -440,8 +446,13 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil–Sen robust trend estimator over the monthly revenue series:
     slope = median of all pairwise slopes, intercept = median(y − slope·x).
     A single wild month cannot move it — unlike the OLS fit in
-    llm_zipf_slope/agg_regression. Monthly points are rounded before
-    pairing, so every pairwise slope is bit-identical cross-engine.
+    llm_zipf_slope/agg_regression. Every pairwise slope is quantized to
+    integer 1e-4 dollar units PER ROW before the median (r10 max-tie
+    sweep: raw-double medians interpolate with a 1-ulp engine difference
+    — Spark a+(b−a)·0.5 vs DuckDB (a+b)/2 — which flipped the 4dp round
+    of a ~1e9 intercept); medians over exact integers interpolate
+    identically, and the residual y_c·100 − slope_qm·mi stays exact
+    double arithmetic to the terminal division.
 
     Scale: the series is an aggregate (months, not transactions) — the
     O(m²) pair join is over ~80 rows no matter how big the fact table is.
@@ -452,31 +463,44 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mi")
     ).agg(
-        # exact integer cents (§5.3.6b): the pairwise slopes divide
-        # bit-identical y values on both engines
-        (
-            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
-            .cast("double")
-            / 100.0
-        ).alias("y")
+        # exact integer cents (§5.3.6b)
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+        .alias("y_c")
     )
     a = monthly.alias("a")
     b = monthly.alias("b")
     slopes = a.join(b, F.col("a.mi") < F.col("b.mi")).select(
-        ((F.col("b.y") - F.col("a.y")) / (F.col("b.mi") - F.col("a.mi"))).alias(
-            "slope"
+        F.round(
+            (F.col("b.y_c") - F.col("a.y_c")) * 100.0
+            / (F.col("b.mi") - F.col("a.mi")),
+            0,
         )
+        .cast("long")
+        .alias("slope_q")
     )
     med = slopes.agg(
-        F.round(F.expr("percentile(slope, 0.5)"), 4).alias("slope")
+        F.expr("percentile(slope_q, 0.5)").alias("slope_qm")
     )
     n = monthly.agg(F.count(F.lit(1)).alias("n_months"))
     resid = (
         monthly.crossJoin(F.broadcast(med))
-        .select((F.col("y") - F.col("slope") * F.col("mi")).alias("r"))
-        .agg(F.round(F.expr("percentile(r, 0.5)"), 4).alias("intercept"))
+        .select(
+            (F.col("y_c") * 100.0 - F.col("slope_qm") * F.col("mi")).alias("r_q")
+        )
+        .agg(
+            F.round(F.expr("percentile(r_q, 0.5)") / 10000.0, 4)
+            .alias("intercept")
+        )
     )
-    return n.crossJoin(med).crossJoin(resid)
+    return (
+        n.crossJoin(med)
+        .crossJoin(resid)
+        .select(
+            "n_months",
+            F.round(F.col("slope_qm") / 10000.0, 4).alias("slope"),
+            "intercept",
+        )
+    )
 
 
 @register(

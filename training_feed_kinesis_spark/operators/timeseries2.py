@@ -37,7 +37,13 @@ CAT = "2.L time-series analytics"
     CAT,
     """
     WITH daily AS (
-      SELECT user_id, date_trunc('day', ts) AS day, AVG(value) AS x
+      -- exact-cents daily mean (r10 max-tie sweep): AVG(double) is
+      -- accumulation-order-dependent, and a redelivered duplicate in
+      -- the day group pushed the quotient onto a 4dp knife edge; the
+      -- integer-cents sum + ONE division is bit-identical per group
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE)
+               / (100.0 * COUNT(*)) AS x
       FROM events WHERE ts IS NOT NULL
       GROUP BY user_id, date_trunc('day', ts)
     ),
@@ -64,13 +70,22 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     quotient hash-matches at 4dp. NULL ts dropped on both engines: a
     NULL day group would sort to opposite ends of the i-order across
     engines and shift every weight (the ADVICE r7 ordering seam).
+    The daily mean is an exact integer-cents sum with ONE division
+    (r10 max-tie sweep: AVG(double) accumulation order pushed a
+    duplicate-inflated day group onto a 4dp knife edge).
     """
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull()
     )
     daily = ev.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.avg("value").alias("x"))
+    ).agg(
+        (
+            F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+            .cast("double")
+            / (100.0 * F.count(F.lit(1)))
+        ).alias("x")
+    )
     rn = daily.select(
         "user_id",
         "day",
