@@ -38,10 +38,14 @@ must not be electable — outputs cite ids; preference pairs were also
 silently dropped through the three-valued != filter), ts_ewma
 (AVG(double) daily mean hit a 4dp knife edge once a redelivered
 duplicate joined the group — now an exact-cents sum with one division),
-and ts_theil_sen (raw-double medians interpolate with a 1-ulp engine
-difference — Spark a+(b−a)·0.5 vs DuckDB (a+b)/2 — flipping the 4dp
-round of a ~1e9 intercept; slopes/residuals now quantize to integer
-1e-4 units per ROW before the median).
+and ts_theil_sen — whose flip exposed the ROUND-MAGNITUDE SEAM (SURVEY
+§5.3.9, verified by bit-level probe): DuckDB ROUND(x, 4) rounds the
+float product x·10⁴, whose IEEE grid at the ~1e9 intercept (~2e-3) is
+coarser than the 4dp digits, while Spark's BigDecimal ROUND of the
+IDENTICAL double is decimal-exact. The audit that followed re-spelled
+the three genuinely exposed keys (ts_theil_sen, agg_stats,
+ml_gbdt_stumps) onto exact integer-quantized moments with UNROUNDED
+large-magnitude outputs.
 
 This module pins the class at sf0.001 with the max-tie moduli on every
 PK-bearing table.
@@ -238,3 +242,22 @@ def test_ops_survive_joint_corruption(key, spark, joint_dir, duck_joint):
     spec = _REGISTRY[key]
     assert spec.oracle is not None, key
     assert_matches_oracle(spec.fn(spark, joint_dir), duck_joint, spec.oracle)
+
+
+def test_duckdb_round_magnitude_seam_pinned(spark):
+    """Document-by-test (SURVEY §5.3.9): DuckDB ROUND(x, 4) rounds the
+    float product x*10^4, whose IEEE grid at ~9.3e12 (~2e-3) is coarser
+    than the 4dp digits — so on the IDENTICAL input double the two
+    engines disagree, Spark's BigDecimal ROUND being decimal-exact.
+    This is why statistics >= ~1e8 are derived from exact quantized
+    moments and emitted UNROUNDED. If this assert ever flips, DuckDB
+    fixed its ROUND — the unrounded-emission rule could then relax."""
+    x = -933840071.1026499  # the r10 max-tie ts_theil_sen intercept
+    d = duckdb.execute(
+        "SELECT ROUND(CAST(? AS DOUBLE), 4)", [x]
+    ).fetchone()[0]
+    s = spark.sql(f"SELECT ROUND(CAST({x!r} AS DOUBLE), 4)").collect()[0][0]
+    assert (x * 1e4) == -9338400711026.5  # the product lands ON the grid
+    assert d == -933840071.1027  # DuckDB: product-grid half-away flip
+    assert s == -933840071.1026  # Spark: exact decimal round of x
+    assert d != s

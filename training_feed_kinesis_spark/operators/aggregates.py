@@ -161,27 +161,106 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# agg_stats moment algebra, shared VERBATIM by both engines over
+# identically-named DECIMAL(38,0) moment columns (r10 ROUND-magnitude
+# seam, §5.3.9): variance of prices is ~9e8, where (a) native
+# VAR_SAMP/CORR accumulate floats in engine-specific order and (b)
+# DuckDB ROUND(x, 4) itself is lossy (it rounds the float product
+# x*10000, whose grid at ~9e12 is 2e-3). Exact integer-cent moments
+# with per-term DECIMAL widening make every statistic ONE identical
+# float expression on identical inputs; var_price is emitted UNROUNDED
+# (its magnitude forbids a 4dp round), the small-magnitude stats keep
+# their rounds. NULL handling mirrors the native aggregates: per-column
+# deletion for sd/var, pairwise deletion for corr/covar.
+_STATS_MATH = {
+    "sd_qty": (
+        "CASE WHEN nq > 1 THEN ROUND(sqrt(CAST(nq * sqq - sq * sq AS DOUBLE)"
+        " / (CAST(nq AS DOUBLE) * (nq - 1)) / 1e4), 4) END"
+    ),
+    "var_price": (
+        "CASE WHEN np > 1 THEN CAST(np * spp - sp * sp AS DOUBLE)"
+        " / (CAST(np AS DOUBLE) * (np - 1)) / 1e4 END"
+    ),
+    "corr_qty_price": (
+        "CASE WHEN nxy > 1 THEN ROUND(CAST(nxy * sxy - sxq * syp AS DOUBLE)"
+        " / NULLIF(sqrt(CAST(nxy * sxx - sxq * sxq AS DOUBLE)"
+        "               * CAST(nxy * syy - syp * syp AS DOUBLE)),"
+        " CAST(0 AS DOUBLE)), 4)"
+        " END"
+    ),
+    "covar_qty_price": (
+        "CASE WHEN nxy > 0 THEN ROUND(CAST(nxy * sxy - sxq * syp AS DOUBLE)"
+        " / (CAST(nxy AS DOUBLE) * nxy) / 1e4, 4) END"
+    ),
+}
+
+_STATS_SELECT = ", ".join(
+    f"{expr} AS {name}" for name, expr in _STATS_MATH.items()
+)
+
+
 @register(
     "agg_stats",
     "2.D aggregations",
-    """
-    SELECT l_returnflag,
-           ROUND(STDDEV_SAMP(l_quantity), 4)                 AS sd_qty,
-           ROUND(VAR_SAMP(l_extendedprice), 4)               AS var_price,
-           ROUND(CORR(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
-           ROUND(COVAR_POP(l_quantity, l_extendedprice), 4)  AS covar_qty_price
-    FROM lineitem GROUP BY l_returnflag
+    f"""
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS qc,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS pc
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag,
+             COUNT(qc)::DECIMAL(38,0) AS nq,
+             CAST(COALESCE(SUM(CAST(qc AS DECIMAL(38,0))), 0) AS DECIMAL(38,0)) AS sq,
+             CAST(COALESCE(SUM(CAST(qc AS DECIMAL(38,0)) * qc), 0) AS DECIMAL(38,0)) AS sqq,
+             COUNT(pc)::DECIMAL(38,0) AS np,
+             CAST(COALESCE(SUM(CAST(pc AS DECIMAL(38,0))), 0) AS DECIMAL(38,0)) AS sp,
+             CAST(COALESCE(SUM(CAST(pc AS DECIMAL(38,0)) * pc), 0) AS DECIMAL(38,0)) AS spp,
+             COUNT(CASE WHEN qc IS NOT NULL AND pc IS NOT NULL THEN 1 END)::DECIMAL(38,0) AS nxy,
+             CAST(COALESCE(SUM(CASE WHEN pc IS NOT NULL THEN CAST(qc AS DECIMAL(38,0)) END), 0) AS DECIMAL(38,0)) AS sxq,
+             CAST(COALESCE(SUM(CASE WHEN qc IS NOT NULL THEN CAST(pc AS DECIMAL(38,0)) END), 0) AS DECIMAL(38,0)) AS syp,
+             CAST(COALESCE(SUM(CASE WHEN pc IS NOT NULL THEN CAST(qc AS DECIMAL(38,0)) * qc END), 0) AS DECIMAL(38,0)) AS sxx,
+             CAST(COALESCE(SUM(CASE WHEN qc IS NOT NULL THEN CAST(pc AS DECIMAL(38,0)) * pc END), 0) AS DECIMAL(38,0)) AS syy,
+             CAST(COALESCE(SUM(CAST(qc AS DECIMAL(38,0)) * pc), 0) AS DECIMAL(38,0)) AS sxy
+      FROM q GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, {_STATS_SELECT}
+    FROM m
     """,
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group sd/var/corr/covar over exact integer-cent moments (see
+    _STATS_MATH): the shuffle carries 12 decimal partial sums per group
+    (map-side combinable), and every emitted statistic is one float
+    expression — shared verbatim with the oracle — over bit-identical
+    inputs. The native VAR_SAMP/CORR spellings were retired in r10: their
+    float accumulation order is engine-specific, and at var_price's ~9e8
+    magnitude the 4dp round sits inside both engines' noise AND DuckDB's
+    lossy ROUND grid (§5.3.9)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-        F.round(F.var_samp("l_extendedprice"), 4).alias("var_price"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(
-            "covar_qty_price"
-        ),
+    q = li.select(
+        "l_returnflag",
+        F.expr("CAST(ROUND(l_quantity * 100, 0) AS BIGINT)").alias("qc"),
+        F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias("pc"),
+    )
+    m = q.groupBy("l_returnflag").agg(
+        F.expr("CAST(COUNT(qc) AS DECIMAL(38,0))").alias("nq"),
+        F.expr("CAST(COALESCE(SUM(CAST(qc AS DECIMAL(38,0))), 0) AS DECIMAL(38,0))").alias("sq"),
+        F.expr("CAST(COALESCE(SUM(CAST(qc AS DECIMAL(38,0)) * qc), 0) AS DECIMAL(38,0))").alias("sqq"),
+        F.expr("CAST(COUNT(pc) AS DECIMAL(38,0))").alias("np"),
+        F.expr("CAST(COALESCE(SUM(CAST(pc AS DECIMAL(38,0))), 0) AS DECIMAL(38,0))").alias("sp"),
+        F.expr("CAST(COALESCE(SUM(CAST(pc AS DECIMAL(38,0)) * pc), 0) AS DECIMAL(38,0))").alias("spp"),
+        F.expr("CAST(COUNT(CASE WHEN qc IS NOT NULL AND pc IS NOT NULL THEN 1 END) AS DECIMAL(38,0))").alias("nxy"),
+        F.expr("CAST(COALESCE(SUM(CASE WHEN pc IS NOT NULL THEN CAST(qc AS DECIMAL(38,0)) END), 0) AS DECIMAL(38,0))").alias("sxq"),
+        F.expr("CAST(COALESCE(SUM(CASE WHEN qc IS NOT NULL THEN CAST(pc AS DECIMAL(38,0)) END), 0) AS DECIMAL(38,0))").alias("syp"),
+        F.expr("CAST(COALESCE(SUM(CASE WHEN pc IS NOT NULL THEN CAST(qc AS DECIMAL(38,0)) * qc END), 0) AS DECIMAL(38,0))").alias("sxx"),
+        F.expr("CAST(COALESCE(SUM(CASE WHEN qc IS NOT NULL THEN CAST(pc AS DECIMAL(38,0)) * pc END), 0) AS DECIMAL(38,0))").alias("syy"),
+        F.expr("CAST(COALESCE(SUM(CAST(qc AS DECIMAL(38,0)) * pc), 0) AS DECIMAL(38,0))").alias("sxy"),
+    )
+    return m.select(
+        "l_returnflag",
+        *[F.expr(expr).alias(name) for name, expr in _STATS_MATH.items()],
     )
 
 

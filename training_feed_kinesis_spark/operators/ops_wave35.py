@@ -131,68 +131,115 @@ def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GRID_SQL = ", ".join(str(t) for t in STUMP_GRID)
 
+# Shared stump math (r10 ROUND-magnitude seam, SURVEY 5.3.9): the leaf
+# MSE is ~9e8 dollars-squared, where the old AVG-based spelling had
+# engine-ordered float accumulation AND DuckDB's lossy ROUND(x, 4)
+# grid. Exact quantized moments (per-term DECIMAL(38,0) widening) make
+# every statistic ONE identical float expression on identical inputs;
+# the argmin ranks the RAW mse (identical doubles need no rounding, and
+# ROUND in the ORDER BY would re-introduce the seam), and mse columns
+# are emitted UNROUNDED. Complete-case rows (x and y non-NULL) on both
+# engines.
+
+_STUMP_CAND_AGGS = (
+    "COUNT(CASE WHEN x <= t THEN yq END) AS nl, "
+    "COUNT(CASE WHEN x > t THEN yq END) AS nr, "
+    "CAST(COALESCE(SUM(CASE WHEN x <= t THEN CAST(yq AS DECIMAL(38,0)) END), 0)"
+    " AS DECIMAL(38,0)) AS sl, "
+    "CAST(COALESCE(SUM(CASE WHEN x > t THEN CAST(yq AS DECIMAL(38,0)) END), 0)"
+    " AS DECIMAL(38,0)) AS sr, "
+    "CAST(COALESCE(SUM(CAST(yq AS DECIMAL(38,0)) * yq), 0)"
+    " AS DECIMAL(38,0)) AS syy, "
+    "COUNT(yq) AS n"
+)
+
+
+def _stump_mse(unit2: str) -> str:
+    return (
+        "CASE WHEN nl > 0 AND nr > 0 THEN "
+        "(CAST(syy AS DOUBLE)"
+        " - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)"
+        " - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE))"
+        f" / (CAST(n AS DOUBLE) * {unit2}) END"
+    )
+
+
+def _stump_mean(side: str, unit: str) -> str:
+    return (
+        f"CASE WHEN n{side} > 0 THEN CAST(s{side} AS DOUBLE)"
+        f" / (CAST(n{side} AS DOUBLE) * {unit}) END"
+    )
+
 
 @register(
     "ml_gbdt_stumps",
     CAT_ML,
     f"""
     WITH li AS (
-      SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+      SELECT l_quantity AS x,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS yq,
+             l_extendedprice AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
     ),
     grid AS (SELECT unnest([{_GRID_SQL}]) AS t),
     base AS (
-      SELECT COUNT(*)::DOUBLE AS n,
-             AVG(y * y) - AVG(y) * AVG(y) AS mse0
+      SELECT COUNT(yq) AS n,
+             CAST(COALESCE(SUM(CAST(yq AS DECIMAL(38,0))), 0)
+                  AS DECIMAL(38,0)) AS sy,
+             CAST(COALESCE(SUM(CAST(yq AS DECIMAL(38,0)) * yq), 0)
+                  AS DECIMAL(38,0)) AS syy
       FROM li
     ),
+    base_mse AS (
+      SELECT (CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) * 1e4) AS mse0
+      FROM base
+    ),
     cand1 AS (
-      SELECT g.t,
-             AVG(CASE WHEN li.x <= g.t THEN li.y END) AS ml,
-             AVG(CASE WHEN li.x >  g.t THEN li.y END) AS mr,
-             AVG(CASE WHEN li.x <= g.t THEN 1.0 ELSE 0.0 END) AS wl,
-             AVG(li.y * li.y) AS myy
+      SELECT g.t, {_STUMP_CAND_AGGS}
       FROM li CROSS JOIN grid g GROUP BY g.t
     ),
     scored1 AS (
-      SELECT t, ml, mr,
-             myy - wl * ml * ml - (1 - wl) * mr * mr AS mse
+      SELECT t, {_stump_mean("l", "100.0")} AS ml,
+             {_stump_mean("r", "100.0")} AS mr,
+             {_stump_mse("1e4")} AS mse
       FROM cand1
     ),
     best1 AS (
       SELECT t, ml, mr, mse FROM scored1
-      ORDER BY ROUND(mse, 4) ASC, t ASC LIMIT 1
+      ORDER BY mse ASC NULLS LAST, t ASC LIMIT 1
     ),
     resid AS (
       SELECT li.x,
-             li.y - CASE WHEN li.x <= b.t THEN b.ml ELSE b.mr END AS y
+             CAST(ROUND((li.y - CASE WHEN li.x <= b.t THEN b.ml ELSE b.mr END)
+                        * 10000, 0) AS BIGINT) AS yq
       FROM li CROSS JOIN best1 b
     ),
     cand2 AS (
-      SELECT g.t,
-             AVG(CASE WHEN r.x <= g.t THEN r.y END) AS ml,
-             AVG(CASE WHEN r.x >  g.t THEN r.y END) AS mr,
-             AVG(CASE WHEN r.x <= g.t THEN 1.0 ELSE 0.0 END) AS wl,
-             AVG(r.y * r.y) AS myy
-      FROM resid r CROSS JOIN grid g GROUP BY g.t
+      SELECT g.t, {_STUMP_CAND_AGGS}
+      FROM resid CROSS JOIN grid g GROUP BY g.t
     ),
     scored2 AS (
-      SELECT t, ml, mr,
-             myy - wl * ml * ml - (1 - wl) * mr * mr AS mse
+      SELECT t, {_stump_mean("l", "10000.0")} AS ml,
+             {_stump_mean("r", "10000.0")} AS mr,
+             {_stump_mse("1e8")} AS mse
       FROM cand2
     ),
     best2 AS (
       SELECT t, ml, mr, mse FROM scored2
-      ORDER BY ROUND(mse, 4) ASC, t ASC LIMIT 1
+      ORDER BY mse ASC NULLS LAST, t ASC LIMIT 1
     )
     SELECT 1::BIGINT AS step, CAST(b.t AS BIGINT) AS threshold,
-           ROUND((SELECT mse0 FROM base), 4) AS mse_before,
-           ROUND(b.mse, 4) AS mse_after,
+           (SELECT mse0 FROM base_mse) AS mse_before,
+           b.mse AS mse_after,
            ROUND(b.ml, 4) AS left_value, ROUND(b.mr, 4) AS right_value
     FROM best1 b
     UNION ALL
     SELECT 2::BIGINT, CAST(b2.t AS BIGINT),
-           ROUND((SELECT mse FROM best1), 4),
-           ROUND(b2.mse, 4),
+           (SELECT mse FROM best1),
+           b2.mse,
            ROUND(b2.ml, 4), ROUND(b2.mr, 4)
     FROM best2 b2
     """,
@@ -200,70 +247,96 @@ _GRID_SQL = ", ".join(str(t) for t in STUMP_GRID)
 def ml_gbdt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two rounds of gradient-boosted regression stumps (squared loss,
     learning rate 1): round 1 fits the best single split of price on a
-    fixed quantity-threshold grid (argmin MSE, ranked on ROUND(mse,4)
-    with threshold tiebreak — never raw-float argmin across engines);
-    round 2 fits the residuals. Per round: candidate grid broadcast,
-    per-candidate sufficient statistics in ONE aggregate (MSE from
-    weighted leaf means — no per-candidate data pass), residual recompute
-    from the broadcast 1-row winner.
+    fixed quantity-threshold grid, round 2 fits the residuals. Per
+    round: candidate grid broadcast, per-candidate sufficient statistics
+    in ONE aggregate (exact quantized moments — cents in round 1,
+    1e-4-dollar residual units in round 2), MSE as one shared float
+    expression over those exact moments, argmin on the RAW mse with
+    threshold tiebreak, residual recompute from the broadcast 1-row
+    winner. mse columns are emitted UNROUNDED: at ~9e8 dollars-squared a
+    4dp round sits inside DuckDB's lossy ROUND grid (SURVEY 5.3.9) —
+    identical doubles need no round.
 
-    Scale shape: each round = one scan + one |grid|-row shuffle; the model
-    state that moves between rounds is one row. Deeper grids/more rounds
-    scale the aggregate width, never the number of data passes per round
-    — the classic histogram-based GBDT layout (LightGBM-style) expressed
-    relationally."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    Scale shape: each round = one scan + one |grid|-row shuffle; the
+    model state that moves between rounds is one row. Deeper grids/more
+    rounds scale the aggregate width, never the number of data passes
+    per round — the classic histogram-based GBDT layout (LightGBM-style)
+    expressed relationally."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_quantity").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .select(
+            F.col("l_quantity").alias("x"),
+            F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)")
+            .alias("yq"),
+            F.col("l_extendedprice").alias("y"),
+        )
     )
     grid = spark.createDataFrame([(t,) for t in STUMP_GRID], "t int")
     base = li.agg(
-        (F.avg(F.col("y") * F.col("y")) - F.avg("y") * F.avg("y")).alias("mse0")
+        F.expr(
+            "(CAST(CAST(COALESCE(SUM(CAST(yq AS DECIMAL(38,0)) * yq), 0)"
+            " AS DECIMAL(38,0)) AS DOUBLE)"
+            " - CAST(CAST(COALESCE(SUM(CAST(yq AS DECIMAL(38,0))), 0)"
+            "        AS DECIMAL(38,0)) AS DOUBLE)"
+            " * CAST(CAST(COALESCE(SUM(CAST(yq AS DECIMAL(38,0))), 0)"
+            "        AS DECIMAL(38,0)) AS DOUBLE) / CAST(COUNT(yq) AS DOUBLE))"
+            " / (CAST(COUNT(yq) AS DOUBLE) * 1e4)"
+        ).alias("mse0")
     )
 
-    def round_fit(data):
+    def round_fit(data, unit: str, unit2: str):
         cand = (
             data.crossJoin(F.broadcast(grid))
             .groupBy("t")
             .agg(
-                F.avg(F.when(F.col("x") <= F.col("t"), F.col("y"))).alias("ml"),
-                F.avg(F.when(F.col("x") > F.col("t"), F.col("y"))).alias("mr"),
-                F.avg(
-                    F.when(F.col("x") <= F.col("t"), 1.0).otherwise(0.0)
-                ).alias("wl"),
-                F.avg(F.col("y") * F.col("y")).alias("myy"),
+                F.expr("COUNT(CASE WHEN x <= t THEN yq END)").alias("nl"),
+                F.expr("COUNT(CASE WHEN x > t THEN yq END)").alias("nr"),
+                F.expr(
+                    "CAST(COALESCE(SUM(CASE WHEN x <= t THEN"
+                    " CAST(yq AS DECIMAL(38,0)) END), 0) AS DECIMAL(38,0))"
+                ).alias("sl"),
+                F.expr(
+                    "CAST(COALESCE(SUM(CASE WHEN x > t THEN"
+                    " CAST(yq AS DECIMAL(38,0)) END), 0) AS DECIMAL(38,0))"
+                ).alias("sr"),
+                F.expr(
+                    "CAST(COALESCE(SUM(CAST(yq AS DECIMAL(38,0)) * yq), 0)"
+                    " AS DECIMAL(38,0))"
+                ).alias("syy"),
+                F.expr("COUNT(yq)").alias("n"),
             )
         )
         scored = cand.select(
             "t",
-            "ml",
-            "mr",
-            (
-                F.col("myy")
-                - F.col("wl") * F.col("ml") * F.col("ml")
-                - (1 - F.col("wl")) * F.col("mr") * F.col("mr")
-            ).alias("mse"),
+            F.expr(_stump_mean("l", unit)).alias("ml"),
+            F.expr(_stump_mean("r", unit)).alias("mr"),
+            F.expr(_stump_mse(unit2)).alias("mse"),
         )
-        w = Window.orderBy(F.round("mse", 4).asc(), F.col("t").asc())
+        w = Window.orderBy(F.col("mse").asc_nulls_last(), F.col("t").asc())
         return (
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .drop("rn")
         )
 
-    best1 = round_fit(li)
+    best1 = round_fit(li, "100.0", "1e4")
     resid = li.crossJoin(F.broadcast(best1.select("t", "ml", "mr"))).select(
         "x",
-        (
-            F.col("y")
-            - F.when(F.col("x") <= F.col("t"), F.col("ml")).otherwise(F.col("mr"))
-        ).alias("y"),
+        F.expr(
+            "CAST(ROUND((y - CASE WHEN x <= t THEN ml ELSE mr END) * 10000,"
+            " 0) AS BIGINT)"
+        ).alias("yq"),
     )
-    best2 = round_fit(resid)
+    best2 = round_fit(resid, "10000.0", "1e8")
     row1 = best1.crossJoin(F.broadcast(base)).select(
         F.lit(1).cast("long").alias("step"),
         F.col("t").cast("long").alias("threshold"),
-        F.round("mse0", 4).alias("mse_before"),
-        F.round("mse", 4).alias("mse_after"),
+        F.col("mse0").alias("mse_before"),
+        F.col("mse").alias("mse_after"),
         F.round("ml", 4).alias("left_value"),
         F.round("mr", 4).alias("right_value"),
     )
@@ -272,8 +345,8 @@ def ml_gbdt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit(2).cast("long").alias("step"),
         F.col("t").cast("long").alias("threshold"),
-        F.round("mse_prev", 4).alias("mse_before"),
-        F.round("mse", 4).alias("mse_after"),
+        F.col("mse_prev").alias("mse_before"),
+        F.col("mse").alias("mse_after"),
         F.round("ml", 4).alias("left_value"),
         F.round("mr", 4).alias("right_value"),
     )

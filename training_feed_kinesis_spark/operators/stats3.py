@@ -433,12 +433,18 @@ def revenue_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM slopes
     )
     SELECT (SELECT COUNT(*)::BIGINT FROM monthly) AS n_months,
-           ROUND(slope_qm / 10000.0, 4) AS slope,
+           -- NO terminal ROUND: the quotient of an exact integer(.5)
+           -- median is already bit-identical across engines, and DuckDB
+           -- ROUND(x, 4) is itself lossy for |x|*1e4 above ~2^43 (it
+           -- rounds the float product x*10000, whose grid is coarser
+           -- than the sub-1e-4 digits — the r10 max-tie flip at the
+           -- ~1e9 intercept came from THIS, not from the median)
+           slope_qm / 10000.0 AS slope,
            -- residuals in exact 1e-4 units: cents*100 - slope_qm*mi is
            -- exact double arithmetic (slope_qm is k or k+0.5)
-           ROUND((SELECT percentile_cont(0.5)
-                    WITHIN GROUP (ORDER BY y_c * 100.0 - med.slope_qm * mi)
-                  FROM monthly) / 10000.0, 4) AS intercept
+           (SELECT percentile_cont(0.5)
+              WITHIN GROUP (ORDER BY y_c * 100.0 - med.slope_qm * mi)
+            FROM monthly) / 10000.0 AS intercept
     FROM med
     """,
 )
@@ -447,12 +453,12 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = median of all pairwise slopes, intercept = median(y − slope·x).
     A single wild month cannot move it — unlike the OLS fit in
     llm_zipf_slope/agg_regression. Every pairwise slope is quantized to
-    integer 1e-4 dollar units PER ROW before the median (r10 max-tie
-    sweep: raw-double medians interpolate with a 1-ulp engine difference
-    — Spark a+(b−a)·0.5 vs DuckDB (a+b)/2 — which flipped the 4dp round
-    of a ~1e9 intercept); medians over exact integers interpolate
-    identically, and the residual y_c·100 − slope_qm·mi stays exact
-    double arithmetic to the terminal division.
+    integer 1e-4 dollar units PER ROW before the median, the medians run
+    over exact integers, and the outputs are UNROUNDED quotients of
+    those exact medians (r10 max-tie sweep + bit-level probe, SURVEY
+    §5.3.9: the flip was DuckDB's ROUND(x, 4) rounding the float product
+    x·10⁴, whose grid at the ~1e9 intercept is coarser than the 4dp
+    digits — both engines held the IDENTICAL pre-round double).
 
     Scale: the series is an aggregate (months, not transactions) — the
     O(m²) pair join is over ~80 rows no matter how big the fact table is.
@@ -482,14 +488,16 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(slope_q, 0.5)").alias("slope_qm")
     )
     n = monthly.agg(F.count(F.lit(1)).alias("n_months"))
+    # NO terminal ROUND (see oracle comment): the quotient of the exact
+    # integer(.5) median is bit-identical across engines, and DuckDB
+    # ROUND is lossy at this magnitude (float x*10000 grid)
     resid = (
         monthly.crossJoin(F.broadcast(med))
         .select(
             (F.col("y_c") * 100.0 - F.col("slope_qm") * F.col("mi")).alias("r_q")
         )
         .agg(
-            F.round(F.expr("percentile(r_q, 0.5)") / 10000.0, 4)
-            .alias("intercept")
+            (F.expr("percentile(r_q, 0.5)") / 10000.0).alias("intercept")
         )
     )
     return (
@@ -497,7 +505,7 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(resid)
         .select(
             "n_months",
-            F.round(F.col("slope_qm") / 10000.0, 4).alias("slope"),
+            (F.col("slope_qm") / 10000.0).alias("slope"),
             "intercept",
         )
     )
