@@ -132,7 +132,13 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- (digit-only strings are integers) as an independent derivation
       COUNT(CASE WHEN regexp_matches(payload, '^[0-9]+$') THEN 1 END)::BIGINT
         AS n_integer,
-      ROUND(SUM(COALESCE(TRY_CAST(payload AS DOUBLE), 0)), 4) AS parsed_sum
+      -- exact integer cents (r10 ROUND-magnitude audit, §5.3.9): every
+      -- parseable payload is a 2-dp decimal or an integer by
+      -- construction, so the cent sum is the exact total; the raw float
+      -- SUM at ~1.7e9 was engine-order-dependent AND sat in DuckDB's
+      -- lossy ROUND grid
+      CAST(SUM(CAST(ROUND(COALESCE(TRY_CAST(payload AS DOUBLE), 0) * 100,
+                          0) AS BIGINT)) AS DOUBLE) / 100.0 AS parsed_sum
     FROM raw
     """,
 )
@@ -161,7 +167,17 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(num).cast("bigint").alias("n_numeric"),
         (F.count(F.lit(1)) - F.count(num)).cast("bigint").alias("n_failed"),
         F.count(F.expr("try_cast(payload AS bigint)")).cast("bigint").alias("n_integer"),
-        F.round(F.sum(F.coalesce(num, F.lit(0.0))), 4).alias("parsed_sum"),
+        # exact integer cents (r10 ROUND-magnitude audit, §5.3.9): the
+        # parseable payloads are 2-dp decimals / integers by construction
+        (
+            F.sum(
+                F.expr(
+                    "CAST(ROUND(COALESCE(try_cast(payload AS double), 0)"
+                    " * 100, 0) AS BIGINT)"
+                )
+            ).cast("double")
+            / 100.0
+        ).alias("parsed_sum"),
     )
 
 
