@@ -195,7 +195,12 @@ def main() -> None:
             with open(benches[-1]) as f:
                 doc = json.load(f)
             parsed = doc.get("parsed") or doc
-            if parsed.get("sf") == sf:
+            # only trust the previous tier2 values as a warm baseline when
+            # that recording has the cold/warm split (r10+): r9-era files
+            # recorded cold min-of-1 values under the same "tier2" name,
+            # and comparing a warm run against a cold baseline makes the
+            # >15% guard misfire or mask a regression (ADVICE r10)
+            if parsed.get("sf") == sf and "tier2_cold" in parsed:
                 prev_t2 = parsed.get("tier2", {}) or {}
         except (OSError, ValueError, AttributeError):
             prev_t2 = {}

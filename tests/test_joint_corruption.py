@@ -244,6 +244,63 @@ def test_ops_survive_joint_corruption(key, spark, joint_dir, duck_joint):
     assert_matches_oracle(spec.fn(spark, joint_dir), duck_joint, spec.oracle)
 
 
+@pytest.mark.parametrize("events_dir", ["clean", "joint"])
+def test_stream_dedup_verbatim_redelivery_contract(events_dir, joint_dir):
+    """Guard for the exactly-once stream oracles (ADVICE r10): the
+    stream_dedup / stream_dedup_watermark / stream_backfill_union oracles
+    reconstruct the unique payload with per-column MIN over each event_id
+    group, which is sound ONLY under verbatim redelivery (at-least-once
+    re-sends the same record). Under CONFLICTING same-id payloads — a
+    re-ingest corruption owned by the admission-gate family — the MIN
+    oracle would fabricate a row mixing columns from different versions
+    while dropDuplicates keeps one arbitrary whole row, surfacing as a
+    confusing value mismatch. Assert the contract directly on every
+    events fixture those oracles run against, reusing the
+    dq_corruption_composite_census canonical payload-hash spelling: each
+    retained (non-NULL-id) event_id carries exactly ONE distinct payload
+    hash. If this ever fails, the fixture violates the redelivery
+    contract — fix the fixture or route the key to the admission gate;
+    do not chase the dedup oracle."""
+    from training_feed_kinesis_spark.operators.ops_wave103 import _PAYLOAD
+
+    src = SF_DIR if events_dir == "clean" else joint_dir
+    pk, _, duck_hash = _PAYLOAD["events"]
+    n_conflicting = duckdb.execute(
+        f"""
+        SELECT COUNT(*) FROM (
+          SELECT {pk}
+          FROM (SELECT {pk}, {duck_hash} AS h
+                FROM read_parquet('{src}/events.parquet')
+                WHERE {pk} IS NOT NULL)
+          GROUP BY {pk} HAVING COUNT(DISTINCT h) > 1
+        )
+        """
+    ).fetchone()[0]
+    assert n_conflicting == 0, (
+        f"{n_conflicting} event_ids with conflicting payload versions in"
+        f" {src}: the exactly-once stream oracles' MIN reconstruction is"
+        " unsound on this fixture (verbatim-redelivery contract violated)"
+    )
+    # non-vacuity / positive control: the same guard spelling MUST detect
+    # the conflicting re-ingest versions deliberately planted in the
+    # joint dir's documents table (doc_id % 10 = 6, upper(text)) — a
+    # guard that can't see a planted violation proves nothing
+    if events_dir == "joint":
+        doc_pk, _, doc_hash = _PAYLOAD["documents"]
+        n_doc_conflicts = duckdb.execute(
+            f"""
+            SELECT COUNT(*) FROM (
+              SELECT {doc_pk}
+              FROM (SELECT {doc_pk}, {doc_hash} AS h
+                    FROM read_parquet('{src}/documents.parquet')
+                    WHERE {doc_pk} IS NOT NULL)
+              GROUP BY {doc_pk} HAVING COUNT(DISTINCT h) > 1
+            )
+            """
+        ).fetchone()[0]
+        assert n_doc_conflicts > 0
+
+
 def test_duckdb_round_magnitude_seam_pinned(spark):
     """Document-by-test (SURVEY §5.3.9): DuckDB ROUND(x, 4) rounds the
     float product x*10^4, whose IEEE grid at ~9.3e12 (~2e-3) is coarser

@@ -255,12 +255,19 @@ NEAR_PAIRS_CTES = f"""sigs AS ({_MINHASH_SQL}),
       GROUP BY c.a_id, c.b_id
     )"""
 
-NEAR_PAIRS_SELECT = f"""SELECT v.a_id, v.b_id,
-           ROUND(v.inter * 1.0 / (ca.n + cb.n - v.inter), 4) AS jaccard
-    FROM verified v
+# One shared FROM/WHERE fragment (ADVICE r10): both the near-pairs SELECT
+# below and ops_wave102's edges CTE splice this verbatim, so the Jaccard
+# threshold expression and join shape cannot silently drift apart between
+# llm_dedup_near and the LSH cluster/apply/keeper oracles that claim to
+# share its edge set.
+NEAR_PAIRS_FROM_WHERE = f"""FROM verified v
     JOIN counts ca ON ca.doc_id = v.a_id
     JOIN counts cb ON cb.doc_id = v.b_id
     WHERE v.inter * 1.0 / (ca.n + cb.n - v.inter) >= {JACCARD_THRESHOLD}"""
+
+NEAR_PAIRS_SELECT = f"""SELECT v.a_id, v.b_id,
+           ROUND(v.inter * 1.0 / (ca.n + cb.n - v.inter), 4) AS jaccard
+    {NEAR_PAIRS_FROM_WHERE}"""
 
 
 @register(

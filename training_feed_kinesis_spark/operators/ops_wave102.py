@@ -30,19 +30,23 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
-from .llm_dedup import JACCARD_THRESHOLD, NEAR_PAIRS_CTES, llm_dedup_near
+from .llm_dedup import (
+    JACCARD_THRESHOLD,
+    NEAR_PAIRS_CTES,
+    NEAR_PAIRS_FROM_WHERE,
+    llm_dedup_near,
+)
 from .llm_similarity import cc_min_label
 
 CAT = "2.J llm-pipeline (dedup)"
 
 # The verified banded-LSH edge set as a CTE over NEAR_PAIRS_CTES: the
-# same pairs llm_dedup_near emits, id columns only.
+# same pairs llm_dedup_near emits, id columns only. The FROM/WHERE is
+# llm_dedup.NEAR_PAIRS_FROM_WHERE spliced verbatim (ADVICE r10) — one
+# threshold/join spelling for both the pair oracle and the edge set.
 _EDGES_LSH_CTE = f"""edges AS (
       SELECT v.a_id AS a, v.b_id AS b
-      FROM verified v
-      JOIN counts ca ON ca.doc_id = v.a_id
-      JOIN counts cb ON cb.doc_id = v.b_id
-      WHERE v.inter * 1.0 / (ca.n + cb.n - v.inter) >= {JACCARD_THRESHOLD}
+      {NEAR_PAIRS_FROM_WHERE}
     )"""
 
 _REACH_CTE = """reach(node, label) AS (

@@ -43,7 +43,7 @@ CAT = "2.L time-series analytics"
       -- integer-cents sum + ONE division is bit-identical per group
       SELECT user_id, date_trunc('day', ts) AS day,
              CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE)
-               / (100.0 * COUNT(*)) AS x
+               / (100.0 * COUNT(value)) AS x
       FROM events WHERE ts IS NOT NULL
       GROUP BY user_id, date_trunc('day', ts)
     ),
@@ -83,7 +83,11 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
             .cast("double")
-            / (100.0 * F.count(F.lit(1)))
+            # COUNT(value), not COUNT(*): the cents SUM already skips NULL
+            # values, so dividing by the row count would silently redefine
+            # the statistic from AVG to sum/rows under NULL values
+            # (ADVICE r10) — keep AVG's NULL semantics on both engines
+            / (100.0 * F.count("value"))
         ).alias("x")
     )
     rn = daily.select(

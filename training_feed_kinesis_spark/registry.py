@@ -198,42 +198,17 @@ def register(key: str, category: str, oracle: str | None = None):
 
 
 # The driver's correctness gate samples the FIRST 50 registered keys each
-# round. Round-10 rotation (VERDICT r5 item 1 standing; ninth consecutive
-# rotation): all 50 slots are the block staged at the end of round 9 —
-# the next 50 never-sampled oracled keys in registration order (verified
-# by independent recount this round: 571 oracled − 429 oracled-and-
-# sampled = 142 never-sampled at round-10 start, matching VERDICT r9's
-# correction of the §7 ledger's optimistic 129). Entries past 50 are the
-# staged ROUND-11 front-of-line block: the next 50 never-sampled oracled
-# keys in registration order.
-# Debt after the round-10 window lands: 142 - 50 = 92 oracled never-
-# sampled and 0 rows-only, plus any round-10 net-new; round-11 takes it
-# to 42, round-12 clears the tail.
+# round. Round-11 rotation (VERDICT r10 item 1; tenth consecutive
+# rotation): all 50 slots are the block staged at the end of round 10,
+# verbatim — the next 50 never-sampled oracled keys in registration
+# order (re-verified this round by independent recount: 576 oracled −
+# 479 oracled-and-sampled across r1∪…∪r10 = 97 never-sampled at
+# round-11 start, matching VERDICT r10's ledger exactly). Entries past
+# 50 are the staged ROUND-12 front-of-line block: the FINAL 47
+# never-sampled oracled keys in registration order — round 12 clears
+# the oracled debt to zero (round-11 net-new keys queue behind them).
 _PRIORITY_KEYS = [
-    # round-9 staged front-of-line, verbatim (the round-10 driver window):
-    # the next 50 never-sampled oracled keys in registration order:
-    "fn_variant_explode", "events_peak_concurrency", "ts_haar_energy",
-    "multimodal_patch_plan", "events_eb_shrinkage",
-    "ml_isotonic_calibration", "events_event_study", "ml_shapley_r2",
-    "llm_anneal_schedule", "events_sequence_regex",
-    "llm_positional_nll_profile", "q2_shape_synthetic",
-    "vec_farthest_first_init", "stream_session_dynamic_gap",
-    "llm_watermark_detect", "vec_binary_sign_search",
-    "events_markov_absorption", "ml_conformal_interval",
-    "fn_url_canonicalize", "stat_hodges_lehmann", "ts_sax_similarity",
-    "events_cart_abandonment", "llm_heaps_law_curve",
-    "events_covariate_balance", "dq_candidate_keys",
-    "events_backlog_queue", "events_shard_utilization",
-    "events_kpl_pack_sim", "events_shard_split_plan", "stat_welch_ttest",
-    "stat_spearman", "stat_kendall_tau", "stat_theil_sen",
-    "ml_target_encoding_loo", "ml_woe_iv", "ml_ndcg",
-    "ml_brier_decomposition", "llm_sparse_cosine_pairs",
-    "llm_kneser_ney_bigram", "llm_term_burstiness",
-    "graph_clustering_coeff", "graph_linkpred_scores",
-    "graph_modularity_brand", "dq_tcloseness",
-    "agg_approx_percentile_bound", "fn_bround", "ts_bollinger_breakout",
-    "ts_croston", "ts_seasonal_strength", "ts_turning_points",
-    # --- 50-key window boundary; below = staged round-11 front-of-line —
+    # round-10 staged front-of-line, verbatim (the round-11 driver window):
     # the next 50 never-sampled oracled keys in registration order:
     "multimodal_image_decode_bmp", "multimodal_byte_entropy",
     "multimodal_balance_plan", "sql_execute_immediate",
@@ -256,6 +231,28 @@ _PRIORITY_KEYS = [
     "dq_payload_type_census", "dq_orphan_census", "dq_duplicate_pk_census",
     "sample_poisson_bootstrap", "vec_hnsw_level_plan",
     "llm_pii_redact_apply",
+    # --- 50-key window boundary; below = staged round-12 front-of-line —
+    # the FINAL 47 never-sampled oracled keys in registration order
+    # (clears the oracled driver debt to zero when it lands):
+    "ts_pinball_loss", "llm_truncation_loss", "dq_value_finite_census",
+    "llm_dup_span_census", "vec_twostage_rerank",
+    "llm_wimbd_ngram_sources", "ts_cusum_changepoint",
+    "stat_brown_forsythe", "ts_stl_decompose", "dq_order_total_reconcile",
+    "llm_langid_confusion", "events_dwell_transition",
+    "dq_money_magnitude_census", "ts_changepoint_segfit", "stat_cohens_d",
+    "events_bounce_rate", "dq_date_sanity_census", "stat_fisher_exact",
+    "stat_fdr_bh", "events_sprt_boundary", "ts_ljung_box",
+    "llm_rouge1_overlap", "llm_source_domain_cap",
+    "dq_text_printable_census", "dq_dim_conformity", "stat_cramers_v",
+    "ts_variance_ratio", "graph_assortativity", "llm_length_winsor",
+    "dq_key_skew_census", "vec_mmd_moment", "stat_permutation_shift",
+    "llm_containment_pairs", "llm_context_length_waste",
+    "multimodal_aspect_bucket", "dp_epsilon_composition_plan",
+    "sql_order_by_all", "llm_dedup_clusters_lsh", "llm_dedup_apply_lsh",
+    "llm_dedup_keeper_lsh", "llm_minhash_est_calibration",
+    "dq_corruption_composite_census", "source_kinesis_pyds",
+    "source_kinesis_pyds_stream", "stream_cdc_merge",
+    "join_stream_stream_outer", "stream_stateful_timeout",
 ]
 
 
