@@ -82,6 +82,8 @@ TIER2 = [
     "llm_dedup_clusters_lsh",  # banded MinHash-LSH edges -> same CC (default scale path)
     "llm_dedup_apply_lsh",     # LSH-edge clusters applied back to the corpus
     "llm_simhash_pairs",       # 64-bit SimHash hamming pair scan
+    "llm_dedup_embed",         # exact all-pairs cosine pairs (oracled baseline)
+    "llm_dedup_embed_lsh",     # sign-LSH candidates -> exact-cosine verify (default scale path)
 ]
 
 

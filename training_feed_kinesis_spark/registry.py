@@ -180,6 +180,7 @@ _OPERATOR_MODULES = [
     "training_feed_kinesis_spark.operators.ops_wave101",
     "training_feed_kinesis_spark.operators.ops_wave102",
     "training_feed_kinesis_spark.operators.ops_wave103",
+    "training_feed_kinesis_spark.operators.ops_wave104",
     "training_feed_kinesis_spark.sources.pyds",
     "training_feed_kinesis_spark.streaming.queries",
 ]
