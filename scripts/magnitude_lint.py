@@ -1,0 +1,189 @@
+"""Projected-magnitude seam lint (VERDICT r10 item 3; SURVEY §5.3.9).
+
+The ROUND-magnitude seam threshold is DATA-SCALE-DEPENDENT: DuckDB's
+ROUND(x, 4) rounds the float product x·10⁴, so
+
+  * a value NOT on a ≤1e-4 decimal grid starts flipping around
+    |x| ≈ 5e8 (product grid ~1e-3 > the .5 decision margin);
+  * even a perfectly grid-disciplined value (exact integer-quantized
+    moment, x = N/10^k, k ≤ 4) flips once the integer product
+    N·10^(4−k) exceeds 2^53 — i.e. |x| ≳ 2^53/10⁴ ≈ 9.0e11, the
+    ABSOLUTE bound no spelling discipline survives under a terminal
+    ROUND.
+
+A float SUM that is 1e7 at sf0.1 crosses 5e8 at ~50× and 9e11 at the
+100 TB target (~6e6 × sf0.1, ~7 decades), so "safe at the tested SF"
+is not a stable property. This lint runs every oracled key's DuckDB
+oracle at sf0.01 AND sf0.1 (the oracle hash-matches Spark, so the
+magnitudes are the engine's magnitudes), measures each ROUND-emitted
+float column's max |value| growth across that decade, classifies it
+GROWER (SUM/COUNT-driven, grows with data) vs BOUNDED (ratio/mean/
+percentile), extrapolates growers 7 more decades, and flags:
+
+  * PROJ_HARD:  projected ≥ 9.0e11 — crosses the absolute product-2^53
+                bound; must be re-spelled to UNROUNDED emission of an
+                exact-moment-derived value (the agg_stats pattern);
+  * NOW_SOFT:   already ≥ 5e8 at sf0.1 and not in the audited
+                exact-grid allowlist (regression guard over the r10
+                static audit).
+
+Usage: python scripts/magnitude_lint.py [--json] [key ...]
+Exit 1 if any flag fires outside the allowlist.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+from training_feed_kinesis_spark.registry import load_all
+from training_feed_kinesis_spark.tables import TABLES
+
+SF_LO = "/root/testdata/sf0.01"
+SF_HI = "/root/testdata/sf0.1"
+
+GROWTH_MIN = 4.0      # max|col| ratio across the sf0.01→sf0.1 decade that
+                      # marks a SUM/COUNT-driven grower (linear = ~10,
+                      # sqrt = ~3.2; ratios below this are bounded stats)
+DECADES_TO_TARGET = 7  # sf0.1 (~17 MB) → 100 TB ≈ 6e6x ≈ 7 decades
+HARD_BOUND = 2**53 / 1e4   # ≈ 9.0e11: product-2^53, no discipline survives
+SOFT_BOUND = 5e8           # non-grid flip onset (r10 bit-level probe)
+
+# Columns ≥ 5e8 at sf0.1 hand-verified exact-grid by the r10 static
+# audit (SURVEY §5.3.9: integer-cents quotients whose product N·100
+# stays far below 2^53 at tested SFs). Keyed (key, column).
+AUDITED_EXACT_GRID: set[tuple[str, str]] = {
+    # filled from the r10 audit as the lint surfaces them; kept empty on
+    # purpose until a column actually needs the exemption — see run
+    # output in SURVEY §5.3.9.
+}
+
+
+def _is_rounded(col: str, oracle: str) -> bool:
+    """Does a TERMINAL ROUND(...) feed the alias `col`? Walks backwards
+    from each `AS col` over the matching parentheses: the seam only
+    bites when the emitted value itself passes through ROUND — a
+    quantization ROUND(x·10^k, 0) deep inside an exact-moment
+    construction is precisely the SAFE pattern and must not flag."""
+    for m in re.finditer(rf"\bAS\s+{re.escape(col)}\b", oracle, re.IGNORECASE):
+        i = m.start() - 1
+        while i >= 0 and oracle[i].isspace():
+            i -= 1
+        if i < 0 or oracle[i] != ")":
+            continue
+        depth = 0
+        j = i
+        while j >= 0:
+            if oracle[j] == ")":
+                depth += 1
+            elif oracle[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        if j < 0:
+            continue
+        head = oracle[max(0, j - 10):j]
+        if re.search(r"\bROUND\s*$", head, re.IGNORECASE):
+            return True
+    return False
+
+
+def _maxabs_floats(con, sql: str) -> dict[str, float]:
+    res = con.execute(sql)
+    cols = [d[0] for d in res.description]
+    rows = res.fetchall()
+    out: dict[str, float] = {}
+    for idx, c in enumerate(cols):
+        mx = None
+        for r in rows:
+            v = r[idx]
+            if isinstance(v, float) and not (math.isnan(v) or math.isinf(v)):
+                a = abs(v)
+                mx = a if mx is None else max(mx, a)
+        if mx is not None:
+            out[c] = mx
+    return out
+
+
+def main() -> int:
+    as_json = "--json" in sys.argv[1:]
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
+    reg = load_all()
+    cons = {}
+    for sf in (SF_LO, SF_HI):
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM"
+                f" read_parquet('{sf}/{t}.parquet')"
+            )
+        cons[sf] = con
+
+    findings = []
+    errors = []
+    for key, spec in reg.items():
+        if spec.oracle is None or (only and key not in only):
+            continue
+        try:
+            lo = _maxabs_floats(cons[SF_LO], spec.oracle)
+            hi = _maxabs_floats(cons[SF_HI], spec.oracle)
+        except Exception as e:  # noqa: BLE001 — lint must survey everything
+            errors.append((key, str(e).splitlines()[0][:120]))
+            continue
+        for col, mhi in hi.items():
+            mlo = lo.get(col)
+            if mlo is None or mhi <= 0:
+                continue
+            rounded = _is_rounded(col, spec.oracle)
+            ratio = (mhi / mlo) if mlo > 0 else float("inf")
+            grower = ratio >= GROWTH_MIN
+            per_decade = min(ratio, 10.0) if math.isfinite(ratio) else 10.0
+            proj = mhi * (per_decade ** DECADES_TO_TARGET) if grower else mhi
+            flag = None
+            if rounded and grower and proj >= HARD_BOUND:
+                flag = "PROJ_HARD"
+            elif (
+                rounded
+                and mhi >= SOFT_BOUND
+                and (key, col) not in AUDITED_EXACT_GRID
+            ):
+                flag = "NOW_SOFT"
+            if flag:
+                findings.append(
+                    {
+                        "key": key,
+                        "column": col,
+                        "flag": flag,
+                        "max_sf001": round(mlo, 4),
+                        "max_sf01": round(mhi, 4),
+                        "decade_ratio": round(ratio, 2),
+                        "projected_100tb": f"{proj:.3e}",
+                    }
+                )
+
+    for con in cons.values():
+        con.close()
+    if as_json:
+        print(json.dumps({"findings": findings, "errors": errors}, indent=1))
+    else:
+        for f in findings:
+            print(
+                f"{f['flag']:9s} {f['key']}.{f['column']}: "
+                f"sf0.01={f['max_sf001']} sf0.1={f['max_sf01']} "
+                f"ratio={f['decade_ratio']} proj={f['projected_100tb']}"
+            )
+        for k, e in errors:
+            print(f"ERROR     {k}: {e}")
+        print(f"{len(findings)} findings, {len(errors)} oracle errors")
+    return 1 if findings else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

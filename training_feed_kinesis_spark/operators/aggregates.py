@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
+from .exact import CENTS_SUM_SQL
 
 FLAGSHIP_CATEGORY = "2.D aggregations"
 
@@ -67,14 +68,20 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "l_returnflag",
             "l_linestatus",
-            "ROUND(CAST(sq4 AS DOUBLE) / 4.0, 4) AS sum_qty",
-            "ROUND(CAST(s0 AS DOUBLE) / 100.0, 4) AS sum_base_price",
-            "ROUND(CAST(CAST(s0 AS DECIMAL(38,0)) * 100 - sd AS DOUBLE)"
-            " / 10000.0, 4) AS sum_disc_price",
-            "ROUND(CAST(CAST(s0 AS DECIMAL(38,0)) * 10000"
+            # grower sums emitted UNROUNDED (r11 projected-magnitude
+            # lint, §5.3.9(a)): the exact-integer-moment quotient is the
+            # identical double on both engines at ANY magnitude, while a
+            # terminal ROUND flips once the x·10⁴ product passes 2^53
+            # (~9e11 — crossed by these sums at the 100 TB target). The
+            # avg_* ratios below are bounded and keep the 4dp round.
+            "CAST(sq4 AS DOUBLE) / 4.0 AS sum_qty",
+            "CAST(s0 AS DOUBLE) / 100.0 AS sum_base_price",
+            "CAST(CAST(s0 AS DECIMAL(38,0)) * 100 - sd AS DOUBLE)"
+            " / 10000.0 AS sum_disc_price",
+            "CAST(CAST(s0 AS DECIMAL(38,0)) * 10000"
             " + CAST(st AS DECIMAL(38,0)) * 100"
             " - CAST(sd AS DECIMAL(38,0)) * 100 - sdt AS DOUBLE)"
-            " / 1000000.0, 4) AS sum_charge",
+            " / 1000000.0 AS sum_charge",
             "ROUND(CAST(sq4 AS DOUBLE) / 4.0 / n, 4) AS avg_qty",
             "ROUND(CAST(s0 AS DOUBLE) / 100.0 / n, 4) AS avg_price",
             "ROUND(CAST(sdisc AS DOUBLE) / 100.0 / n, 4) AS avg_disc",
@@ -117,11 +124,11 @@ WITH comp AS (
 SELECT
   l_returnflag,
   l_linestatus,
-  ROUND(CAST(sq4 AS DOUBLE) / 4.0, 4) AS sum_qty,
-  ROUND(CAST(s0 AS DOUBLE) / 100.0, 4) AS sum_base_price,
-  ROUND(CAST(s0 * 100 - sd AS DOUBLE) / 10000.0, 4) AS sum_disc_price,
-  ROUND(CAST(s0 * 10000 + st * 100 - sd * 100 - sdt AS DOUBLE)
-        / 1000000.0, 4) AS sum_charge,
+  CAST(sq4 AS DOUBLE) / 4.0 AS sum_qty,
+  CAST(s0 AS DOUBLE) / 100.0 AS sum_base_price,
+  CAST(s0 * 100 - sd AS DOUBLE) / 10000.0 AS sum_disc_price,
+  CAST(s0 * 10000 + st * 100 - sd * 100 - sdt AS DOUBLE)
+        / 1000000.0 AS sum_charge,
   ROUND(CAST(sq4 AS DOUBLE) / 4.0 / n, 4) AS avg_qty,
   ROUND(CAST(s0 AS DOUBLE) / 100.0 / n, 4) AS avg_price,
   ROUND(CAST(sdisc AS DOUBLE) / 100.0 / n, 4) AS avg_disc,
@@ -487,8 +494,9 @@ def agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_skew_twophase",
     FLAGSHIP_CATEGORY,
-    """
-    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value,
+    f"""
+    SELECT event_type, COUNT(*) AS n,
+           {CENTS_SUM_SQL.format(col='value')} AS total_value,
            ROUND(MAX(value), 4) AS max_value
     FROM events GROUP BY event_type
     """,
@@ -507,14 +515,17 @@ def agg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted = ev.withColumn(
         "salt", F.pmod(F.xxhash64("event_id"), F.lit(16)).cast("int")
     )
+    # exact integer-cents partials (r11 magnitude lint, §5.3.9(a)): the
+    # two-phase composition stays exact at any scale, and the grower sum
+    # is emitted unrounded — phase order can never move the total
     partial = salted.groupBy("event_type", "salt").agg(
         F.count(F.lit(1)).alias("pn"),
-        F.sum("value").alias("psum"),
+        F.expr("SUM(CAST(ROUND(value * 100, 0) AS BIGINT))").alias("psum_c"),
         F.max("value").alias("pmax"),
     )
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n"),
-        F.round(F.sum("psum"), 4).alias("total_value"),
+        (F.sum("psum_c").cast("double") / 100.0).alias("total_value"),
         F.round(F.max("pmax"), 4).alias("max_value"),
     )
 

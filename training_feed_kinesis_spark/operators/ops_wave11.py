@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
+from .exact import CENTS_SUM_SQL, cents_sum
 from ..tables import load_table
+
+# exact integer-cents SUM of events.value, unrounded (r11 projected-
+# magnitude lint, SURVEY 5.3.9a): total_value is a SUM-driven grower
+_VAL_CENTS_SUM = CENTS_SUM_SQL.format(col="value")
 
 CAT_STREAM = "2.I streaming"
 CAT_SAMPLE = "2.L sampling"
@@ -36,8 +41,8 @@ _SAMPLE_N = 100
 @register(
     "stream_trigger_incremental",
     CAT_STREAM,
-    """
-    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+    f"""
+    SELECT event_type, COUNT(*) AS n, {_VAL_CENTS_SUM} AS total_value
     FROM events GROUP BY event_type
     """,
 )
@@ -94,7 +99,7 @@ def stream_trigger_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            cents_sum("value").alias("total_value"),
         )
     )
 

@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from .exact import CENTS_SUM_SQL, cents_sum
 from ..tables import load_table
+
+# exact integer-cents SUM of events.value, unrounded (r11 projected-
+# magnitude lint, SURVEY 5.3.9a): total_value is a SUM-driven grower
+_VAL_CENTS_SUM = CENTS_SUM_SQL.format(col="value")
 
 CAT_SINK = "2.A scans/sources/sinks"
 
@@ -31,8 +36,8 @@ CAT_SINK = "2.A scans/sources/sinks"
 @register(
     "sink_manifest_atomic_swap",
     CAT_SINK,
-    """
-    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+    f"""
+    SELECT event_type, COUNT(*) AS n, {_VAL_CENTS_SUM} AS total_value
     FROM events GROUP BY event_type
     """,
 )
@@ -75,7 +80,7 @@ def sink_manifest_atomic_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            cents_sum("value").alias("total_value"),
         )
     )
 

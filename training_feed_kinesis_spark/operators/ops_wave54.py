@@ -25,7 +25,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
+from .exact import CENTS_SUM_SQL, cents_sum
 from ..tables import load_table
+
+# exact integer-cents SUM of events.value, unrounded (r11 projected-
+# magnitude lint, SURVEY 5.3.9a): total_value is a SUM-driven grower
+_VAL_CENTS_SUM = CENTS_SUM_SQL.format(col="value")
 
 CAT_EXP = "2.L experimentation"
 CAT_TS = "2.L time series"
@@ -369,9 +374,9 @@ def llm_quality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sql_named_parameters",
     CAT_SQL,
-    """
+    f"""
     SELECT event_type, COUNT(*)::BIGINT AS n,
-           ROUND(SUM(value), 4) AS total_value
+           {_VAL_CENTS_SUM} AS total_value
     FROM events
     WHERE event_type IN ('click', 'purchase') AND value > 50.0
     GROUP BY event_type
@@ -389,9 +394,9 @@ def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("events_param_v")
     return spark.sql(
-        """
+        f"""
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-               ROUND(SUM(value), 4) AS total_value
+               {_VAL_CENTS_SUM} AS total_value
         FROM events_param_v
         WHERE event_type IN (:et1, :et2) AND value > :minv
         GROUP BY event_type

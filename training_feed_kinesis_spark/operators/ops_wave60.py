@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
+from .exact import CENTS_SUM_SQL, cents_sum
 from ..tables import load_table
+
+# exact integer-cents SUM of events.value, unrounded (r11 projected-
+# magnitude lint, SURVEY 5.3.9a): total_value is a SUM-driven grower
+_VAL_CENTS_SUM = CENTS_SUM_SQL.format(col="value")
 
 CAT_AGG = "2.D aggregations"
 CAT_SQL = "2.L sql surface"
@@ -76,9 +81,9 @@ def agg_bitmap_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sql_session_variables",
     CAT_SQL,
-    """
+    f"""
     SELECT event_type, COUNT(*)::BIGINT AS n,
-           ROUND(SUM(value), 4) AS total_value
+           {_VAL_CENTS_SUM} AS total_value
     FROM events
     WHERE value > 75.0 AND event_type != 'error'
     GROUP BY event_type
@@ -99,9 +104,9 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql("SET VAR min_value = 75.0")
     spark.sql("SET VAR skip_type = 'error'")
     return spark.sql(
-        """
+        f"""
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-               ROUND(SUM(value), 4) AS total_value
+               {_VAL_CENTS_SUM} AS total_value
         FROM events_var_v
         WHERE value > min_value AND event_type != skip_type
         GROUP BY event_type

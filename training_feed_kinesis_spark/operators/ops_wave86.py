@@ -30,8 +30,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
+from .exact import CENTS_SUM_SQL, cents_sum
 from ..tables import load_table
 from .scans import SCRATCH
+
+# exact integer-cents SUM of events.value, unrounded (r11 projected-
+# magnitude lint, SURVEY 5.3.9a): total_value is a SUM-driven grower
+_VAL_CENTS_SUM = CENTS_SUM_SQL.format(col="value")
 
 CAT_SRC = "2.A scans/sources/sinks"
 CAT_TS = "2.L time-series analytics"
@@ -42,9 +47,9 @@ CAT_TEXT = "2.J llm text analysis"
 @register(
     "scan_recursive_glob",
     CAT_SRC,
-    """
+    f"""
     SELECT event_type, COUNT(*)::BIGINT AS n,
-           ROUND(SUM(value), 4) AS total_value
+           {_VAL_CENTS_SUM} AS total_value
     FROM events
     WHERE event_type IN ('click', 'view')
     GROUP BY event_type
@@ -87,7 +92,7 @@ def scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        cents_sum("value").alias("total_value"),
     )
 
 

@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from .exact import CENTS_SUM_SQL, cents_sum
 from ..tables import load_table
+
+# exact integer-cents SUM of events.value, unrounded (r11 projected-
+# magnitude lint, SURVEY 5.3.9a): total_value is a SUM-driven grower
+_VAL_CENTS_SUM = CENTS_SUM_SQL.format(col="value")
 
 CAT_JOIN = "2.C joins"
 CAT_WORK = "2.M workloads"
@@ -34,7 +39,7 @@ _SCD_FLIP = "2024-01-15 00:00:00"
     SELECT CASE WHEN ts < TIMESTAMP '{_SCD_FLIP}' THEN 'bronze'
                 WHEN strpos('02468ace', substr(md5(user_id::VARCHAR), 1, 1)) > 0
                   THEN 'gold' ELSE 'silver' END AS tier,
-           COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+           COUNT(*) AS n, {_VAL_CENTS_SUM} AS total_value
     FROM events WHERE ts IS NOT NULL GROUP BY 1
     """,
 )
@@ -91,7 +96,7 @@ def join_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = enriched.groupBy("tier").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        cents_sum("value").alias("total_value"),
     )
     return drain(agg, "complete")
 

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
+from .exact import CENTS_SUM_SQL, cents_sum
 from ..tables import load_table
 from .llm_dedup import (
     _SHINGLE_ROWS_SQL,
@@ -34,6 +35,10 @@ from .llm_dedup import (
     _MINHASH_SQL,
 )
 from .scans import scratch_dir
+
+# exact integer-cents SUM of events.value, unrounded (r11 projected-
+# magnitude lint, SURVEY 5.3.9a): total_value is a SUM-driven grower
+_VAL_CENTS_SUM = CENTS_SUM_SQL.format(col="value")
 
 CAT_LLM = "2.J llm-pipeline (dedup)"
 CAT_STREAM = "2.I streaming"
@@ -148,9 +153,9 @@ def llm_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_fanout_sinks",
     CAT_STREAM,
-    """
+    f"""
     SELECT event_type, COUNT(*)::BIGINT AS n,
-           ROUND(SUM(value), 4) AS total_value
+           {_VAL_CENTS_SUM} AS total_value
     FROM events GROUP BY event_type
     """,
 )
@@ -178,8 +183,14 @@ def stream_fanout_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.select("event_id", "event_type", "value").write.mode(
             "overwrite"
         ).parquet(f"{raw_sink}/batch={batch_id}")
+        # exact integer-cents partials: the silver merge re-sums them
+        # exactly, so the fan-out total is order-free at any scale
+        # (r11 magnitude lint, SURVEY 5.3.9a)
         batch_df.groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv")
+            F.count(F.lit(1)).alias("pn"),
+            F.expr("SUM(CAST(ROUND(value * 100, 0) AS BIGINT))").alias(
+                "pv_c"
+            ),
         ).write.mode("overwrite").parquet(f"{agg_sink}/batch={batch_id}")
         batch_df.unpersist()
 
@@ -195,7 +206,7 @@ def stream_fanout_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.sum("pn").cast("bigint").alias("n"),
-            F.round(F.sum("pv"), 4).alias("total_value"),
+            (F.sum("pv_c").cast("double") / 100.0).alias("total_value"),
         )
     )
 

@@ -26,8 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..operators.exact import CENTS_SUM_SQL, cents_sum
 
 N_SHARDS = 4
+
+# exact integer-cents SUM, unrounded (r11 magnitude lint, SURVEY 5.3.9a)
+_VAL_CENTS_SUM = CENTS_SUM_SQL.format(col="value")
 
 _SCHEMA = (
     "shard_id int, sequence_number bigint, partition_key string, "
@@ -153,7 +157,7 @@ def read_kinesis_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
              event_type, value
       FROM events)
     SELECT shard_id, event_type, COUNT(*) AS n,
-           ROUND(SUM(value), 4) AS total_value
+           {_VAL_CENTS_SUM} AS total_value
     FROM sharded
     GROUP BY shard_id, event_type
     """,
@@ -167,7 +171,7 @@ def source_kinesis_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_kinesis_replay(spark, sf_dir)
     return df.groupBy("shard_id", "event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        cents_sum("value").alias("total_value"),
     )
 
 
@@ -272,7 +276,7 @@ if _PYDS_AVAILABLE:
              event_type, value
       FROM events)
     SELECT shard_id, event_type, COUNT(*) AS n,
-           ROUND(SUM(value), 4) AS total_value
+           {_VAL_CENTS_SUM} AS total_value
     FROM sharded
     GROUP BY shard_id, event_type
     """,
@@ -294,7 +298,7 @@ def source_kinesis_pyds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain(
         stream.groupBy("shard_id", "event_type").agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            cents_sum("value").alias("total_value"),
         ),
         "complete",
     )

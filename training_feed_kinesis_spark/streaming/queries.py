@@ -39,6 +39,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.exact import CENTS_SUM_SQL, cents_sum
+
+# exact integer-cents SUM of events.value, emitted unrounded (r11
+# projected-magnitude lint, SURVEY §5.3.9(a)): total_value is a grower
+_VAL_CENTS_SUM = CENTS_SUM_SQL.format(col="value")
 from ..operators.scans import scratch_dir
 from ..registry import register
 from ..tables import load_table
@@ -89,7 +94,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), cents_sum("value").alias("total_value"))
     )
     res = drain(agg, "complete")
     return res.select(
@@ -204,13 +209,14 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MIN per column reconstructs the unique payload; conflicting same-id
     # payloads are a re-ingest corruption owned by the admission-gate
     # family, not stream dedup.
-    """
+    f"""
     WITH once AS (
       SELECT event_id, MIN(event_type) AS event_type, MIN(value) AS value
       FROM events WHERE event_id IS NOT NULL
       GROUP BY event_id
     )
-    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+    SELECT event_type, COUNT(*) AS n,
+           {_VAL_CENTS_SUM} AS total_value
     FROM once
     GROUP BY event_type
     """,
@@ -233,7 +239,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        cents_sum("value").alias("total_value"),
     )
     return drain(agg, "complete")
 
@@ -350,8 +356,9 @@ def _foreachbatch_sink(spark: SparkSession, sf_dir: str, sink: str, ckpt: str) -
 @register(
     "sink_foreachbatch",
     CAT_SRC,
-    """
-    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+    f"""
+    SELECT event_type, COUNT(*) AS n,
+           {_VAL_CENTS_SUM} AS total_value
     FROM events GROUP BY event_type
     """,
 )
@@ -363,7 +370,7 @@ def sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.parquet(sink)
         .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), cents_sum("value").alias("total_value"))
     )
 
 
@@ -393,8 +400,9 @@ def stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_stream_static",
     "2.C joins",
-    """
-    SELECT user_id % 5 AS cohort, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+    f"""
+    SELECT user_id % 5 AS cohort, COUNT(*) AS n,
+           {_VAL_CENTS_SUM} AS total_value
     FROM events GROUP BY user_id % 5
     """,
 )
@@ -415,7 +423,7 @@ def join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on a fully-matched corpus left ≡ inner
     enriched = stream.join(F.broadcast(cohorts), "user_id", "left")
     agg = enriched.groupBy("cohort").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value")
+        F.count(F.lit(1)).alias("n"), cents_sum("value").alias("total_value")
     )
     return drain(agg, "complete")
 
