@@ -131,7 +131,7 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     "2.A scans/sources/sinks",
     """
     SELECT COUNT(*) AS n_rows,
-           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_quantity * 4, 0) AS BIGINT)) AS DOUBLE) / 4.0 AS sum_qty,
            ROUND(MAX(l_extendedprice), 4) AS max_price
     FROM lineitem
     WHERE l_returnflag = 'R'
@@ -154,7 +154,12 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed = li.observe(
         obs,
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        # exact quarter-scaled quantity sum, unrounded (flagship sq4
+        # idiom; r11 magnitude lint, 5.3.9a)
+        F.expr(
+            "CAST(SUM(CAST(ROUND(l_quantity * 4, 0) AS BIGINT))"
+            " AS DOUBLE) / 4.0"
+        ).alias("sum_qty"),
         F.round(F.max("l_extendedprice"), 4).alias("max_price"),
     )
     observed.write.format("noop").mode("overwrite").save()  # the real job

@@ -224,7 +224,7 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            COUNT(*)::BIGINT AS n,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_quantity * 4, 0) AS BIGINT)) AS DOUBLE) / 4.0 AS sum_qty,
            ROUND(AVG(l_discount), 4) AS avg_disc
     FROM lineitem
     GROUP BY ALL
@@ -240,7 +240,7 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag, l_linestatus,
                COUNT(*) AS n,
-               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               CAST(SUM(CAST(ROUND(l_quantity * 4, 0) AS BIGINT)) AS DOUBLE) / 4.0 AS sum_qty,
                ROUND(AVG(l_discount), 4) AS avg_disc
         FROM lineitem
         GROUP BY ALL

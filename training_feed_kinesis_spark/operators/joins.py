@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
+from .exact import cents_sum
 from ..tables import load_table
 
 CAT = "2.C joins"
@@ -211,7 +212,9 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_theta_range",
     CAT,
     """
-    SELECT bucket_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+    SELECT bucket_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value
     FROM events
     JOIN (VALUES (0, 0.0, 50.0), (1, 50.0, 100.0),
                  (2, 100.0, 150.0), (3, 150.0, 1e9)) AS b(bucket_id, lo, hi)
@@ -238,7 +241,8 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            # exact-cents sum, unrounded (r11 magnitude lint, 5.3.9a)
+            cents_sum("value").alias("total_value"),
         )
     )
 
@@ -551,7 +555,8 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT,
     """
     SELECT o_orderpriority, COUNT(*) AS n,
-           ROUND(SUM(l_quantity), 4) AS total_qty
+           CAST(SUM(CAST(ROUND(l_quantity * 4, 0) AS BIGINT)) AS DOUBLE) / 4.0
+             AS total_qty
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -570,7 +575,12 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+            # exact quarter-scaled quantity sum, unrounded (the flagship
+            # sq4 idiom; r11 magnitude lint, 5.3.9a)
+            F.expr(
+                "CAST(SUM(CAST(ROUND(l_quantity * 4, 0) AS BIGINT))"
+                " AS DOUBLE) / 4.0"
+            ).alias("total_qty"),
         )
     )
 

@@ -183,7 +183,8 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT_SQL,
     """
     SELECT l_returnflag, l_linestatus,
-           COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(l_quantity * 4, 0) AS BIGINT)) AS DOUBLE) / 4.0 AS sum_qty
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
     GROUP BY l_returnflag, l_linestatus
@@ -200,7 +201,7 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         FROM lineitem
         |> WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-        |> AGGREGATE COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty
+        |> AGGREGATE COUNT(*) AS n, CAST(SUM(CAST(ROUND(l_quantity * 4, 0) AS BIGINT)) AS DOUBLE) / 4.0 AS sum_qty
            GROUP BY l_returnflag, l_linestatus
         """
     )

@@ -112,15 +112,19 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              AVG(CASE WHEN n_tok >= 20 THEN 1.0 ELSE 0.0 END) AS len_pass
       FROM base
     )
-    SELECT metric, ROUND(value, 4) AS value FROM (
+    -- grower metrics (counts, token totals — exact integral doubles)
+    -- emit UNROUNDED; only the bounded ratios/moments pass through the
+    -- 4dp round (r11 projected-magnitude lint, SURVEY 5.3.9a)
+    SELECT metric, value FROM (
       SELECT 'n_docs' AS metric, n_docs AS value FROM m
       UNION ALL SELECT 'n_langs', n_langs FROM m
       UNION ALL SELECT 'n_sources', n_sources FROM m
-      UNION ALL SELECT 'dup_rate', 1 - n_unique / NULLIF(n_docs, 0) FROM m
-      UNION ALL SELECT 'mean_chars', mean_chars FROM m
-      UNION ALL SELECT 'median_chars', median_chars FROM m
+      UNION ALL SELECT 'dup_rate', ROUND(1 - n_unique / NULLIF(n_docs, 0), 4)
+        FROM m
+      UNION ALL SELECT 'mean_chars', ROUND(mean_chars, 4) FROM m
+      UNION ALL SELECT 'median_chars', ROUND(median_chars, 4) FROM m
       UNION ALL SELECT 'total_tokens', total_tokens FROM m
-      UNION ALL SELECT 'len_gate_pass_rate', len_pass FROM m
+      UNION ALL SELECT 'len_gate_pass_rate', ROUND(len_pass, 4) FROM m
     )
     """,
 )
@@ -155,6 +159,8 @@ def llm_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "len_pass"
         ),
     )
+    # growers (counts / token totals) unrounded; bounded ratios 4dp
+    # (r11 projected-magnitude lint, SURVEY 5.3.9a)
     return m.selectExpr(
         "stack(8, "
         "'n_docs', n_docs, "
@@ -162,9 +168,9 @@ def llm_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'n_sources', n_sources, "
         # NULLIF: 0/0 over an empty corpus is NULL on both engines, not
         # an ANSI divide-by-zero error (empty-corpus census r6)
-        "'dup_rate', 1 - n_unique / NULLIF(n_docs, 0), "
-        "'mean_chars', mean_chars, "
-        "'median_chars', median_chars, "
+        "'dup_rate', ROUND(1 - n_unique / NULLIF(n_docs, 0), 4), "
+        "'mean_chars', ROUND(mean_chars, 4), "
+        "'median_chars', ROUND(median_chars, 4), "
         "'total_tokens', total_tokens, "
-        "'len_gate_pass_rate', len_pass) AS (metric, value)"
-    ).select("metric", F.round("value", 4).alias("value"))
+        "'len_gate_pass_rate', ROUND(len_pass, 4)) AS (metric, value)"
+    ).select("metric", "value")

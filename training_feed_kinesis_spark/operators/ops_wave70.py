@@ -46,10 +46,12 @@ CAT_TEXT = "2.J llm-pipeline (text)"
              MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
              MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                AS purchased,
-             -- NOT rounded here: summing per-session ROUNDed floats across
-             -- sessions is the §5.3.1b drift trap; round once at the end
-             SUM(CASE WHEN event_type = 'click' THEN value ELSE 0 END)
-               AS click_value
+             -- exact integer cents at the event grain (r11 magnitude
+             -- lint, §5.3.9a): the cross-session total re-sums them
+             -- exactly and is emitted unrounded
+             SUM(CASE WHEN event_type = 'click'
+                 THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END)
+               AS click_cents
       FROM sess GROUP BY user_id, session_id
     )
     SELECT
@@ -57,8 +59,9 @@ CAT_TEXT = "2.J llm-pipeline (text)"
       COUNT(*) FILTER (WHERE clicked = 1)::BIGINT AS n_engaged,
       COUNT(*) FILTER (WHERE clicked = 1 AND purchased = 0)::BIGINT
         AS n_abandoned,
-      ROUND(SUM(CASE WHEN clicked = 1 AND purchased = 0
-                THEN click_value ELSE 0 END), 4) AS abandoned_value,
+      CAST(SUM(CASE WHEN clicked = 1 AND purchased = 0
+               THEN click_cents ELSE 0 END) AS DOUBLE) / 100.0
+        AS abandoned_value,
       CAST((2 * COUNT(*) FILTER (WHERE clicked = 1 AND purchased = 0) * 10000
             + COUNT(*) FILTER (WHERE clicked = 1))
            // (2 * NULLIF(COUNT(*) FILTER (WHERE clicked = 1), 0))
@@ -105,8 +108,11 @@ def events_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchased"
         ),
         F.sum(
-            F.when(F.col("event_type") == "click", F.col("value")).otherwise(0.0)
-        ).alias("click_value"),
+            F.when(
+                F.col("event_type") == "click",
+                F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("click_cents"),
     )
     abandoned = (F.col("clicked") == 1) & (F.col("purchased") == 0)
     # COALESCE the COUNT-FILTER mirrors and NULLIF the rate divisor:
@@ -121,8 +127,15 @@ def events_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(abandoned.cast("int")), F.lit(0))
         .cast("bigint")
         .alias("n_abandoned"),
-        F.round(
-            F.sum(F.when(abandoned, F.col("click_value")).otherwise(0.0)), 4
+        # no COALESCE: over an empty corpus both engines' SUM is NULL and
+        # the quotient stays NULL — the oracle's CAST(SUM(..)) mirrors it
+        (
+            F.sum(
+                F.when(abandoned, F.col("click_cents")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).cast("double")
+            / 100.0
         ).alias("abandoned_value"),
     ).select(
         "n_sessions",

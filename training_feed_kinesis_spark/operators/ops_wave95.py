@@ -358,7 +358,7 @@ def _pois_case(h: str) -> str:
     )
     SELECT b AS replicate,
            CAST(SUM(wt) AS BIGINT) AS n_effective,
-           ROUND(CAST(SUM(wt * cents) AS DOUBLE) / 100.0, 4) AS est_revenue
+           CAST(SUM(wt * cents) AS DOUBLE) / 100.0 AS est_revenue
     FROM w GROUP BY b ORDER BY b
     """,
 )
@@ -397,8 +397,9 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("b").alias("replicate"))
         .agg(
             F.sum("wt").cast("bigint").alias("n_effective"),
+            # unrounded exact-cents quotient (r11 lint, SURVEY 5.3.9a)
             F.expr(
-                "ROUND(CAST(SUM(wt * cents) AS DOUBLE) / 100.0, 4)"
+                "CAST(SUM(wt * cents) AS DOUBLE) / 100.0"
             ).alias("est_revenue"),
         )
         .orderBy("replicate")
@@ -702,10 +703,10 @@ def llm_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS BIGINT) AS n_posinf,
            CAST(SUM(CASE WHEN value = '-Infinity'::DOUBLE THEN 1 ELSE 0 END)
              AS BIGINT) AS n_neginf,
-           ROUND(CAST(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+           CAST(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value)
                            AND NOT isinf(value)
                            THEN CAST(ROUND(value * 100, 0) AS BIGINT) END)
-                      AS DOUBLE) / 100.0, 4)
+                      AS DOUBLE) / 100.0
              AS finite_sum,
            MIN(CASE WHEN value IS NOT NULL AND NOT isnan(value)
                      AND NOT isinf(value) THEN value END) AS finite_min,
@@ -761,9 +762,9 @@ def dq_value_finite_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(ninf, 1).otherwise(0))
             .cast("bigint")
             .alias("n_neginf"),
-            F.round(F.sum(fin_cents).cast("double") / 100.0, 4).alias(
-                "finite_sum"
-            ),
+            # unrounded: the exact-cents quotient is the identical
+            # double on both engines at any magnitude (r11 lint, 5.3.9a)
+            (F.sum(fin_cents).cast("double") / 100.0).alias("finite_sum"),
             F.min(fin).alias("finite_min"),
             F.max(fin).alias("finite_max"),
         )

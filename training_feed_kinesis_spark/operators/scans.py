@@ -85,7 +85,7 @@ def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sink round-trip of the flagship aggregate — same oracle as agg_basic
     """
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_quantity * 4, 0) AS BIGINT)) AS DOUBLE) / 4.0 AS sum_qty,
            COUNT(*)                  AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -100,7 +100,12 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            # exact quarter-scaled quantity sum, unrounded (flagship sq4
+            # idiom; r11 magnitude lint, 5.3.9a)
+            F.expr(
+                "CAST(SUM(CAST(ROUND(l_quantity * 4, 0) AS BIGINT))"
+                " AS DOUBLE) / 4.0"
+            ).alias("sum_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
+from .exact import cents_sum
 from ..tables import load_table
 from .scans import scratch_dir
 
@@ -107,7 +108,8 @@ def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN value >= 200 THEN 11
                 ELSE floor(value / 20)::INT + 1 END AS bucket,
            COUNT(*)::BIGINT AS n,
-           ROUND(SUM(value), 4) AS total
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total
     FROM events
     GROUP BY 1
     """,
@@ -128,7 +130,8 @@ def fn_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("total"),
+            # exact-cents sum, unrounded (r11 magnitude lint, 5.3.9a)
+            cents_sum("value").alias("total"),
         )
     )
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
+from .exact import cents_sum
 from ..tables import load_table, release_after
 
 CAT_AGG = "2.D aggregations"
@@ -51,10 +52,15 @@ CAT_TEXT = "2.J llm-pipeline (text)"
       FROM s
     ),
     mid AS (
-      SELECT grp, value, rk + (t - 1) / 2.0 AS midrank, t FROM ranked
+      -- 2x the midrank is the INTEGER 2*rk + t - 1: rank sums accumulate
+      -- in exact half-units as BIGINTs, order-free at any corpus size
+      -- (r11 projected-magnitude lint, SURVEY 5.3.9a — u1/mu are n^2
+      -- growers and emit unrounded from the exact integers)
+      SELECT grp, value, 2 * rk + t - 1 AS midrank2, t FROM ranked
     ),
     agg AS (
-      SELECT SUM(CASE WHEN grp = 1 THEN midrank END) AS r1,
+      SELECT CAST(SUM(CASE WHEN grp = 1 THEN midrank2 END) AS BIGINT) AS r1_2,
+             SUM(grp)::BIGINT AS n1_i,
              SUM(grp)::DOUBLE AS n1,
              SUM(1 - grp)::DOUBLE AS n2,
              COUNT(*)::DOUBLE AS n
@@ -65,9 +71,9 @@ CAT_TEXT = "2.J llm-pipeline (text)"
       FROM (SELECT COUNT(*)::DOUBLE AS tc FROM s GROUP BY value
             HAVING COUNT(*) > 1)
     )
-    SELECT ROUND(r1 - n1 * (n1 + 1) / 2, 4) AS u1,
-           ROUND(n1 * n2 / 2, 4) AS mu,
-           ROUND((r1 - n1 * (n1 + 1) / 2 - n1 * n2 / 2)
+    SELECT CAST(r1_2 - n1_i * (n1_i + 1) AS DOUBLE) / 2 AS u1,
+           CAST(n1_i AS DOUBLE) * n2 / 2 AS mu,
+           ROUND((CAST(r1_2 - n1_i * (n1_i + 1) AS DOUBLE) / 2 - n1 * n2 / 2)
                  / sqrt(n1 * n2 / 12.0
                         * ((n + 1) - tsum / (n * (n - 1)))), 4) AS z
     FROM agg, ties
@@ -101,11 +107,18 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(Window.orderBy("value")).alias("rk"),
         F.count(F.lit(1)).over(Window.partitionBy("value")).alias("t"),
     )
+    # exact half-unit integer rank sums (see oracle comment): u1/mu are
+    # n^2 growers, derived from BIGINTs and emitted unrounded
     mid = ranked.select(
-        "grp", "value", (F.col("rk") + (F.col("t") - 1) / 2.0).alias("midrank")
+        "grp",
+        "value",
+        (2 * F.col("rk") + F.col("t") - 1).alias("midrank2"),
     )
     agg = mid.agg(
-        F.sum(F.when(F.col("grp") == 1, F.col("midrank"))).alias("r1"),
+        F.sum(F.when(F.col("grp") == 1, F.col("midrank2")))
+        .cast("bigint")
+        .alias("r1_2"),
+        F.sum("grp").cast("bigint").alias("n1_i"),
         F.sum("grp").cast("double").alias("n1"),
         F.sum(1 - F.col("grp")).cast("double").alias("n2"),
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -121,8 +134,11 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tsum")
         )
     )
-    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2
-    mu = F.col("n1") * F.col("n2") / 2
+    u1 = (
+        (F.col("r1_2") - F.col("n1_i") * (F.col("n1_i") + 1)).cast("double")
+        / 2
+    )
+    mu = F.col("n1_i").cast("double") * F.col("n2") / 2
     sigma = F.sqrt(
         F.col("n1")
         * F.col("n2")
@@ -130,9 +146,9 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         * ((F.col("n") + 1) - F.col("tsum") / (F.col("n") * (F.col("n") - 1)))
     )
     return agg.crossJoin(F.broadcast(ties)).select(
-        F.round(u1, 4).alias("u1"),
-        F.round(mu, 4).alias("mu"),
-        F.round((u1 - mu) / sigma, 4).alias("z"),
+        u1.alias("u1"),
+        mu.alias("mu"),
+        F.round((u1 - F.col("n1") * F.col("n2") / 2) / sigma, 4).alias("z"),
     )
 
 
@@ -145,7 +161,9 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sink must end up holding: original days EXCEPT 5 and 6, plus the
     # doubled-value rewrite of days 5 and 6
     """
-    SELECT d, COUNT(*) AS n, ROUND(SUM(v), 4) AS total
+    SELECT d, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(v * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total
     FROM (
       SELECT dayofmonth(ts) AS d, value AS v FROM events
       WHERE ts IS NOT NULL AND dayofmonth(ts) NOT IN (5, 6)
@@ -201,7 +219,7 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # schema inference would fail (empty-corpus census r6)
     back = spark.read.schema(ev.schema).parquet(out)
     return back.groupBy(F.col("d").cast("bigint").alias("d")).agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 4).alias("total")
+        F.count(F.lit(1)).alias("n"), cents_sum("v").alias("total")
     )
 
 
