@@ -45,13 +45,19 @@ import duckdb
 from training_feed_kinesis_spark.registry import load_all
 from training_feed_kinesis_spark.tables import TABLES
 
-SF_LO = "/root/testdata/sf0.01"
-SF_HI = "/root/testdata/sf0.1"
+import os
 
-GROWTH_MIN = 4.0      # max|col| ratio across the sf0.01→sf0.1 decade that
+# Default: the authoritative per-round audit pair. The pytest pin
+# (tests/test_magnitude_lint.py) runs the cheaper (sf0.001, sf0.01)
+# pair — facts still scale 10x there — with one extra projection decade.
+SF_LO = os.environ.get("TFK_LINT_LO", "/root/testdata/sf0.01")
+SF_HI = os.environ.get("TFK_LINT_HI", "/root/testdata/sf0.1")
+
+GROWTH_MIN = 4.0      # max|col| ratio across the lo→hi decade that
                       # marks a SUM/COUNT-driven grower (linear = ~10,
                       # sqrt = ~3.2; ratios below this are bounded stats)
-DECADES_TO_TARGET = 7  # sf0.1 (~17 MB) → 100 TB ≈ 6e6x ≈ 7 decades
+# sf0.1 (~17 MB) → 100 TB ≈ 6e6x ≈ 7 decades
+DECADES_TO_TARGET = int(os.environ.get("TFK_LINT_DECADES", "7"))
 HARD_BOUND = 2**53 / 1e4   # ≈ 9.0e11: product-2^53, no discipline survives
 SOFT_BOUND = 5e8           # non-grid flip onset (r10 bit-level probe)
 

@@ -157,9 +157,12 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, ROW_NUMBER() OVER (ORDER BY sse_split, split_day) AS rn
       FROM cand
     )
+    -- SSE growers emit UNROUNDED (r11 magnitude lint, 5.3.9a): both
+    -- engines hold the identical double from exact integer moments;
+    -- the bounded r2_gain ratio keeps the 4dp round
     SELECT split_day, n::BIGINT AS n_days,
-           ROUND(sse_single / 1e4, 4) AS sse_single,
-           ROUND(sse_split / 1e4, 4) AS sse_split,
+           sse_single / 1e4 AS sse_single,
+           sse_split / 1e4 AS sse_split,
            ROUND(1 - sse_split / sse_single, 4) AS r2_gain
     FROM best WHERE rn = 1
     """,
@@ -213,8 +216,8 @@ def ts_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.select(
         "split_day",
         F.col("n").cast("bigint").alias("n_days"),
-        F.round(F.col("sse_single") / 1e4, 4).alias("sse_single"),
-        F.round(F.col("sse_split") / 1e4, 4).alias("sse_split"),
+        (F.col("sse_single") / 1e4).alias("sse_single"),
+        (F.col("sse_split") / 1e4).alias("sse_split"),
         F.round(1 - F.col("sse_split") / F.col("sse_single"), 4).alias("r2_gain"),
     )
 

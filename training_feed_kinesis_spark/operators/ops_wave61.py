@@ -58,8 +58,12 @@ def _haar_oracle() -> str:
       FROM {prev} GROUP BY i // 2
     )""")
         details.append(
+            # exact integer energy (r11 magnitude lint, 5.3.9a): the
+            # double SUM was exact only below 2^53 (crossed at ~5x
+            # fixture scale); HUGEINT/DECIMAL moments are exact at any
+            # scale, cast once, emitted UNROUNDED
             f"SELECT {k} AS level, COUNT(*)::BIGINT AS n_coeffs,"
-            f" ROUND(SUM(CAST(dtl AS DOUBLE) * dtl) / 1e4, 4) AS detail_energy"
+            f" CAST(SUM(dtl * dtl) AS DOUBLE) / 1e4 AS detail_energy"
             f" FROM a{k}"
         )
     return (
@@ -114,8 +118,14 @@ def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             nxt.agg(
                 F.lit(k).cast("int").alias("level"),
                 F.count(F.lit(1)).cast("bigint").alias("n_coeffs"),
-                F.round(
-                    F.sum(F.col("dtl").cast("double") * F.col("dtl")) / 1e4, 4
+                # per-term DECIMAL(38,0) widening (the vec_mmd_moment
+                # pattern): exact integer energy at any scale, unrounded
+                (
+                    F.sum(
+                        F.col("dtl").cast("decimal(38,0)")
+                        * F.col("dtl").cast("decimal(38,0)")
+                    ).cast("double")
+                    / 1e4
                 ).alias("detail_energy"),
             )
         )

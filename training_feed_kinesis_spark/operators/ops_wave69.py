@@ -38,13 +38,17 @@ CAT_TS = "2.L time-series analytics"
       SELECT a.v + b.v AS s
       FROM daily a JOIN daily b ON a.d <= b.d
     )
+    -- unrounded emission (r11 projected-magnitude lint, 5.3.9a): every
+    -- statistic here is a quotient of exact integers (cents medians
+    -- interpolate to exact halves), so both engines hold the identical
+    -- double at any magnitude; daily revenue is a grower
     SELECT (SELECT COUNT(*) FROM daily)::BIGINT AS n_days,
            COUNT(*)::BIGINT AS n_walsh,
-           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY s) / 200.0, 4)
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY s) / 200.0
              AS hl_estimate,
-           ROUND((SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY v)
-                  FROM daily) / 100.0, 4) AS plain_median,
-           ROUND((SELECT AVG(CAST(v AS DOUBLE)) FROM daily) / 100.0, 4)
+           (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY v)
+            FROM daily) / 100.0 AS plain_median,
+           (SELECT CAST(SUM(v) AS DOUBLE) / (100.0 * COUNT(v)) FROM daily)
              AS mean
     FROM walsh
     """,
@@ -72,22 +76,24 @@ def stat_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("va") + F.col("vb")).alias("s")
     )
     n_days = daily.count()
+    # unrounded: exact-integer quotients both engines (r11 lint, 5.3.9a);
+    # the mean is one division of the exact cents SUM, never AVG(double)
     scalars = daily.agg(
         F.expr("percentile(v, 0.5)").alias("med_v"),
-        F.avg(F.col("v").cast("double")).alias("mean_v"),
+        (F.sum("v").cast("double") / (100.0 * F.count("v"))).alias("mean"),
     )
     return (
         walsh.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_walsh"),
-            F.round(F.expr("percentile(s, 0.5)") / 200.0, 4).alias("hl_estimate"),
+            (F.expr("percentile(s, 0.5)") / 200.0).alias("hl_estimate"),
         )
         .crossJoin(F.broadcast(scalars))
         .select(
             F.lit(n_days).cast("bigint").alias("n_days"),
             "n_walsh",
             "hl_estimate",
-            F.round(F.col("med_v") / 100.0, 4).alias("plain_median"),
-            F.round(F.col("mean_v") / 100.0, 4).alias("mean"),
+            (F.col("med_v") / 100.0).alias("plain_median"),
+            "mean",
         )
     )
 

@@ -176,8 +176,12 @@ def llm_retrieval_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / CAST(n * sdd - sd * sd AS DOUBLE) * sd) / n AS a
       FROM pre
     )
+    -- counterfactual unrounded (r11 magnitude lint, 5.3.9a): a and b
+    -- are quotients of exact integer moments, so a + b*d is the same
+    -- two IEEE ops on identical doubles in both engines — a grower that
+    -- must not pass a terminal ROUND
     SELECT CAST(dl.d AS BIGINT) AS day_idx, dl.y AS actual,
-           ROUND(f.a + f.b * dl.d, 4) AS counterfactual,
+           f.a + f.b * dl.d AS counterfactual,
            ROUND(dl.y - (f.a + f.b * dl.d), 4) AS effect,
            ROUND(SUM(dl.y - (f.a + f.b * dl.d)) OVER (
              ORDER BY dl.d ROWS BETWEEN UNBOUNDED PRECEDING
@@ -230,7 +234,7 @@ def events_interrupted_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("d").cast("long").alias("day_idx"),
             F.col("y").alias("actual"),
-            F.round(pred, 4).alias("counterfactual"),
+            pred.alias("counterfactual"),
             F.round(F.col("y") - pred, 4).alias("effect"),
             F.round(F.sum(F.col("y") - pred).over(w), 4).alias("cum_effect"),
         )

@@ -367,14 +367,16 @@ def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT dow, SUM(d7) AS sum_d7, COUNT(d7) AS n_dow
       FROM detr WHERE d7 IS NOT NULL GROUP BY dow
     )
+    -- UNROUNDED emission (r11 magnitude lint, 5.3.9a): every component
+    -- is a single division (resid: one division + one subtraction) of
+    -- exact integers — identical doubles both engines at any magnitude,
+    -- and trend is a grower that crosses the ROUND seam at scale
     SELECT t.day,
            CAST(t.x_c AS DOUBLE) / 100.0 AS revenue,
-           ROUND(CAST(t.sum7 AS DOUBLE) / 700.0, 4) AS trend,
-           ROUND(CAST(s.sum_d7 AS DOUBLE) / (700.0 * s.n_dow), 4)
-             AS seasonal,
-           ROUND(CAST(t.d7 AS DOUBLE) / 700.0
-                 - CAST(s.sum_d7 AS DOUBLE) / (700.0 * s.n_dow), 4)
-             AS resid
+           CAST(t.sum7 AS DOUBLE) / 700.0 AS trend,
+           CAST(s.sum_d7 AS DOUBLE) / (700.0 * s.n_dow) AS seasonal,
+           CAST(t.d7 AS DOUBLE) / 700.0
+             - CAST(s.sum_d7 AS DOUBLE) / (700.0 * s.n_dow) AS resid
     FROM detr t JOIN seas s ON t.dow = s.dow
     """,
 )
@@ -438,11 +440,10 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detr.join(F.broadcast(seas), "dow").select(
         "day",
         (F.col("x_c").cast("double") / 100.0).alias("revenue"),
-        F.round(F.col("sum7").cast("double") / 700.0, 4).alias("trend"),
-        F.round(seasonal, 4).alias("seasonal"),
-        F.round(
-            F.col("d7").cast("double") / 700.0 - seasonal, 4
-        ).alias("resid"),
+        # unrounded exact-integer quotients (see oracle comment)
+        (F.col("sum7").cast("double") / 700.0).alias("trend"),
+        seasonal.alias("seasonal"),
+        (F.col("d7").cast("double") / 700.0 - seasonal).alias("resid"),
     )
 
 

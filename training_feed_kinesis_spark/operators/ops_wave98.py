@@ -75,11 +75,14 @@ _CUSUM_CTES = """
       LIMIT 1
     ),
     indexed AS (
-      SELECT c.day, CAST(c.rev_c AS DOUBLE) / 100.0 AS rev,
+      SELECT c.day, CAST(c.rev_c AS DOUBLE) / 100.0 AS rev, c.rev_c,
              date_diff('day', (SELECT MIN(day) FROM daily), c.day) AS di,
              c.day > (SELECT cp_day FROM cp) AS post
       FROM prefix c
     )
+    -- segment means from the exact cents sums, UNROUNDED (r11 magnitude
+    -- lint, 5.3.9a): daily revenue is a grower and AVG(double) inherits
+    -- accumulation order; the bounded slopes keep the 4dp round
     SELECT strftime((SELECT cp_day FROM cp), '%Y-%m-%d') AS cp_day,
            CAST(COUNT(*) FILTER (WHERE NOT post) AS BIGINT) AS n_pre,
            CAST(COUNT(*) FILTER (WHERE post) AS BIGINT) AS n_post,
@@ -87,10 +90,17 @@ _CUSUM_CTES = """
              AS slope_pre,
            ROUND(regr_slope(rev, di) FILTER (WHERE post), 4)
              AS slope_post,
-           ROUND(AVG(rev) FILTER (WHERE NOT post), 4) AS mean_pre,
-           ROUND(AVG(rev) FILTER (WHERE post), 4) AS mean_post,
-           ROUND(AVG(rev) FILTER (WHERE post)
-                 - AVG(rev) FILTER (WHERE NOT post), 4) AS level_shift
+           CAST(SUM(rev_c) FILTER (WHERE NOT post) AS DOUBLE)
+             / (100.0 * NULLIF(COUNT(rev_c) FILTER (WHERE NOT post), 0))
+             AS mean_pre,
+           CAST(SUM(rev_c) FILTER (WHERE post) AS DOUBLE)
+             / (100.0 * NULLIF(COUNT(rev_c) FILTER (WHERE post), 0))
+             AS mean_post,
+           CAST(SUM(rev_c) FILTER (WHERE post) AS DOUBLE)
+             / (100.0 * NULLIF(COUNT(rev_c) FILTER (WHERE post), 0))
+           - CAST(SUM(rev_c) FILTER (WHERE NOT post) AS DOUBLE)
+             / (100.0 * NULLIF(COUNT(rev_c) FILTER (WHERE NOT post), 0))
+             AS level_shift
     FROM indexed
     GROUP BY 1
     """,
@@ -115,7 +125,10 @@ def ts_changepoint_segfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops_wave97 import _cusum_prefix
 
     pf = _cusum_prefix(spark, sf_dir).select(
-        "day", (F.col("rev_c").cast("double") / 100.0).alias("revenue"), "p"
+        "day",
+        (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+        "rev_c",
+        "p",
     )
     cp = (
         pf.orderBy(F.abs(F.col("p")).desc(), F.col("day").asc())
@@ -128,6 +141,7 @@ def ts_changepoint_segfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(d0))
         .select(
             "revenue",
+            "rev_c",
             F.datediff("day", "d0").alias("di"),
             (F.col("day") > F.col("cp_day")).alias("post"),
             F.date_format("cp_day", "yyyy-MM-dd").alias("cp_day"),
@@ -142,15 +156,20 @@ def ts_changepoint_segfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "ROUND(regr_slope(revenue, di) FILTER (WHERE post), 4)"
         ).alias("slope_post"),
-        F.expr("ROUND(AVG(revenue) FILTER (WHERE NOT post), 4)").alias(
-            "mean_pre"
-        ),
-        F.expr("ROUND(AVG(revenue) FILTER (WHERE post), 4)").alias(
-            "mean_post"
-        ),
+        # exact-cents segment means, unrounded (see oracle comment)
         F.expr(
-            "ROUND(AVG(revenue) FILTER (WHERE post)"
-            " - AVG(revenue) FILTER (WHERE NOT post), 4)"
+            "CAST(SUM(rev_c) FILTER (WHERE NOT post) AS DOUBLE)"
+            " / (100.0 * NULLIF(COUNT(rev_c) FILTER (WHERE NOT post), 0))"
+        ).alias("mean_pre"),
+        F.expr(
+            "CAST(SUM(rev_c) FILTER (WHERE post) AS DOUBLE)"
+            " / (100.0 * NULLIF(COUNT(rev_c) FILTER (WHERE post), 0))"
+        ).alias("mean_post"),
+        F.expr(
+            "CAST(SUM(rev_c) FILTER (WHERE post) AS DOUBLE)"
+            " / (100.0 * NULLIF(COUNT(rev_c) FILTER (WHERE post), 0))"
+            " - CAST(SUM(rev_c) FILTER (WHERE NOT post) AS DOUBLE)"
+            " / (100.0 * NULLIF(COUNT(rev_c) FILTER (WHERE NOT post), 0))"
         ).alias("level_shift"),
     )
 

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
+from .exact import cents_sum
 from ..tables import load_table
 
 CAT = "2.M workloads"
@@ -25,7 +26,9 @@ CAT = "2.M workloads"
     CAT,
     """
     SELECT year(ts) AS y, month(ts) AS m, dayofmonth(ts) AS d,
-           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value
     FROM events
     GROUP BY ROLLUP (year(ts), month(ts), dayofmonth(ts))
     -- empty-input parity (r9 empty-table sweep): standard SQL emits
@@ -57,7 +60,9 @@ def ts_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("y", "m", "d")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            # exact-cents sum, unrounded (r11 magnitude lint, 5.3.9a):
+            # the grand-total row is the corpus revenue grower
+            cents_sum("value").alias("total_value"),
         )
     )
 

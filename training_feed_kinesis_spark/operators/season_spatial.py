@@ -69,14 +69,22 @@ def fn_inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT_TS,
     """
     WITH day AS (
-      SELECT ts::DATE AS d, ROUND(SUM(value), 4) AS rev
+      -- exact integer cents per day (r11 magnitude lint, 5.3.9a): daily
+      -- revenue is a grower; the per-dow mean is one exact division and
+      -- emits unrounded, the seasonal index is bounded and keeps 4dp
+      SELECT ts::DATE AS d,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS rev_c
       FROM events GROUP BY ts::DATE
     ),
-    tot AS (SELECT AVG(rev) AS overall FROM day)
+    tot AS (SELECT CAST(SUM(rev_c) AS DOUBLE)
+                     / (100.0 * NULLIF(COUNT(rev_c), 0)) AS overall FROM day)
     SELECT isodow(d)::INT AS dow,
            COUNT(*)::BIGINT AS n_days,
-           ROUND(AVG(rev), 4) AS avg_rev,
-           ROUND(AVG(rev) / overall, 4) AS seasonal_idx
+           CAST(SUM(rev_c) AS DOUBLE) / (100.0 * NULLIF(COUNT(rev_c), 0))
+             AS avg_rev,
+           ROUND(CAST(SUM(rev_c) AS DOUBLE)
+                 / (100.0 * NULLIF(COUNT(rev_c), 0)) / overall, 4)
+             AS seasonal_idx
     FROM day CROSS JOIN tot
     GROUP BY isodow(d)::INT, overall
     """,
@@ -91,16 +99,19 @@ def ts_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     day = ev.groupBy(F.to_date("ts").alias("d")).agg(
-        F.round(F.sum("value"), 4).alias("rev")
+        F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).alias("rev_c")
     )
-    tot = day.agg(F.avg("rev").alias("overall"))
+    mean_rev = F.sum("rev_c").cast("double") / (
+        100.0 * F.nullif(F.count("rev_c"), F.lit(0))
+    )
+    tot = day.agg(mean_rev.alias("overall"))
     return (
         day.crossJoin(F.broadcast(tot))
         .groupBy(F.expr("weekday(d) + 1").cast("int").alias("dow"), "overall")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_days"),
-            F.round(F.avg("rev"), 4).alias("avg_rev"),
-            F.round(F.avg("rev") / F.first("overall"), 4).alias("seasonal_idx"),
+            mean_rev.alias("avg_rev"),
+            F.round(mean_rev / F.first("overall"), 4).alias("seasonal_idx"),
         )
         .drop("overall")
     )

@@ -348,7 +348,9 @@ def events_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked
     )
     SELECT abc_class, COUNT(*)::BIGINT AS n_parts,
-           ROUND(SUM(rev_s) / 100.0, 2) AS revenue,
+           -- unrounded exact-cents quotient (r11 magnitude lint,
+           -- 5.3.9a): corpus revenue is THE canonical grower
+           SUM(rev_s) / 100.0 AS revenue,
            ROUND(SUM(rev_s)::DOUBLE / MAX(tot_s), 4) AS rev_share
     FROM classed GROUP BY 1
     """,
@@ -401,7 +403,7 @@ def revenue_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return classed.groupBy("abc_class").agg(
         F.count(F.lit(1)).alias("n_parts"),
-        F.round(F.sum(rev_d).cast("double") / 100.0, 2).alias("revenue"),
+        (F.sum(rev_d).cast("double") / 100.0).alias("revenue"),
         F.round(
             F.sum(rev_d).cast("double") / F.max("tot_s").cast("double"),
             4,

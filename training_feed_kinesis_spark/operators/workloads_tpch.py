@@ -507,8 +507,8 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q17_small_quantity",
     CAT,
     """
-    SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
-                      AS DOUBLE) / 700.0, 4) AS avg_yearly
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                AS DOUBLE) / 700.0 AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#3'
       AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
@@ -533,12 +533,12 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(per_part, li.l_partkey == F.col("ap_key"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
-            F.round(
+            # unrounded exact-cents quotient (r11 magnitude lint, 5.3.9a)
+            (
                 F.sum(
                     F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)")
                 ).cast("double")
-                / 700.0,
-                4,
+                / 700.0
             ).alias("avg_yearly")
         )
     )
