@@ -75,9 +75,9 @@ def source_kinesis(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_tumbling",
     CAT,
-    """
+    f"""
     SELECT date_trunc('hour', ts) AS hour_start, event_type,
-           COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+           COUNT(*) AS n, {_VAL_CENTS_SUM} AS total_value
     FROM events WHERE ts IS NOT NULL
     GROUP BY date_trunc('hour', ts), event_type
     """,
