@@ -17,6 +17,10 @@ from ..registry import register
 from ._json_compat import duck_json_int
 from ..tables import load_table
 
+_ASCII_FOLD = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)  # ASCII case fold: engine/locale case folding diverges (textnorm.py)
+
 CAT_AGG = "2.D aggregations"
 CAT_WIN = "2.E window functions"
 CAT_FN = "2.H scalar functions"
@@ -477,7 +481,7 @@ def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udtf_polymorphic",
     "2.K udf surface",
     """
-    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+    WITH t AS (SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS w
                FROM documents WHERE doc_id < 50)
     SELECT doc_id, w[1] AS tok0, w[2] AS tok1, w[3] AS tok2
     FROM t
@@ -510,7 +514,7 @@ def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
             if text is None:
                 yield tuple([None] * k)
                 return
-            toks = text.lower().split(" ")[:k]
+            toks = text.translate(_ASCII_FOLD).split(" ")[:k]
             yield tuple(toks + [None] * (k - len(toks)))
 
     spark.udtf.register("tfk_first_tokens", FirstTokens)

@@ -28,6 +28,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load_table, parallelize, substrate
+from .textnorm import FOLD_TEXT, TRIM_TEXT_DUCK, TRIM_TEXT_SPARK, fold
 
 CAT = "2.J llm-pipeline (dedup)"
 
@@ -37,8 +38,11 @@ JACCARD_THRESHOLD = 0.6
 
 # --- shared token / shingle expressions (Spark + DuckDB spellings) ---------
 
-_TOK = "split(lower(text), ' ')"
-_TOK_SQL = "string_split(lower(text), ' ')"
+# ASCII case fold, NOT lower(): engine case-folding diverges on İ/ß/
+# final-sigma/ligatures (r11 Unicode campaign, textnorm.py; byte-equal
+# to lower() on the pure-ASCII clean fixtures)
+_TOK = f"split({FOLD_TEXT}, ' ')"
+_TOK_SQL = f"string_split({FOLD_TEXT}, ' ')"
 
 # distinct 3-token shingles over a PRE-MATERIALIZED `toks` column; guarded
 # for docs with <3 tokens. The tokenization must be projected into its own
@@ -121,12 +125,12 @@ _SHINGLE_ROWS_SQL = (
 @register(
     "llm_dedup_exact",
     CAT,
-    """
-    SELECT md5(lower(trim(text))) AS content_hash,
+    f"""
+    SELECT md5({fold(TRIM_TEXT_DUCK)}) AS content_hash,
            MIN(doc_id)            AS keeper_doc_id,
            COUNT(*)               AS n_copies
     FROM documents
-    GROUP BY md5(lower(trim(text)))
+    GROUP BY md5({fold(TRIM_TEXT_DUCK)})
     """,
 )
 def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,8 +139,10 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles instead of the document bodies — join survivors back by doc_id
     if full rows are needed."""
     d = load_table(spark, sf_dir, "documents")
+    # ASCII fold + ASCII-space trim (r11 Unicode campaign, textnorm.py):
+    # the dedup key must not depend on locale/library case folding
     return d.groupBy(
-        F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash")
+        F.expr(f"md5({fold(TRIM_TEXT_SPARK)})").alias("content_hash")
     ).agg(
         F.min("doc_id").alias("keeper_doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
@@ -379,8 +385,8 @@ _WINNOW_ROWLOCAL_MAX = 65536
       -- LOWERCASED text, matching the Spark branch (ADVICE r7 — with
       -- md5(text) a case-only refetch variant was one version on Spark
       -- but two on DuckDB, equivalent only via the final DISTINCT)
-      SELECT doc_id, md5(lower(text)) AS h, lower(text) AS lt,
-             unnest(range(1, length(lower(text)) - {KGRAM} + 2)) AS pos
+      SELECT doc_id, md5({FOLD_TEXT}) AS h, {FOLD_TEXT} AS lt,
+             unnest(range(1, length({FOLD_TEXT}) - {KGRAM} + 2)) AS pos
       FROM documents WHERE length(text) >= {KGRAM}
     ),
     grams AS (
@@ -430,7 +436,7 @@ def llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     index relation on fp — same bucket-join shape as LSH bands."""
     d = parallelize(load_table(spark, sf_dir, "documents"))
     base = d.filter(F.length("text") >= KGRAM).select(
-        "doc_id", F.lower("text").alias("lt")
+        "doc_id", F.expr(FOLD_TEXT).alias("lt")
     )
     short = base.filter(F.length("lt") <= _WINNOW_ROWLOCAL_MAX)
     long_ = base.filter(F.length("lt") > _WINNOW_ROWLOCAL_MAX)

@@ -14,15 +14,19 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
+from .textnorm import FOLD_TEXT
 
 CAT = "2.J llm-pipeline (text)"
 
 # canonical tokenizer used by every text operator (both engines agree):
-# lowercase, split on single space (fixture text is space-separated word salad)
+# ASCII case fold + split on single space (fixture text is space-separated
+# word salad). Fold, NOT lower(): engine case folding diverges on İ/ß/
+# final-sigma/ligatures (r11 Unicode campaign, textnorm.py; byte-equal to
+# lower() on the pure-ASCII clean fixtures).
 def _tokens():
     # built lazily: Column construction needs an active SparkContext
-    return F.split(F.lower(F.col("text")), " ")
-_TOKENS_SQL = "string_split(lower(text), ' ')"
+    return F.expr(f"split({FOLD_TEXT}, ' ')")
+_TOKENS_SQL = f"string_split({FOLD_TEXT}, ' ')"
 
 
 @register(
@@ -98,7 +102,9 @@ _MARKERS = {
 
 def _marker_count_spark(words: tuple[str, ...]):
     lst = ", ".join(f"'{w}'" for w in words)
-    return F.size(F.expr(f"filter(split(lower(text), ' '), x -> x IN ({lst}))"))
+    return F.size(
+        F.expr(f"filter(split({FOLD_TEXT}, ' '), x -> x IN ({lst}))")
+    )
 
 
 def _marker_count_sql(words: tuple[str, ...]) -> str:
@@ -220,8 +226,8 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT doc_id,
            len({_TOKENS_SQL})                                        AS n_ws_tokens,
-           len(regexp_extract_all(lower(text), '[a-z]{{1,4}}'))      AS n_subwords,
-           ROUND(len(regexp_extract_all(lower(text), '[a-z]{{1,4}}')) * 1.0
+           len(regexp_extract_all({FOLD_TEXT}, '[a-z]{{1,4}}'))      AS n_subwords,
+           ROUND(len(regexp_extract_all({FOLD_TEXT}, '[a-z]{{1,4}}')) * 1.0
                  / len({_TOKENS_SQL}), 4)                            AS subwords_per_token
     FROM documents
     """,
@@ -235,7 +241,7 @@ def llm_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage at any scale."""
     d = load_table(spark, sf_dir, "documents")
     # group index 0 = whole match on BOTH engines (Spark defaults to 1, DuckDB to 0)
-    subwords = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]{1,4}"), 0)
+    subwords = F.regexp_extract_all(F.expr(FOLD_TEXT), F.lit("[a-z]{1,4}"), 0)
     return d.select(
         "doc_id",
         F.size(_tokens()).alias("n_ws_tokens"),
@@ -272,37 +278,44 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_text_clean",
     CAT,
     r"""
+    WITH cleaned AS (
+      SELECT doc_id, length(text) AS orig_len,
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE array_to_string(list_filter(string_split(text, ' '),
+                         x -> x NOT IN ('a','the','of','to','and','in')
+                              AND x != ''), ' ')
+             END AS clean
+      FROM documents
+    )
     SELECT doc_id,
-           length(trim(regexp_replace(
-               regexp_replace(text, '\b(a|the|of|to|and|in)\b', '', 'g'),
-               ' +', ' ', 'g')))                                AS clean_chars,
-           md5(trim(regexp_replace(
-               regexp_replace(text, '\b(a|the|of|to|and|in)\b', '', 'g'),
-               ' +', ' ', 'g')))                                AS clean_hash,
-           length(text) - length(trim(regexp_replace(
-               regexp_replace(text, '\b(a|the|of|to|and|in)\b', '', 'g'),
-               ' +', ' ', 'g')))                                AS removed_chars
-    FROM documents
+           length(clean)            AS clean_chars,
+           md5(clean)               AS clean_hash,
+           orig_len - length(clean) AS removed_chars
+    FROM cleaned
     """,
 )
 def llm_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    r"""Text-cleaning normalization stage: stopword removal (whole-word
-    regex) + whitespace collapse + trim, verified via md5 of the cleaned
-    text so the oracle checks the exact output bytes, not just lengths.
+    r"""Text-cleaning normalization stage: stopword removal (exact
+    token-set filter) + whitespace collapse + trim, verified via md5 of
+    the cleaned text so the oracle checks the exact output bytes, not
+    just lengths.
 
-    Pure regexp_replace column expressions — at 100 TB this is a map-only
-    codegen stage over the scan (the pattern is compiled once per task),
-    the shape a real pipeline uses for boilerplate stripping and PII
-    scrubbing. Patterns stay in the RE2 ∩ Java-regex common dialect
-    (\b, alternation, ' +') so both engines agree byte-for-byte.
+    A map-only stage over the scan at any scale — the shape a real
+    pipeline uses for boilerplate stripping and PII scrubbing.
     """
     d = load_table(spark, sf_dir, "documents")
-    clean = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), r"\b(a|the|of|to|and|in)\b", ""),
-            " +",
-            " ",
-        )
+    # token-level filter, NOT a \b regex (r11 Unicode campaign): Java's
+    # \b is Unicode-aware (combining marks are word chars) while RE2's is
+    # ASCII, so the same pattern removes different tokens around
+    # non-ASCII — the word-set filter is byte-identical in both engines
+    # and equivalent on space-separated text (collapse + trim included,
+    # since empty tokens are dropped and the join is single-spaced).
+    # NULL guard: concat-of-NULL-array is '' on Spark but NULL in DuckDB.
+    clean = F.expr(
+        "CASE WHEN text IS NULL THEN NULL"
+        " ELSE concat_ws(' ', filter(split(text, ' '),"
+        " x -> x NOT IN ('a','the','of','to','and','in')"
+        " AND x != '')) END"
     )
     return d.select(
         "doc_id",

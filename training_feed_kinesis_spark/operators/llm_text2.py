@@ -26,7 +26,7 @@ from ..tables import load_table
 
 CAT = "2.J llm pipeline"
 
-_TOKENS_SQL = "string_split(lower(text), ' ')"
+_TOKENS_SQL = "string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')"
 
 
 @register(
@@ -64,7 +64,7 @@ def llm_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+        "doc_id", F.explode(F.split(F.expr("translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"), " ")).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
@@ -94,16 +94,19 @@ def llm_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH punct AS (
       SELECT doc_id, replace(text, ' row ', '. Sent ') AS t FROM documents
     )
+    -- printable-ASCII gate (r11 Unicode campaign): sentences() is a
+    -- locale-aware BreakIterator whose boundaries on zero-width/BOM/
+    -- NBSP text are JVM-locale-defined — not reproducible by split
+    -- arithmetic — and an all-invisible doc segments to ZERO sentences
+    -- (the element_at(s, 1) crash). Non-ASCII docs profile as NULL on
+    -- both engines; the NULL-text arm keeps its r8 semantics.
     SELECT doc_id,
-           len(string_split(t, '. '))::INT AS n_sentences,
-           -- NULL text must stay NULL end-to-end: DuckDB's split_part
-           -- maps NULL -> '' (where Spark's sentences() stays NULL), so
-           -- without the explicit arms a NULL doc reads as a 1-word
-           -- ''-sentence on one engine only (doc-corruption replay)
-           CASE WHEN t IS NULL THEN NULL
+           CASE WHEN t IS NULL OR regexp_matches(t, '[^ -~]') THEN NULL
+                ELSE len(string_split(t, '. '))::INT END AS n_sentences,
+           CASE WHEN t IS NULL OR regexp_matches(t, '[^ -~]') THEN NULL
                 ELSE len(string_split(split_part(t, '. ', 1), ' '))::INT
            END AS first_words,
-           CASE WHEN t IS NULL THEN NULL
+           CASE WHEN t IS NULL OR regexp_matches(t, '[^ -~]') THEN NULL
                 ELSE split_part(split_part(t, '. ', 1), ' ', 1)
            END AS first_word
     FROM punct
@@ -121,10 +124,18 @@ def fn_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     punct = d.select(
         "doc_id", F.expr("replace(text, ' row ', '. Sent ')").alias("t")
     )
-    seg = punct.select("doc_id", F.expr("sentences(t)").alias("s"))
+    # same printable-ASCII gate as the oracle; try_element_at keeps the
+    # operator total when segmentation yields zero sentences
+    seg = punct.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN t IS NOT NULL AND t NOT RLIKE '[^ -~]'"
+            " THEN sentences(t) END"
+        ).alias("s"),
+    )
     return seg.select(
         "doc_id",
         F.size("s").alias("n_sentences"),
-        F.size(F.element_at("s", 1)).alias("first_words"),
-        F.element_at(F.element_at("s", 1), 1).alias("first_word"),
+        F.size(F.expr("try_element_at(s, 1)")).alias("first_words"),
+        F.expr("try_element_at(try_element_at(s, 1), 1)").alias("first_word"),
     )

@@ -165,9 +165,9 @@ def fn_json_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT doc_id,
-             list_distinct(list_slice(string_split(lower(text), ' '), 1, 8))
+             list_distinct(list_slice(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), 1, 8))
                AS a,
-             list_distinct(list_slice(string_split(lower(text), ' '), 9, 16))
+             list_distinct(list_slice(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), 9, 16))
                AS b
       FROM documents
     )
@@ -188,7 +188,7 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     element order is engine-specific.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), " ")
+    toks = F.split(F.expr("translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"), " ")
     t = d.select(
         "doc_id",
         F.array_distinct(F.slice(toks, 1, 8)).alias("a"),

@@ -98,9 +98,9 @@ def llm_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT_DEDUP,
     """
     WITH scored AS (
-      SELECT doc_id, md5(lower(trim(text))) AS h, n_chars,
-             len(list_distinct(string_split(lower(text), ' ')))::DOUBLE
-               / len(string_split(lower(text), ' ')) AS ttr
+      SELECT doc_id, md5(translate(trim(text, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS h, n_chars,
+             len(list_distinct(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')))::DOUBLE
+               / len(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS ttr
       FROM documents
     ),
     ranked AS (
@@ -128,10 +128,10 @@ def llm_dedup_exact_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical cost to min-id dedup — one shuffle on the 16-byte
     hash; the quality features ride along as two doubles per row."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), " ")
+    toks = F.split(F.expr("translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"), " ")
     scored = d.select(
         "doc_id",
-        F.md5(F.lower(F.trim("text"))).alias("h"),
+        F.md5(F.expr("translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')")).alias("h"),
         F.col("n_chars").cast("double").alias("len_d"),
         (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
             "ttr"

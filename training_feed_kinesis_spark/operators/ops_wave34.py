@@ -189,9 +189,9 @@ def llm_semdedup_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH census AS (
       SELECT source,
              GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sents,
-             GREATEST(len(regexp_extract_all(lower(text), '[a-z]+')), 1)
+             GREATEST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+')), 1)
                AS words,
-             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sylls
+             len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[aeiouy]+')) AS sylls
       FROM documents
     ),
     scored AS (
@@ -224,10 +224,10 @@ def llm_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
     )
     words = F.greatest(
-        F.size(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")),
+        F.size(F.expr("regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+', 0)")),
         F.lit(1),
     )
-    sylls = F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+    sylls = F.size(F.expr("regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[aeiouy]+', 0)"))
     flesch = (
         F.lit(206.835)
         - 1.015 * (words.cast("double") / sents)
@@ -251,7 +251,7 @@ def llm_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT_TEXT,
     f"""
     WITH toks AS (
-      SELECT doc_id, lang, string_split(lower(text), ' ') AS tok
+      SELECT doc_id, lang, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS tok
       FROM documents
     ),
     scored AS (
@@ -289,7 +289,7 @@ def llm_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate rate."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", "lang", F.split(F.lower("text"), " ").alias("tok")
+        "doc_id", "lang", F.split(F.expr("translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"), " ").alias("tok")
     ).filter(F.size("tok") >= 1)
     n = F.size("tok")
     plain_ttr = F.size(F.array_distinct("tok")).cast("double") / n

@@ -49,7 +49,7 @@ def _apply_merges_sql(col: str) -> str:
     CAT_TEXT,
     f"""
     WITH tok AS (
-      SELECT lang, unnest(string_split(lower(text), ' ')) AS t
+      SELECT lang, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS t
       FROM documents
     ),
     applied AS (
@@ -78,7 +78,7 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain becomes a pandas_udf over the frozen table). One (lang)-keyed
     aggregate."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("t"))
+    tok = d.select("lang", F.explode(F.split(F.expr("translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"), " ")).alias("t"))
     merged = "t"
     for a, b in _MERGES:
         merged = f"replace({merged}, '{a}', '{b}')"
@@ -253,7 +253,7 @@ _AMS_SKETCHES = 16
     # the SKETCH side is hash-oracled (unlike RNG-seeded AMS)
     f"""
     WITH tok AS (
-      SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
+      SELECT unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS t FROM documents
     ),
     cnt AS (SELECT t, COUNT(*)::BIGINT AS c FROM tok GROUP BY t),
     signs AS (
@@ -286,7 +286,7 @@ def agg_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vocabulary-sized count table — sketch cost is O(vocab × 16),
     independent of corpus size beyond the census."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+    tok = d.select(F.explode(F.split(F.expr("translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"), " ")).alias("t"))
     cnt = tok.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     js = spark.range(_AMS_SKETCHES).select(F.col("id").cast("int").alias("j"))
     signs = cnt.crossJoin(F.broadcast(js)).select(

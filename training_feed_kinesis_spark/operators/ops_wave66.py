@@ -114,7 +114,7 @@ _WM_SIGMA_FLAG = 3.0  # empirical-spread multiples beyond which we flag
     CAT_TEXT,
     f"""
     WITH tok AS (
-      SELECT source, unnest(string_split(lower(text), ' ')) AS t
+      SELECT source, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS t
       FROM documents
     ),
     scored AS (
@@ -158,7 +158,7 @@ def llm_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: token explode + map-side hash + one source-grain
     aggregate; the z math is per-group scalar algebra."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("source", F.explode(F.split(F.lower("text"), " ")).alias("t"))
+    tok = d.select("source", F.explode(F.split(F.expr("translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"), " ")).alias("t"))
     scored = tok.select(
         "source",
         F.when(

@@ -29,8 +29,8 @@ from ..tables import load_table
 
 CAT_TEXT = "2.J llm text analysis"
 
-_W = "split(lower(text), ' ')"
-_W_SQL = "string_split(lower(text), ' ')"
+_W = "split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')"
+_W_SQL = "string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')"
 
 # doc → bigram pairs, one row per occurrence: (doc_id, u, w)
 _BIG_SQL = f"""
@@ -285,7 +285,7 @@ def llm_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     |vocab|×|docs| dense frame the naive spelling would build."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+        "doc_id", F.explode(F.split(F.expr("translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"), " ")).alias("term")
     ).filter(F.col("term") != "")
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     nn = d.agg(F.count(F.lit(1)).alias("n"))

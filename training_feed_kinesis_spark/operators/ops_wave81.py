@@ -44,7 +44,7 @@ TOP_PAIRS = 10
     f"""
     WITH words AS (
       SELECT tok, COUNT(*)::BIGINT AS cnt
-      FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+      FROM (SELECT unnest(string_split(translate(trim(text, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS tok
             FROM documents)
       WHERE len(tok) >= 2 GROUP BY tok
     ),
@@ -92,7 +92,7 @@ def llm_wordpiece_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(
-            F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias(
+            F.explode(F.split(F.expr("translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"), " ")).alias(
                 "tok"
             )
         )

@@ -266,7 +266,7 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT_TEXT,
     """
     WITH tok AS (
-      SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+      SELECT unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS term FROM documents
     ),
     census AS (
       SELECT term, COUNT(*)::BIGINT AS c
@@ -296,7 +296,7 @@ def llm_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized with a broadcast scalar Z."""
     d = load_table(spark, sf_dir, "documents")
     census = (
-        d.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        d.select(F.explode(F.split(F.expr("translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"), " ")).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -51,10 +51,10 @@ _GH_HEX = 16
     CAT_DEDUP,
     f"""
     WITH grams AS (
-      SELECT doc_id, length(lower(text)) AS doc_len,
-             unnest(range(1, length(lower(text)) - {SPAN_K} + 2)) AS pos,
-             substr(md5(substr(lower(text),
-               CAST(unnest(range(1, length(lower(text)) - {SPAN_K} + 2))
+      SELECT doc_id, length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS doc_len,
+             unnest(range(1, length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) - {SPAN_K} + 2)) AS pos,
+             substr(md5(substr(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+               CAST(unnest(range(1, length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) - {SPAN_K} + 2))
                     AS INT), {SPAN_K})), 1, {_GH_HEX}) AS gh
       FROM documents WHERE length(text) >= {SPAN_K}
     ),
@@ -123,7 +123,7 @@ def llm_dup_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.length("text") >= SPAN_K)
         .select(
             "doc_id",
-            F.lower("text").alias("lt"),
+            F.expr("translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')").alias("lt"),
         )
         .select(
             "doc_id",

@@ -62,7 +62,7 @@ _NGRAM_TOPK = 25
     CAT_TEXT,
     f"""
     WITH toks AS (
-      SELECT doc_id, source, string_split(lower(text), ' ') AS t
+      SELECT doc_id, source, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS t
       FROM documents
     ),
     pos AS (
@@ -112,7 +112,7 @@ def llm_wimbd_ngram_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id",
         "source",
-        F.split(F.lower(F.col("text")), " ").alias("t"),
+        F.split(F.expr("translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"), " ").alias("t"),
     ).filter(F.size("t") >= _NGRAM_N)
     grams = toks.select(
         "doc_id",
@@ -536,18 +536,18 @@ def dq_order_total_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pred AS (
       SELECT doc_id, lang,
-             CASE WHEN len(list_filter(string_split(lower(text), ' '),
+             CASE WHEN len(list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '),
                       x -> list_contains(['table','row','column'], x)))
-                   >= len(list_filter(string_split(lower(text), ' '),
+                   >= len(list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '),
                       x -> list_contains(['join','filter','scan'], x)))
-                  AND len(list_filter(string_split(lower(text), ' '),
+                  AND len(list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '),
                       x -> list_contains(['table','row','column'], x)))
-                   >= len(list_filter(string_split(lower(text), ' '),
+                   >= len(list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '),
                       x -> list_contains(['stream','window','batch'], x)))
                   THEN 'data'
-                  WHEN len(list_filter(string_split(lower(text), ' '),
+                  WHEN len(list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '),
                       x -> list_contains(['join','filter','scan'], x)))
-                   >= len(list_filter(string_split(lower(text), ' '),
+                   >= len(list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '),
                       x -> list_contains(['stream','window','batch'], x)))
                   THEN 'query' ELSE 'stream' END AS predicted
       FROM documents

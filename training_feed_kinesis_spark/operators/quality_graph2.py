@@ -38,7 +38,7 @@ TOP_LINKS = 20
     CAT_LLM,
     """
     WITH toks AS (
-      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+      SELECT doc_id, unnest(string_split(translate(trim(text, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS tok
       FROM documents
     ),
     per_tok AS (
@@ -98,7 +98,7 @@ def llm_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallelize(load_table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok"),
+        F.explode(F.split(F.expr("translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"), " ")).alias("tok"),
     )
     per_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     feat = per_tok.groupBy("doc_id").agg(

@@ -156,7 +156,7 @@ _DSIR_B = 256
     WITH tok AS (
       SELECT doc_id, lang, substr(md5(t), 1, 2) AS b
       FROM (SELECT doc_id, lang,
-                   unnest(string_split(lower(text), ' ')) AS t
+                   unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS t
             FROM documents)
     ),
     tgt AS (SELECT b, COUNT(*)::DOUBLE AS c FROM tok WHERE lang = 'en'
@@ -261,10 +261,10 @@ _LEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
     f"""
     WITH per_doc AS (
       SELECT lang,
-             len(regexp_extract_all(lower(text), '{_LEX}'))::DOUBLE AS n_sub,
-             len(string_split(lower(text), ' '))::DOUBLE AS n_words
+             len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '{_LEX}'))::DOUBLE AS n_sub,
+             len(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '))::DOUBLE AS n_words
       FROM documents
-      WHERE len(string_split(lower(text), ' ')) > 0
+      WHERE len(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) > 0
     )
     SELECT lang,
            COUNT(*)::BIGINT AS n_docs,
@@ -286,7 +286,7 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     per = d.select(
         "lang",
-        F.size(F.expr(f"regexp_extract_all(lower(text), '{_LEX}', 0)"))
+        F.size(F.expr(f"regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '{_LEX}', 0)"))
         .cast("double")
         .alias("n_sub"),
         F.size(F.expr(_TOK)).cast("double").alias("n_words"),

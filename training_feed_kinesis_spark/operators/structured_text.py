@@ -215,11 +215,21 @@ def fn_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                || '?lang=' || lang || '&n=' || n_chars AS url
       FROM documents
     )
+    -- a URL carrying raw non-ASCII/control bytes is INVALID by contract
+    -- (r11 Unicode campaign): java.net.URI (Spark parse_url) rejects it
+    -- to NULL while a bare regex would happily extract — both engines
+    -- now gate on printable-ASCII first (production percent-encodes or
+    -- punycodes upstream of this operator)
     SELECT doc_id,
-           regexp_extract(url, '^https://([^/]+)/', 1) AS host,
-           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
-           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS qlang,
-           regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+           CASE WHEN NOT regexp_matches(url, '[^!-~]')
+                THEN regexp_extract(url, '^https://([^/]+)/', 1) END AS host,
+           CASE WHEN NOT regexp_matches(url, '[^!-~]')
+                THEN regexp_extract(url, '^https://[^/]+(/[^?]*)', 1)
+           END AS path,
+           CASE WHEN NOT regexp_matches(url, '[^!-~]')
+                THEN regexp_extract(url, '[?&]lang=([^&]*)', 1) END AS qlang,
+           CASE WHEN NOT regexp_matches(url, '[^!-~]')
+                THEN regexp_extract(url, '^([a-z]+)://', 1) END AS protocol
     FROM u
     """,
 )
@@ -243,10 +253,21 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars"),
         ).alias("url"),
     )
+    # printable-ASCII gate mirrored from the oracle (see oracle comment):
+    # keeps the validity rule engine-owned instead of java.net.URI-owned
+    ok = "url NOT RLIKE '[^!-~]'"
     return u.select(
         "doc_id",
-        F.expr("parse_url(url, 'HOST')").alias("host"),
-        F.expr("parse_url(url, 'PATH')").alias("path"),
-        F.expr("parse_url(url, 'QUERY', 'lang')").alias("qlang"),
-        F.expr("parse_url(url, 'PROTOCOL')").alias("protocol"),
+        F.expr(f"CASE WHEN {ok} THEN parse_url(url, 'HOST') END").alias(
+            "host"
+        ),
+        F.expr(f"CASE WHEN {ok} THEN parse_url(url, 'PATH') END").alias(
+            "path"
+        ),
+        F.expr(
+            f"CASE WHEN {ok} THEN parse_url(url, 'QUERY', 'lang') END"
+        ).alias("qlang"),
+        F.expr(
+            f"CASE WHEN {ok} THEN parse_url(url, 'PROTOCOL') END"
+        ).alias("protocol"),
     )

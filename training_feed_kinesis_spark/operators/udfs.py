@@ -23,6 +23,10 @@ from pyspark.sql import types as T
 from ..registry import register
 from ..tables import load_table
 
+_ASCII_FOLD = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)  # ASCII case fold: engine/locale case folding diverges (textnorm.py)
+
 CAT = "2.K udf surface"
 
 
@@ -169,9 +173,9 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT,
     """
     SELECT doc_id, pos,
-           string_split(lower(text), ' ')[pos] AS token
+           string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')[pos] AS token
     FROM documents, (SELECT unnest(range(1, 1000)) AS pos) p
-    WHERE pos <= len(string_split(lower(text), ' '))
+    WHERE pos <= len(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '))
       AND doc_id < 100
     """,
 )
@@ -191,7 +195,7 @@ def udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             # doc-corruption replay)
             if text is None:
                 return
-            for i, tok in enumerate(text.lower().split(" ")):
+            for i, tok in enumerate(text.translate(_ASCII_FOLD).split(" ")):
                 yield i + 1, tok
 
     spark.udtf.register("split_tokens", SplitTokens)
