@@ -92,6 +92,8 @@ UNICODE_CONSUMERS = [
     "llm_text_clean",
     "fn_sentences",
     "fn_url",
+    # the campaign operationalized as a triage operator (wave 105)
+    "dq_text_encoding_census",
     # sentinels: text-heavy shapes that stayed green through the sweep
     "llm_dedup_near",
     "llm_text_tokens",
@@ -244,3 +246,29 @@ def test_trim_seam_pinned(spark):
     d_ascii = duckdb.execute("SELECT trim(?, ' ')", [s]).fetchone()[0]
     assert d_default != sv, "DuckDB default trim converged — revisit"
     assert d_ascii == sv
+
+
+def test_encoding_census_detects_planted_classes(spark, unicode_dir, duck):
+    """dq_text_encoding_census must read all-zeros on the clean corpus
+    and fire every planted risk class on the corrupted one — a census
+    that can't see the corruption it was built from proves nothing."""
+    reg = _REGISTRY["dq_text_encoding_census"]
+    clean = {
+        r["col"]: r.asDict()
+        for r in reg.fn(spark, SF_DIR).collect()
+    }
+    risk_cols = [
+        "n_non_ascii", "n_zero_width", "n_unicode_ws",
+        "n_case_trigger", "n_replacement",
+    ]
+    for col, row in clean.items():
+        assert all(row[k] == 0 for k in risk_cols), (col, row)
+    corrupt = {
+        r["col"]: r.asDict()
+        for r in reg.fn(spark, unicode_dir).collect()
+    }
+    doc_text = corrupt["documents.text"]
+    assert all(doc_text[k] > 0 for k in risk_cols), doc_text
+    assert corrupt["documents.source"]["n_case_trigger"] > 0
+    ev = corrupt["events.event_type"]
+    assert ev["n_case_trigger"] > 0 and ev["n_unicode_ws"] > 0

@@ -181,6 +181,7 @@ _OPERATOR_MODULES = [
     "training_feed_kinesis_spark.operators.ops_wave102",
     "training_feed_kinesis_spark.operators.ops_wave103",
     "training_feed_kinesis_spark.operators.ops_wave104",
+    "training_feed_kinesis_spark.operators.ops_wave105",
     "training_feed_kinesis_spark.sources.pyds",
     "training_feed_kinesis_spark.streaming.queries",
 ]
