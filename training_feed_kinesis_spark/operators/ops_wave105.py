@@ -59,19 +59,15 @@ _CLASSES = [
 _COLS = [("documents", "text"), ("documents", "source"), ("events", "event_type")]
 
 
-def _census_sql(tbl: str, col: str, regexp_fn: str) -> str:
+def _census_sql(tbl: str, col: str) -> str:
     arms = ",\n           ".join(
-        f"SUM(CASE WHEN {regexp_fn}({col}, '{pat}') THEN 1 ELSE 0 END)"
+        f"SUM(CASE WHEN regexp_matches({col}, '{pat}') THEN 1 ELSE 0 END)"
         f"::BIGINT AS {name}"
-        if regexp_fn == "regexp_matches"
-        else f"CAST(SUM(CASE WHEN {regexp_fn}({col}, '{pat}')"
-        f" THEN 1 ELSE 0 END) AS BIGINT) AS {name}"
         for name, pat in _CLASSES
     )
     return f"""
     SELECT '{tbl}.{col}' AS col,
-           {'COUNT(*)::BIGINT' if regexp_fn == 'regexp_matches'
-            else 'CAST(COUNT(*) AS BIGINT)'} AS n_rows,
+           COUNT(*)::BIGINT AS n_rows,
            {arms}
     FROM {tbl}
     """
@@ -80,9 +76,7 @@ def _census_sql(tbl: str, col: str, regexp_fn: str) -> str:
 @register(
     "dq_text_encoding_census",
     CAT,
-    " UNION ALL ".join(
-        _census_sql(t, c, "regexp_matches") for t, c in _COLS
-    ),
+    " UNION ALL ".join(_census_sql(t, c) for t, c in _COLS),
 )
 def dq_text_encoding_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-text-column encoding-risk census (module docstring). Clean
