@@ -517,15 +517,44 @@ def agg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact integer-cents partials (r11 magnitude lint, §5.3.9(a)): the
     # two-phase composition stays exact at any scale, and the grower sum
-    # is emitted unrounded — phase order can never move the total
+    # is emitted unrounded — phase order can never move the total. The
+    # special-float counters ride the partials so the recomposed total
+    # reproduces CENTS_SUM_SQL's IEEE poisoning (NaN dominates, ±Inf
+    # propagate, mixed signs → NaN): the oracle is the one-phase
+    # fragment and both must poison identically on corrupt input.
+    nonfinite = (
+        "isnan(value) OR value = CAST('Infinity' AS DOUBLE)"
+        " OR value = CAST('-Infinity' AS DOUBLE)"
+    )
     partial = salted.groupBy("event_type", "salt").agg(
         F.count(F.lit(1)).alias("pn"),
-        F.expr("SUM(CAST(ROUND(value * 100, 0) AS BIGINT))").alias("psum_c"),
+        F.expr(
+            f"SUM(CASE WHEN {nonfinite} THEN NULL"
+            " ELSE CAST(ROUND(value * 100, 0) AS BIGINT) END)"
+        ).alias("psum_c"),
+        F.expr("SUM(CASE WHEN isnan(value) THEN 1 ELSE 0 END)").alias(
+            "p_nan"
+        ),
+        F.expr(
+            "SUM(CASE WHEN value = CAST('Infinity' AS DOUBLE)"
+            " THEN 1 ELSE 0 END)"
+        ).alias("p_pinf"),
+        F.expr(
+            "SUM(CASE WHEN value = CAST('-Infinity' AS DOUBLE)"
+            " THEN 1 ELSE 0 END)"
+        ).alias("p_ninf"),
         F.max("value").alias("pmax"),
     )
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n"),
-        (F.sum("psum_c").cast("double") / 100.0).alias("total_value"),
+        F.expr(
+            "CASE"
+            " WHEN SUM(p_nan) > 0 OR (SUM(p_pinf) > 0 AND SUM(p_ninf) > 0)"
+            " THEN CAST('NaN' AS DOUBLE)"
+            " WHEN SUM(p_pinf) > 0 THEN CAST('Infinity' AS DOUBLE)"
+            " WHEN SUM(p_ninf) > 0 THEN CAST('-Infinity' AS DOUBLE)"
+            " ELSE CAST(SUM(psum_c) AS DOUBLE) / 100.0 END"
+        ).alias("total_value"),
         F.round(F.max("pmax"), 4).alias("max_value"),
     )
 

@@ -26,13 +26,41 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# exact sum of a 2-decimal money/value column, emitted UNROUNDED
+# exact sum of a 2-decimal money/value column, emitted UNROUNDED.
+#
+# Special-float faithful (r11 special-float sweep): a bare
+# CAST(ROUND(x*100) AS BIGINT) hard-errors on NaN/±Inf in BOTH engines
+# (ANSI overflow), where the float SUM these fragments replaced
+# POISONED the group total instead (NaN dominates; +Inf/−Inf propagate;
+# mixed signs → NaN). The guarded spelling reproduces exactly that IEEE
+# poisoning at the group level — so swapping a float SUM for the exact
+# cents sum never changes observable semantics, corrupt input included
+# — while the finite path stays the order-free integer moment. The
+# per-row CAST is reached only for finite values (CASE guards it), and
+# the conditional counters are map-side-combinable ints.
+_ISNAN = "isnan({col})"
+_ISPINF = "{col} = CAST('Infinity' AS DOUBLE)"
+_ISNINF = "{col} = CAST('-Infinity' AS DOUBLE)"
+
 CENTS_SUM_SQL = (
-    "CAST(SUM(CAST(ROUND({col} * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0"
+    "CASE"
+    " WHEN SUM(CASE WHEN " + _ISNAN + " THEN 1 ELSE 0 END) > 0"
+    "   OR (SUM(CASE WHEN " + _ISPINF + " THEN 1 ELSE 0 END) > 0"
+    "       AND SUM(CASE WHEN " + _ISNINF + " THEN 1 ELSE 0 END) > 0)"
+    " THEN CAST('NaN' AS DOUBLE)"
+    " WHEN SUM(CASE WHEN " + _ISPINF + " THEN 1 ELSE 0 END) > 0"
+    " THEN CAST('Infinity' AS DOUBLE)"
+    " WHEN SUM(CASE WHEN " + _ISNINF + " THEN 1 ELSE 0 END) > 0"
+    " THEN CAST('-Infinity' AS DOUBLE)"
+    " ELSE CAST(SUM(CASE WHEN " + _ISNAN + " OR " + _ISPINF
+    + " OR " + _ISNINF + " THEN NULL"
+    " ELSE CAST(ROUND({col} * 100, 0) AS BIGINT) END) AS DOUBLE)"
+    " / 100.0 END"
 )
 
 
 def cents_sum(col: str) -> Column:
     """Spark twin of CENTS_SUM_SQL — exact integer-cents SUM of a
-    2-decimal column, one terminal division, no terminal ROUND."""
+    2-decimal column, one terminal division, no terminal ROUND; IEEE
+    poisoning semantics preserved on special-float input."""
     return F.expr(CENTS_SUM_SQL.format(col=col))

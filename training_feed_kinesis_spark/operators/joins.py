@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from .exact import cents_sum
+from .exact import CENTS_SUM_SQL, cents_sum
 from ..tables import load_table
 
 CAT = "2.C joins"
@@ -211,9 +211,9 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_theta_range",
     CAT,
-    """
+    f"""
     SELECT bucket_id, COUNT(*) AS n_events,
-           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+           {CENTS_SUM_SQL.format(col='value')}
              AS total_value
     FROM events
     JOIN (VALUES (0, 0.0, 50.0), (1, 50.0, 100.0),

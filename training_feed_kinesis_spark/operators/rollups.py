@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from .exact import cents_sum
+from .exact import CENTS_SUM_SQL, cents_sum
 from ..tables import load_table
 
 CAT = "2.M workloads"
@@ -24,10 +24,10 @@ CAT = "2.M workloads"
 @register(
     "ts_rollup_hierarchy",
     CAT,
-    """
+    f"""
     SELECT year(ts) AS y, month(ts) AS m, dayofmonth(ts) AS d,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+           {CENTS_SUM_SQL.format(col='value')}
              AS total_value
     FROM events
     GROUP BY ROLLUP (year(ts), month(ts), dayofmonth(ts))

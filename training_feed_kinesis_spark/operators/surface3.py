@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from .exact import cents_sum
+from .exact import CENTS_SUM_SQL, cents_sum
 from ..tables import load_table
 from .scans import scratch_dir
 
@@ -103,12 +103,12 @@ def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_width_bucket",
     CAT_FN,
-    """
+    f"""
     SELECT CASE WHEN value < 0 THEN 0
                 WHEN value >= 200 THEN 11
                 ELSE floor(value / 20)::INT + 1 END AS bucket,
            COUNT(*)::BIGINT AS n,
-           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+           {CENTS_SUM_SQL.format(col='value')}
              AS total
     FROM events
     GROUP BY 1

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from .exact import cents_sum
+from .exact import CENTS_SUM_SQL, cents_sum
 from ..tables import load_table, release_after
 
 CAT_AGG = "2.D aggregations"
@@ -160,9 +160,9 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT_SINK,
     # the sink must end up holding: original days EXCEPT 5 and 6, plus the
     # doubled-value rewrite of days 5 and 6
-    """
+    f"""
     SELECT d, COUNT(*) AS n,
-           CAST(SUM(CAST(ROUND(v * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+           {CENTS_SUM_SQL.format(col='v')}
              AS total
     FROM (
       SELECT dayofmonth(ts) AS d, value AS v FROM events
