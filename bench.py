@@ -154,22 +154,33 @@ def main() -> None:
     # TFK_BENCH_RETRIES extra attempts — a true plan regression survives
     # the retries; a load burst does not. The retried keys and the host
     # loadavg are recorded so a round-over-round reader can tell which.
-    prev: dict[str, float] = {}
-    benches = sorted(glob.glob(os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), "BENCH_r*.json")))
-    if benches:
-        try:
-            with open(benches[-1]) as f:
-                doc = json.load(f)
-            # the driver wraps our JSON line under "parsed"; only
-            # comparable recordings count — a prior round taken at a
-            # different sf would mark every query ">15% regressed" (or
-            # make the guard silently vacuous) and burn the retry budget
-            parsed = doc.get("parsed") or doc
-            if parsed.get("sf") == sf:
-                prev = parsed.get("queries", {}) or {}
-        except (OSError, ValueError, AttributeError):
-            prev = {}
+    # the driver wraps our JSON line under "parsed" — but a recording can
+    # carry parsed: null with only a START-TRUNCATED tail string (observed
+    # BENCH_r10: unparseable), which made both retry guards silently
+    # inert. Walk back to the NEWEST recording that actually parses and
+    # matches this sf; only comparable recordings count — a prior round
+    # taken at a different sf would mark every query ">15% regressed" (or
+    # make the guard silently vacuous) and burn the retry budget.
+    def _load_prev_recording() -> dict:
+        benches = sorted(glob.glob(os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "BENCH_r*.json")), reverse=True)
+        for path in benches:
+            try:
+                with open(path) as f:
+                    doc = json.load(f)
+                parsed = doc.get("parsed") or doc
+                if (
+                    isinstance(parsed, dict)
+                    and parsed.get("sf") == sf
+                    and parsed.get("queries")
+                ):
+                    return parsed
+            except (OSError, ValueError, AttributeError):
+                continue
+        return {}
+
+    _prev_rec = _load_prev_recording()
+    prev: dict[str, float] = _prev_rec.get("queries", {}) or {}
     retried: dict[str, int] = {}
     n_retries = int(os.environ.get("TFK_BENCH_RETRIES", "3"))
     for key in HEADLINE:
@@ -191,21 +202,16 @@ def main() -> None:
     # cost visible. Same >15%-vs-previous retry guard on the warm value.
     tier2: dict[str, float] = {}
     tier2_cold: dict[str, float] = {}
-    prev_t2 = {}
-    if benches:
-        try:
-            with open(benches[-1]) as f:
-                doc = json.load(f)
-            parsed = doc.get("parsed") or doc
-            # only trust the previous tier2 values as a warm baseline when
-            # that recording has the cold/warm split (r10+): r9-era files
-            # recorded cold min-of-1 values under the same "tier2" name,
-            # and comparing a warm run against a cold baseline makes the
-            # >15% guard misfire or mask a regression (ADVICE r10)
-            if parsed.get("sf") == sf and "tier2_cold" in parsed:
-                prev_t2 = parsed.get("tier2", {}) or {}
-        except (OSError, ValueError, AttributeError):
-            prev_t2 = {}
+    # only trust the previous tier2 values as a warm baseline when that
+    # recording has the cold/warm split (r10+): r9-era files recorded
+    # cold min-of-1 values under the same "tier2" name, and comparing a
+    # warm run against a cold baseline makes the >15% guard misfire or
+    # mask a regression (ADVICE r10)
+    prev_t2 = (
+        (_prev_rec.get("tier2", {}) or {})
+        if "tier2_cold" in _prev_rec
+        else {}
+    )
     for key in TIER2:
         if key not in registry:
             continue
