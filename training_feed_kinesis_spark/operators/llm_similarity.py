@@ -241,10 +241,12 @@ COS_DUP_THRESHOLD = 0.5  # fixture embeddings are random: max pairwise cosine â‰
 def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (semantic dedup): every pair
     with cosine â‰¥ threshold. Exact all-pairs here â€” the oracled correctness
-    baseline. At 100 TB all-pairs is off the table: normalize vectors once,
-    then llm_sim_lsh's random-hyperplane bucketing (cosine LSH) generates
-    candidates and THIS exact cosine check verifies them â€” identical
-    verify-after-candidates shape as MinHashâ†’Jaccard in llm_dedup_near."""
+    BASELINE, no longer the default path (round 11): llm_dedup_embed_lsh
+    (ops_wave104.py) emits the same pair schema from sign-LSH candidates
+    + this exact cosine verify â€” candidate-bound at scale (measured 6-8Ã—
+    cheaper at the 5Ã— probe, candidates 3.6% of nÂ²), the same
+    verify-after-candidates shape as MinHashâ†’Jaccard in llm_dedup_near.
+    Tests pin the LSH path's pairs âŠ† these pairs with equal cosines."""
     em = load_table(spark, sf_dir, "embeddings")
     a = em.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
     b = parallelize(em).select(
