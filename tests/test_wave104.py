@@ -165,3 +165,23 @@ def test_candidate_volume_prunes_pair_space(spark):
     assert n_cand < 0.10 * all_pairs, (
         f"candidates {n_cand} of {all_pairs} pairs — pruning lost"
     )
+
+
+def test_fixture_embedding_dim_matches_plane_matrix():
+    """ADVICE r11: the sign-LSH signature is dim-coupled — the DuckDB
+    oracle quantizes exactly range(1, _DIM+1) while the Spark spelling
+    slices the first _DIM dims. Both truncate a longer array to the same
+    prefix, but signing a PREFIX of a higher-dimensional embedding is a
+    silent quality regression; pin the fixture dim so any change to the
+    embedding width forces a deliberate _DIM/plane-matrix update."""
+    from training_feed_kinesis_spark.operators.ops_wave104 import _DIM
+
+    dims = duckdb.execute(
+        f"SELECT DISTINCT len(embedding) FROM"
+        f" read_parquet('{SF_DIR}/embeddings.parquet')"
+        f" WHERE embedding IS NOT NULL"
+    ).fetchall()
+    assert dims == [(_DIM,)], (
+        f"embeddings fixture dims {dims} != plane-matrix _DIM {_DIM}: "
+        "update _DIM (and the md5 plane matrix + DuckDB CTE) together"
+    )

@@ -115,11 +115,17 @@ def _sign_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
     )
+    # slice to the first _DIM dims EXPLICITLY (ADVICE r11): the DuckDB
+    # spelling quantizes exactly range(1, _DIM+1); the inner join on the
+    # plane table (i <= _DIM) would truncate longer arrays identically,
+    # but that equivalence was load-bearing-by-accident — spell it. A
+    # fixture-shape test (test_wave104) pins the data dim == _DIM so a
+    # dim change fails loudly instead of silently signing a prefix.
     q = parallelize(em).select(
         "vec_id",
         F.posexplode(
             F.expr(
-                "transform(embedding,"
+                f"transform(slice(embedding, 1, {_DIM}),"
                 " x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT))"
             )
         ).alias("pos0", "qi"),

@@ -200,42 +200,17 @@ def register(key: str, category: str, oracle: str | None = None):
 
 
 # The driver's correctness gate samples the FIRST 50 registered keys each
-# round. Round-11 rotation (VERDICT r10 item 1; tenth consecutive
-# rotation): all 50 slots are the block staged at the end of round 10,
-# verbatim — the next 50 never-sampled oracled keys in registration
-# order (re-verified this round by independent recount: 576 oracled −
-# 479 oracled-and-sampled across r1∪…∪r10 = 97 never-sampled at
-# round-11 start, matching VERDICT r10's ledger exactly). Entries past
-# 50 are the staged ROUND-12 front-of-line block: the FINAL 47
-# never-sampled oracled keys in registration order — round 12 clears
-# the oracled debt to zero (round-11 net-new keys queue behind them).
+# round. Round-12 rotation (VERDICT r11 item 1; eleventh consecutive
+# rotation): the 47-key staged block verbatim — the FINAL never-sampled
+# oracled keys in registration order — plus the two round-11 net-new
+# keys (llm_dedup_embed_lsh, dq_text_encoding_census, queued per the
+# r11 staging note) and a re-sample of llm_dsir_weight (the cumulative
+# ledger's only red cell: FAIL r8, fixed r9, never driver-re-sampled).
+# This window drives the oracled driver debt to ZERO: after round 12,
+# every oracled registry key has at least one green driver verdict.
 _PRIORITY_KEYS = [
-    # round-10 staged front-of-line, verbatim (the round-11 driver window):
-    # the next 50 never-sampled oracled keys in registration order:
-    "multimodal_image_decode_bmp", "multimodal_byte_entropy",
-    "multimodal_balance_plan", "sql_execute_immediate",
-    "sql_scripting_batch", "sink_parquet_bloom",
-    "llm_wordpiece_merge_step", "events_session_gap_sweep",
-    "orders_skyline", "events_poisson_two_rate", "vec_mmr_rerank",
-    "vec_sq8_recall", "events_bot_heuristics", "agg_percentile_disc",
-    "orders_abc_xyz", "ts_hier_reconcile", "dq_freshness_lag",
-    "llm_chunk_dedup_size_sweep", "llm_bradley_terry_strength",
-    "ts_effective_sample_size", "scan_recursive_glob",
-    "events_evt_gumbel", "stat_runs_test", "llm_negative_sampling_table",
-    "events_attribution_markov_removal", "dq_category_drift",
-    "sql_udf_scalar", "sql_udf_table", "q1_pricing_summary",
-    "events_entropy_over_time", "llm_retrieval_fusion_rrf",
-    "events_interrupted_ts", "ml_permutation_importance",
-    "ml_learning_curve", "fn_regexp_extract_all", "events_hill_diversity",
-    "orders_customer_migration_matrix", "sample_reservoir_fixedk",
-    "win_percent_rank_cume", "ts_forecast_mase", "dq_pii_census",
-    "dq_embedding_validate", "llm_dedup_tier_census", "fn_json_typed",
-    "dq_payload_type_census", "dq_orphan_census", "dq_duplicate_pk_census",
-    "sample_poisson_bootstrap", "vec_hnsw_level_plan",
-    "llm_pii_redact_apply",
-    # --- 50-key window boundary; below = staged round-12 front-of-line —
-    # the FINAL 47 never-sampled oracled keys in registration order
-    # (clears the oracled driver debt to zero when it lands):
+    # round-11 staged front-of-line, verbatim (the FINAL 47 never-sampled
+    # oracled keys in registration order):
     "ts_pinball_loss", "llm_truncation_loss", "dq_value_finite_census",
     "llm_dup_span_census", "vec_twostage_rerank",
     "llm_wimbd_ngram_sources", "ts_cusum_changepoint",
@@ -255,6 +230,13 @@ _PRIORITY_KEYS = [
     "dq_corruption_composite_census", "source_kinesis_pyds",
     "source_kinesis_pyds_stream", "stream_cdc_merge",
     "join_stream_stream_outer", "stream_stateful_timeout",
+    # round-11 net-new (queued behind the 47 per the r11 staging note):
+    "llm_dedup_embed_lsh", "dq_text_encoding_census",
+    # re-sample: the only red cell ever recorded (FAIL r8 → fixed r9,
+    # judge-verified MATCH r10/r11 but never re-sampled by the driver):
+    "llm_dsir_weight",
+    # --- 50-key window boundary; below = staged ROUND-13 front-of-line —
+    # round-12 net-new keys queue here as they land:
 ]
 
 
