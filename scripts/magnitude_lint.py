@@ -71,32 +71,75 @@ AUDITED_EXACT_GRID: set[tuple[str, str]] = {
 }
 
 
+def _terminal_call_span(oracle: str, i: int) -> tuple[str, int, int] | None:
+    """Expression ending at index i (inclusive): if it is `NAME( ... )`,
+    return (NAME, inner_start, inner_end). None otherwise."""
+    if i < 0 or oracle[i] != ")":
+        return None
+    depth = 0
+    j = i
+    while j >= 0:
+        if oracle[j] == ")":
+            depth += 1
+        elif oracle[j] == "(":
+            depth -= 1
+            if depth == 0:
+                break
+        j -= 1
+    if j < 0:
+        return None
+    m = re.search(r"(\w+)\s*$", oracle[max(0, j - 24):j])
+    if not m:
+        return None
+    return m.group(1).upper(), j + 1, i - 1
+
+
+def _ends_in_round(oracle: str, i: int) -> bool:
+    """Expression ending at index i terminates in ROUND(...), possibly
+    wrapped in casts — `ROUND(x,4)`, `CAST(ROUND(x,4) AS DOUBLE)`, or
+    `ROUND(x,4)::DOUBLE` (ADVICE r11: cast wrappers must not let a
+    terminal round evade the grower lint)."""
+    # strip a trailing ::TYPE postfix-cast chain (DuckDB spelling)
+    while True:
+        m = re.search(r"::\s*\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?\s*$",
+                      oracle[: i + 1])
+        if not m:
+            break
+        i = m.start() - 1
+        while i >= 0 and oracle[i].isspace():
+            i -= 1
+    span = _terminal_call_span(oracle, i)
+    if span is None:
+        return False
+    name, lo, hi = span
+    if name == "ROUND":
+        return True
+    if name in ("CAST", "TRY_CAST"):
+        # inner is `<expr> AS TYPE`: recurse on <expr>
+        inner = oracle[lo : hi + 1]
+        m = re.search(r"\s+AS\s+\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?\s*$",
+                      inner, re.IGNORECASE)
+        if not m:
+            return False
+        k = lo + m.start() - 1
+        while k >= lo and oracle[k].isspace():
+            k -= 1
+        return _ends_in_round(oracle, k)
+    return False
+
+
 def _is_rounded(col: str, oracle: str) -> bool:
-    """Does a TERMINAL ROUND(...) feed the alias `col`? Walks backwards
-    from each `AS col` over the matching parentheses: the seam only
-    bites when the emitted value itself passes through ROUND — a
-    quantization ROUND(x·10^k, 0) deep inside an exact-moment
-    construction is precisely the SAFE pattern and must not flag."""
+    """Does a TERMINAL ROUND(...) feed the alias `col` — directly or
+    through cast wrappers? Walks backwards from each `AS col` over the
+    matching parentheses: the seam only bites when the emitted value
+    itself passes through ROUND — a quantization ROUND(x·10^k, 0) deep
+    inside an exact-moment construction is precisely the SAFE pattern
+    and must not flag."""
     for m in re.finditer(rf"\bAS\s+{re.escape(col)}\b", oracle, re.IGNORECASE):
         i = m.start() - 1
         while i >= 0 and oracle[i].isspace():
             i -= 1
-        if i < 0 or oracle[i] != ")":
-            continue
-        depth = 0
-        j = i
-        while j >= 0:
-            if oracle[j] == ")":
-                depth += 1
-            elif oracle[j] == "(":
-                depth -= 1
-                if depth == 0:
-                    break
-            j -= 1
-        if j < 0:
-            continue
-        head = oracle[max(0, j - 10):j]
-        if re.search(r"\bROUND\s*$", head, re.IGNORECASE):
+        if _ends_in_round(oracle, i):
             return True
     return False
 
@@ -188,7 +231,10 @@ def main() -> int:
         for k, e in errors:
             print(f"ERROR     {k}: {e}")
         print(f"{len(findings)} findings, {len(errors)} oracle errors")
-    return 1 if findings else 0
+    # ADVICE r11: an oracle that errors is a key silently DROPPED from
+    # magnitude coverage — that must fail the run, not just the pytest
+    # wrapper's string assertion.
+    return 1 if (findings or errors) else 0
 
 
 if __name__ == "__main__":

@@ -450,11 +450,28 @@ def cc_min_label(labels: DataFrame, edges: DataFrame) -> DataFrame:
     O(diameter); the cap below is a runaway backstop, not a tuning knob.
     localCheckpoint truncates the growing lineage each round (cluster
     deployments use checkpoint(dir) for fault tolerance); convergence is
-    a count() of changed labels, never a data collect."""
+    a count() of changed labels, never a data collect.
+
+    Only EDGE-TOUCHING nodes enter the iteration (r12, keeper_lsh
+    profile): a node in no edge can never receive a message, so its
+    label is final at seed time — it is split off by an anti-join and
+    unioned back after convergence. On a dedup corpus the touched set is
+    duplicate-candidate sized (≪ corpus), so the per-round shuffles and
+    checkpoints carry only candidate nodes; the corpus-sized seed frame
+    is scanned exactly twice (semi + anti), never per round. Requires
+    the label-is-a-node-id seed convention (label = node), which the
+    pointer-doubling join already assumes."""
     # edges are consumed 2× per round × O(log d) rounds: pin them once so
     # a lazily-derived edge set (e.g. the LSH candidate verify join) isn't
     # recomputed every iteration
     edges = edges.localCheckpoint()
+    touched = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    isolated = labels.join(touched, "node", "left_anti")
+    labels = labels.join(touched, "node", "left_semi").localCheckpoint()
     for _ in range(64):
         msgs = (
             edges.join(labels, edges.a == labels.node)
@@ -488,7 +505,7 @@ def cc_min_label(labels: DataFrame, edges: DataFrame) -> DataFrame:
             break
     else:  # pragma: no cover - backstop only
         raise RuntimeError("connected components did not converge in 64 rounds")
-    return labels
+    return labels.unionByName(isolated)
 
 
 @register(
