@@ -183,6 +183,7 @@ _OPERATOR_MODULES = [
     "training_feed_kinesis_spark.operators.ops_wave104",
     "training_feed_kinesis_spark.operators.ops_wave105",
     "training_feed_kinesis_spark.operators.ops_wave106",
+    "training_feed_kinesis_spark.operators.ops_wave107",
     "training_feed_kinesis_spark.sources.pyds",
     "training_feed_kinesis_spark.streaming.queries",
 ]
@@ -239,6 +240,7 @@ _PRIORITY_KEYS = [
     # --- 50-key window boundary; below = staged ROUND-13 front-of-line —
     # round-12 net-new keys queue here as they land:
     "multimodal_bmp_admission_census",
+    "llm_semdedup_centroid_prune",
 ]
 
 
