@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, sane_ts, sane_ts_sql
 
 CAT_TEXT = "2.J llm-pipeline (text)"
 CAT_TS = "2.M workloads"
@@ -195,14 +195,19 @@ def llm_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HOURLY_SQL = """
+# hourly grid substrate: gated on the temporal admission contract
+# (tables.sane_ts, r12 campaign) — its consumers materialize per-user
+# [min, max] grids and z-score spans, where one year-0001/9999 sentinel
+# event explodes the grid by 8 decamillennia of hours
+_HOURLY_SQL = f"""
   WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS n
-                  FROM events GROUP BY user_id, date_trunc('hour', ts))
+                  FROM events WHERE {sane_ts_sql('ts')}
+                  GROUP BY user_id, date_trunc('hour', ts))
 """
 
 
 def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(sane_ts("ts"))
     return ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.count(F.lit(1)).alias("n"))

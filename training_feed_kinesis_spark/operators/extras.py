@@ -463,17 +463,25 @@ def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractional months_between is deliberately avoided, its day-fraction
     semantics differ across engines).
     """
+    # year-10000 seam (temporal campaign r12): Java's yyyy pattern prints
+    # years beyond 4 digits with an explicit '+' sign ('+10000-03-31')
+    # where DuckDB strftime prints bare digits — strip the sign so the
+    # overflow-into-5-digits case (9999-12-31 + 3 months) matches. The
+    # arithmetic itself agrees on both engines all the way from
+    # 0001-01-01 to 9999-12-31 inputs (verified incl. the 1582
+    # pre-Gregorian cutover — both proleptic Gregorian).
+    fmt = lambda c: F.regexp_replace(  # noqa: E731
+        F.date_format(c, "yyyy-MM-dd"), "^\\+", ""
+    )
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
     return o.select(
         "o_orderkey",
-        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus_3m"),
-        F.date_format(F.date_add("o_orderdate", 45), "yyyy-MM-dd").alias("plus_45d"),
+        fmt(F.add_months("o_orderdate", 3)).alias("plus_3m"),
+        fmt(F.date_add("o_orderdate", 45)).alias("plus_45d"),
         (
             (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
         ).cast("int").alias("months_since"),
-        F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd").alias(
-            "qtr_start"
-        ),
+        fmt(F.date_trunc("quarter", "o_orderdate")).alias("qtr_start"),
     )
 
 

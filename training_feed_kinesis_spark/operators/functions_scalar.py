@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, sane_ts, sane_ts_sql
 from ._json_compat import (INT_RE, duck_json_int, duck_json_string, spark_json_int, spark_json_string)
 
 CAT = "2.H scalar functions"
@@ -103,13 +103,18 @@ def fn_string_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
            ts + INTERVAL 36 HOUR                      AS ts_plus_36h,
            date_diff('day', TIMESTAMP '2024-01-01', ts) AS days_since_start,
            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS unix_sec
-    FROM events WHERE event_type = 'signup'
-    """,
+    FROM events WHERE event_type = 'signup' AND {sane}
+    """.format(sane=sane_ts_sql("ts")),
 )
 def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time family. unix_timestamp truncates to seconds in Spark, so the
-    oracle truncates before epoch(); avoid weekofyear (ISO rules differ)."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    oracle truncates before epoch(); avoid weekofyear (ISO rules differ).
+    Gated on the temporal admission contract (tables.sane_ts, r12): the
+    emitted interval arithmetic overflows year 9999 and the raw timestamp
+    columns must stay collectable (pandas ns / Python datetime bounds)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "signup") & sane_ts("ts")
+    )
     return ev.select(
         "event_id",
         F.year("ts").alias("y"),

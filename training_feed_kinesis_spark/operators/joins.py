@@ -20,7 +20,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from .exact import CENTS_SUM_SQL, cents_sum
-from ..tables import load_table
+from ..tables import load_table, sane_ts, sane_ts_sql
 
 CAT = "2.C joins"
 
@@ -253,12 +253,12 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT p.event_id, p.user_id, c.ts AS click_ts
     FROM (SELECT event_id, user_id, ts FROM events
-          WHERE event_type = 'purchase' AND ts IS NOT NULL) p
+          WHERE event_type = 'purchase' AND ts IS NOT NULL AND {sane}) p
     ASOF LEFT JOIN
          (SELECT user_id, ts FROM events
-          WHERE event_type = 'click' AND ts IS NOT NULL) c
+          WHERE event_type = 'click' AND ts IS NOT NULL AND {sane}) c
       ON p.user_id = c.user_id AND p.ts >= c.ts
-    """,
+    """.format(sane=sane_ts_sql("ts")),
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each purchase, the latest click at or before it.
@@ -284,9 +284,13 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     click, Spark's NULLS FIRST order matches none; an untimestamped
     event has no as-of position).
     """
+    # temporal admission contract (tables.sane_ts, r12): a year-9999
+    # click would become every later purchase's "latest click", and the
+    # carried raw timestamps must stay collectable
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
         & F.col("ts").isNotNull()
+        & sane_ts("ts")
     )
     w = (
         Window.partitionBy("user_id")
@@ -378,8 +382,8 @@ _bucketed_ready: set[str] = set()
     SELECT l_orderkey, o_orderdate, o_totalprice,
            ROUND(l_extendedprice * (1 - l_discount), 4) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    WHERE o_orderpriority = '1-URGENT'
-    """,
+    WHERE o_orderpriority = '1-URGENT' AND {sane}
+    """.format(sane=sane_ts_sql("o_orderdate")),
 )
 def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located fact-fact join via bucketing: both tables are written
@@ -413,7 +417,11 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         _bucketed_ready.add(tag)
     li = spark.table(li_t)
-    o = spark.table(o_t).filter(F.col("o_orderpriority") == "1-URGENT")
+    # sane-window gate on the emitted date (temporal admission, r12):
+    # raw out-of-range timestamps are uncollectable driver-side
+    o = spark.table(o_t).filter(
+        (F.col("o_orderpriority") == "1-URGENT") & sane_ts("o_orderdate")
+    )
     return li.join(o, li.l_orderkey == o.o_orderkey).select(
         "l_orderkey",
         "o_orderdate",
@@ -590,15 +598,15 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT,
     """
     WITH clicks AS (SELECT user_id, event_id, ts FROM events
-                    WHERE event_type = 'click' AND ts IS NOT NULL),
+                    WHERE event_type = 'click' AND ts IS NOT NULL AND {sane}),
     purchases AS (SELECT user_id, ts FROM events
-                  WHERE event_type = 'purchase' AND ts IS NOT NULL)
+                  WHERE event_type = 'purchase' AND ts IS NOT NULL AND {sane})
     SELECT c.user_id, c.event_id,
            p.ts AS next_purchase_ts,
            date_diff('second', c.ts, p.ts)::BIGINT AS secs_to_purchase
     FROM clicks c ASOF JOIN purchases p
       ON c.user_id = p.user_id AND p.ts >= c.ts
-    """,
+    """.format(sane=sane_ts_sql("ts")),
 )
 def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of join: for every click, the nearest purchase AT OR
@@ -625,6 +633,7 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isin("click", "purchase")
         & F.col("user_id").isNotNull()
         & F.col("ts").isNotNull()
+        & sane_ts("ts")  # temporal admission contract (r12)
     )
     w = (
         W.partitionBy("user_id")

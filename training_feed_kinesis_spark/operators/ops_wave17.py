@@ -37,8 +37,8 @@ _HILL_K = 200  # top order statistics used by the Hill estimator
     SELECT COUNT(*) AS n_rows,
            MIN(l_quantity) AS min_qty,
            MAX(l_quantity) AS max_qty,
-           MIN(l_shipdate) AS min_ship,
-           MAX(l_shipdate) AS max_ship
+           CAST(epoch_us(MIN(l_shipdate)) AS BIGINT) AS min_ship_us,
+           CAST(epoch_us(MAX(l_shipdate)) AS BIGINT) AS max_ship_us
     FROM lineitem
     """,
 )
@@ -61,12 +61,30 @@ def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         # read directly (not via any cached/converted frame) so the scan
         # node is the V2 parquet source the pushdown rule rewrites
         li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        # epoch-micros BIGINT emission (temporal campaign r12): the raw
+        # MIN/MAX still compile to the pushed footer aggregation — the
+        # scalar unix_micros projection runs on the 1-row result — while a
+        # year-0001/9999 extreme stays collectable (pandas ns / Python
+        # datetime would reject the raw timestamp). An admission FILTER
+        # here would block the very pushdown this key demonstrates.
         out = li.agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.min("l_quantity").alias("min_qty"),
             F.max("l_quantity").alias("max_qty"),
-            F.min("l_shipdate").alias("min_ship"),
-            F.max("l_shipdate").alias("max_ship"),
+            F.min("l_shipdate").alias("_min_ship"),
+            F.max("l_shipdate").alias("_max_ship"),
+        ).select(
+            "n_rows",
+            "min_qty",
+            "max_qty",
+            # raw V2 read yields TIMESTAMP_NTZ; session tz is pinned UTC
+            # so the cast is wall-clock-preserving (tables.py NTZ note)
+            F.unix_micros(F.col("_min_ship").cast("timestamp")).alias(
+                "min_ship_us"
+            ),
+            F.unix_micros(F.col("_max_ship").cast("timestamp")).alias(
+                "max_ship_us"
+            ),
         )
         out.collect()  # force execution while the confs are on
         return out

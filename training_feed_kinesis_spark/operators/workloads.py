@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, sane_ts, sane_ts_sql
 
 CAT = "2.M workloads"
 
@@ -42,10 +42,11 @@ _REV_S = (
     WHERE c_mktsegment = 'BUILDING'
       AND o_orderdate < TIMESTAMP '1997-01-01'
       AND l_shipdate  > TIMESTAMP '1997-01-01'
+      AND {{sane_o}}
     GROUP BY o_orderkey, o_orderdate
     ORDER BY revenue DESC, o_orderkey ASC
     LIMIT 10
-    """,
+    """.format(sane_o=sane_ts_sql("o_orderdate")),
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: top unshipped orders by revenue for one segment.
@@ -57,8 +58,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
+    # temporal admission gate on the EMITTED date (r12 contract): a
+    # year-0001 sentinel passes the < 1997 business filter but is
+    # uncollectable driver-side
     o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < "1997-01-01"
+        (F.col("o_orderdate") < "1997-01-01") & sane_ts("o_orderdate")
     )
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > "1997-01-01"
@@ -123,7 +127,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                        > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
-      FROM events WHERE ts IS NOT NULL
+      FROM events WHERE ts IS NOT NULL AND {sane}
     ),
     sess AS (
       SELECT user_id, ts,
@@ -136,7 +140,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(ts) + INTERVAL '30 minutes'  AS session_end,
            COUNT(*)                         AS n_events
     FROM sess GROUP BY user_id, session_id
-    """,
+    """.format(sane=sane_ts_sql("ts")),
 )
 def batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (30-minute gap) via lag→flag→running-sum —
@@ -150,7 +154,7 @@ def batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise put it in opposite sessions — the ADVICE r7 seam)."""
     ev = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("ts").isNotNull())
+        .filter(F.col("ts").isNotNull() & sane_ts("ts"))  # r12 contract
         .select("user_id", "ts")
     )
     w = Window.partitionBy("user_id").orderBy("ts")
@@ -340,9 +344,9 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_orderkey IN (
       SELECT l_orderkey FROM lineitem
       GROUP BY l_orderkey HAVING SUM(l_quantity) > 210
-    )
+    ) AND {sane}
     GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-    """,
+    """.format(sane=sane_ts_sql("o_orderdate")),
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: customers with very large orders — the
@@ -359,7 +363,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qty") > 210)
         .select("l_orderkey")
     )
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        sane_ts("o_orderdate")  # r12 contract: o_orderdate is emitted raw
+    )
     c = load_table(spark, sf_dir, "customer")
     return (
         o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, sane_ts, sane_ts_sql
 
 CAT = "2.M workloads"
 
@@ -853,9 +853,9 @@ def q20_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     JOIN orders ON o_custkey = c_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big) AND {sane}
     GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-    """,
+    """.format(sane=sane_ts_sql("o_orderdate")),
 )
 def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: large-volume customers — orders whose lineitems
@@ -876,7 +876,9 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("q") > 300)
         .select("l_orderkey")
     )
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        sane_ts("o_orderdate")  # r12 contract: o_orderdate emitted raw
+    )
     c = load_table(spark, sf_dir, "customer")
     return (
         li.join(big, "l_orderkey", "left_semi")

@@ -49,6 +49,53 @@ ALWAYS_BROADCAST = frozenset({"region", "nation"})
 _table_cache: dict[tuple[str, str], DataFrame] = {}
 
 
+# ---------------------------------------------------------------------------
+# Temporal admission contract (round-12 campaign; SURVEY §5.3.11).
+#
+# A 100 TB ingest contains sentinel and corrupt timestamps (epoch zeros,
+# 9999-12-31 "never", year-one defaults, fat-fingered centuries). Operators
+# that do TIME ARITHMETIC — window grids, gap-fill sequences, as-of joins,
+# watermarked streams, freshness lags — gate their time-bearing inputs to
+# [1970-01-01, 2200-01-01) with the predicates below, spelled identically
+# in the Spark plan and the DuckDB oracle. Outside that window the
+# arithmetic is not merely wrong but OPERATIONALLY DANGEROUS: a year-9999
+# event time wedges a stream's watermark forever (every later real event is
+# "late"), a [0001, 9999] user span materializes an 87-million-hour
+# gap-fill grid in one task, year-10000 results overflow both pandas'
+# datetime64[ns] (1677–2262) and Python's datetime (1–9999) at collection,
+# and epoch-seconds beyond 2262 overflow downstream ns conversions. The
+# window starts AT the epoch because zeroed/negative epoch-seconds fields
+# are the single most common corrupt-timestamp shape — and even a
+# 1969-07-20 sentinel, five months below zero, stretches an hourly
+# gap-fill grid by 54 years (half a million rows per afflicted user).
+#
+# The gate PRESERVES NULL rows (NULL ts was already each operator's
+# business; time arithmetic on NULL is NULL, never a crash) so adding it
+# never changes NULL-handling, and the window comfortably contains every
+# clean fixture (1992–2025). Keys whose JOB is to see insane dates
+# (dq_date_sanity_census and the census family) stay ungated by design.
+# ---------------------------------------------------------------------------
+SANE_TS_MIN = "1970-01-01"
+SANE_TS_MAX = "2200-01-01"
+
+
+def sane_ts(col) -> "F.Column":
+    """NULL-preserving sane-window predicate on a timestamp column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNull() | (
+        (c >= F.lit(SANE_TS_MIN).cast("timestamp"))
+        & (c < F.lit(SANE_TS_MAX).cast("timestamp"))
+    )
+
+
+def sane_ts_sql(col: str) -> str:
+    """The DuckDB spelling of :func:`sane_ts` — splice into oracles."""
+    return (
+        f"({col} IS NULL OR ({col} >= TIMESTAMP '{SANE_TS_MIN}'"
+        f" AND {col} < TIMESTAMP '{SANE_TS_MAX}'))"
+    )
+
+
 def cache_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     """Cache + materialize the given tables; later load_table calls for
     (sf_dir, name) return the in-memory columnar copy."""
