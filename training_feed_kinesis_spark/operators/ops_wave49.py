@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, sane_ts, sane_ts_sql
 
 CAT_WORK = "2.M workloads"
 
@@ -113,6 +113,7 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH firsts AS (
       SELECT user_id, MIN(date_trunc('day', ts)) AS d0 FROM events
+      WHERE {sane_ts_sql("ts")}
       GROUP BY user_id
     ),
     daily_val AS (
@@ -121,7 +122,8 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ROUND(SUM(COALESCE(e.value, 0)) * 10000) AS BIGINT)
                AS v_cents
       FROM events e JOIN firsts f ON f.user_id = e.user_id
-      WHERE date_diff('day', f.d0, date_trunc('day', e.ts))
+      WHERE {sane_ts_sql("e.ts")}
+        AND date_diff('day', f.d0, date_trunc('day', e.ts))
             BETWEEN 0 AND {LTV_MAX_DAY}
       GROUP BY 1, 2
     ),
@@ -152,7 +154,9 @@ def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: first-touch aggregate + one (cohort, offset) aggregate
     over the fact table; the cumsum window partitions by cohort with
     15-row partitions — trivially parallel."""
-    ev = load_table(spark, sf_dir, "events")
+    # temporal admission (r12): a year-0001 sentinel becomes its user's
+    # first-touch cohort day and every real event lands past day 14
+    ev = load_table(spark, sf_dir, "events").filter(sane_ts("ts"))
     firsts = ev.groupBy("user_id").agg(
         F.min(F.date_trunc("day", "ts")).alias("d0")
     )

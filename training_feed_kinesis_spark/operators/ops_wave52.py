@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from .llm_similarity import VEC_ADMIT_SQL, load_embeddings_admitted
-from ..tables import load_table
+from ..tables import load_table, sane_ts
 
 CAT_REP = "2.L reporting"
 CAT_VEC = "2.J llm-pipeline (similarity)"
@@ -335,7 +335,7 @@ def ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
       SELECT time_bucket(INTERVAL '15 minutes', ts) AS w15, event_type,
              COUNT(*)::BIGINT AS n
-      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL AND (ts IS NULL OR (ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2200-01-01')) GROUP BY 1, 2
     )
     SELECT date_trunc('hour', w15) AS hour_start, event_type,
            MAX(n)::BIGINT AS peak_quarter_hour,
@@ -360,7 +360,7 @@ def stream_chained_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # NULL event-time rows dropped on both engines (r8 NULL-time seam)
     stream = replay_stream(spark, sf_dir, "ordered", sentinel=True).filter(
-        F.col("ts").isNotNull()
+        F.col("ts").isNotNull() & sane_ts("ts")  # temporal admission (r12)
     )
     q15 = (
         stream.withWatermark("ts", "10 minutes")

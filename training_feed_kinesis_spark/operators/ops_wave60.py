@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from .exact import CENTS_SUM_SQL, cents_sum
-from ..tables import load_table
+from ..tables import load_table, sane_ts, sane_ts_sql
 
 # exact integer-cents SUM of events.value, unrounded (r11 projected-
 # magnitude lint, SURVEY 5.3.9a): total_value is a SUM-driven grower
@@ -172,7 +172,7 @@ def fn_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                        > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE {sane}
     ),
     sess AS (
       SELECT user_id, ts,
@@ -198,7 +198,7 @@ def fn_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(active)::BIGINT AS peak_concurrent,
            COUNT(*)::BIGINT AS n_boundary_events
     FROM run GROUP BY date_trunc('day', t)
-    """,
+    """.format(sane=sane_ts_sql("ts")),
 )
 def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent sessions per day — the capacity-planning number —
@@ -212,7 +212,9 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     one global sort over 2×#sessions boundary points (tiny vs events).
     At extreme session counts the sweep shards by day first (sessions
     here never span days) and sorts within shards."""
-    ev = load_table(spark, sf_dir, "events")
+    # temporal admission (r12): sentinel days are phantom capacity
+    # partitions and their raw day stamps are uncollectable
+    ev = load_table(spark, sf_dir, "events").filter(sane_ts("ts"))
     w_u = Window.partitionBy("user_id").orderBy("ts")
     gaps = ev.select(
         "user_id",

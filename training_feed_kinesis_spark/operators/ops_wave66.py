@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, sane_ts
 
 CAT_STREAM = "2.I streaming"
 CAT_TEXT = "2.J llm-pipeline (text)"
@@ -47,7 +47,7 @@ _GAP_SQL = (
       SELECT user_id, ts,
              ts + CASE WHEN event_type = 'purchase' THEN INTERVAL '60 minutes'
                        ELSE INTERVAL '15 minutes' END AS r
-      FROM events WHERE ts IS NOT NULL
+      FROM events WHERE ts IS NOT NULL AND (ts IS NULL OR (ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2200-01-01'))
     ),
     marked AS (
       SELECT user_id, ts, r,
@@ -87,7 +87,7 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # NULL event-time rows dropped on both engines (r8 NULL-time seam)
     stream = replay_stream(spark, sf_dir, "ordered", sentinel=True).filter(
-        F.col("ts").isNotNull()
+        F.col("ts").isNotNull() & sane_ts("ts")  # temporal admission (r12)
     )
     agg = (
         stream.withWatermark("ts", "10 minutes")

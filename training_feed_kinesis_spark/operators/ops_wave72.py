@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, sane_ts, sane_ts_sql
 
 CAT_STREAM = "2.L stream capacity planning"
 
@@ -48,7 +48,7 @@ def _shard_spark() -> F.Column:
     """
     WITH d AS (
       SELECT date_trunc('day', ts) AS day, COUNT(*)::BIGINT AS arrivals
-      FROM events GROUP BY 1
+      FROM events WHERE {sane} GROUP BY 1
     ),
     cap AS (
       SELECT CAST((SUM(arrivals) * 102 + 100 * COUNT(*) - 1)
@@ -68,7 +68,7 @@ def _shard_spark() -> F.Column:
              AS iter_age_days_x1e4,
            (run - LEAST(0, MIN(run) OVER (ORDER BY day))) > 0 AS congested
     FROM s
-    """,
+    """.format(sane=sane_ts_sql("ts")),
 )
 def events_backlog_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consumer-lag simulation: a fixed-capacity consumer (2% above the
@@ -85,7 +85,9 @@ def events_backlog_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
     run over a domain-sized frame. At 100 TB the same identity holds
     per (stream, shard) partition: Window.partitionBy(shard) keeps every
     prefix scan local to its key."""
-    ev = load_table(spark, sf_dir, "events")
+    # temporal admission (r12): a sentinel-dated phantom day corrupts the
+    # Lindley recursion (and its raw day stamp is uncollectable)
+    ev = load_table(spark, sf_dir, "events").filter(sane_ts("ts"))
     d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.count(F.lit(1)).alias("arrivals")
     )

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, sane_ts, sane_ts_sql
 
 CAT_TS = "2.L time-series analytics"
 
@@ -38,17 +38,23 @@ ALPHA = 0.5  # Croston smoothing — exact binary fraction
 # NULL ts dropped on both engines (the r8 NULL-time seam): a NULL day
 # group would sort to opposite ends of every ORDER BY day window built
 # on this substrate across engines
-_DAILY_CENTS_SQL = """
+# day-grain revenue substrate: gated on the temporal admission contract
+# (tables.sane_ts, r12) — its consumers run day-ordered rolling windows
+# where a sentinel-dated phantom day corrupts every 7-day frame it enters
+# (and its raw day stamp is uncollectable)
+_DAILY_CENTS_SQL = f"""
     daily AS (
       SELECT date_trunc('day', ts) AS day,
              CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
-      FROM events WHERE ts IS NOT NULL GROUP BY 1
+      FROM events WHERE ts IS NOT NULL AND {sane_ts_sql('ts')} GROUP BY 1
     )
 """
 
 
 def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & sane_ts("ts")
+    )
     return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).cast("long").alias("rev_cents")
     )

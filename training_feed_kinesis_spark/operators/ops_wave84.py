@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load_table, release_after
+from ..tables import load_table, release_after, sane_ts, sane_ts_sql
 
 CAT_AGG = "2.D aggregations"
 CAT_REP = "2.L reporting"
@@ -335,7 +335,7 @@ def ts_hier_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH per_key AS (
       SELECT event_type, MAX(ts) AS last_seen, COUNT(*)::BIGINT AS n
-      FROM events GROUP BY event_type
+      FROM events WHERE {sane} GROUP BY event_type
     ),
     wm AS (SELECT MAX(last_seen) AS feed_max FROM per_key)
     SELECT p.event_type, p.last_seen, p.n,
@@ -344,7 +344,7 @@ def ts_hier_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
            (epoch_us(w.feed_max) - epoch_us(p.last_seen)) // 60000000 > 1440
              AS stale_24h
     FROM per_key p CROSS JOIN wm w
-    """,
+    """.format(sane=sane_ts_sql("ts")),
 )
 def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key ingest freshness: minutes between each event type's last
@@ -355,7 +355,10 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one map-combinable MAX census + a broadcast scalar;
     at 100 TB this runs on the partition-pruned tail, not the history."""
-    ev = load_table(spark, sf_dir, "events")
+    # temporal admission (r12): ONE 9999-12-31 sentinel becomes the feed
+    # high-water mark and marks every healthy key 4.2 million hours stale
+    # — freshness is only meaningful over validated event times
+    ev = load_table(spark, sf_dir, "events").filter(sane_ts("ts"))
     per_key = ev.groupBy("event_type").agg(
         F.max("ts").alias("last_seen"), F.count(F.lit(1)).alias("n")
     )

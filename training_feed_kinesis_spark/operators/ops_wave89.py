@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, sane_ts, sane_ts_sql
 
 CAT_TEXT = "2.J llm text analysis"
 CAT_EV = "2.L event analytics"
@@ -160,7 +160,7 @@ def llm_retrieval_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) - DATE '2024-01-01' AS d,
              CAST(ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0, 0) AS BIGINT) AS y
-      FROM events WHERE ts IS NOT NULL GROUP BY 1
+      FROM events WHERE ts IS NOT NULL AND {sane_ts_sql("ts")} GROUP BY 1
     ),
     pre AS (
       SELECT COUNT(*)::BIGINT AS n, SUM(d)::BIGINT AS sd,
@@ -202,8 +202,12 @@ def events_interrupted_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: day-grain aggregate → one 5-integer moment row → a
     broadcast scalar fit applied to the post rows; the cumulative
     window runs over the domain-sized series."""
-    # NULL ts dropped on both engines (the r8 NULL-time seam)
-    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # NULL ts dropped on both engines (the r8 NULL-time seam); temporal
+    # admission (r12): a year-9999 sentinel puts d ~ 2.9e6 in the moment
+    # sums and d*d overflows the 32-bit datediff product
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & sane_ts("ts")
+    )
     daily = ev.groupBy(
         F.datediff(F.date_trunc("day", "ts"), F.lit("2024-01-01")).alias("d")
     ).agg(F.round(F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")) / 100.0, 0).cast("long").alias("y"))

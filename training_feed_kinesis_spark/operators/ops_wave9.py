@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from .exact import CENTS_SUM_SQL, cents_sum
-from ..tables import load_table
+from ..tables import load_table, sane_ts, sane_ts_sql
 
 # exact integer-cents SUM of events.value, unrounded (r11 projected-
 # magnitude lint, SURVEY 5.3.9a): total_value is a SUM-driven grower
@@ -40,7 +40,7 @@ _SCD_FLIP = "2024-01-15 00:00:00"
                 WHEN strpos('02468ace', substr(md5(user_id::VARCHAR), 1, 1)) > 0
                   THEN 'gold' ELSE 'silver' END AS tier,
            COUNT(*) AS n, {_VAL_CENTS_SUM} AS total_value
-    FROM events WHERE ts IS NOT NULL GROUP BY 1
+    FROM events WHERE ts IS NOT NULL AND {sane_ts_sql("ts")} GROUP BY 1
     """,
 )
 def join_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,7 +63,9 @@ def join_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     hexdig = F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
     lo = F.lit("1900-01-01 00:00:00").cast("timestamp")
     flip = F.lit(_SCD_FLIP).cast("timestamp")
-    hi = F.lit("2100-01-01 00:00:00").cast("timestamp")
+    # dim coverage must contain the sane-ts admission window end, else a
+    # gated-in event past the dim horizon drops on the interval join only
+    hi = F.lit("2200-01-01 00:00:00").cast("timestamp")
     v1 = users.select(
         "user_id",
         F.lit("bronze").alias("tier"),
@@ -81,8 +83,11 @@ def join_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # seam): an event with no event time cannot be time-correctly
     # enriched — the interval predicates would silently drop it on
     # Spark while the oracle's CASE still assigned it a tier
+    # temporal admission (r12): an out-of-window event time falls outside
+    # every dim validity interval and silently drops on the join side
+    # while the oracle's CASE would still label it — gate both spellings
     stream = replay_stream(spark, sf_dir, "ordered").filter(
-        F.col("ts").isNotNull()
+        F.col("ts").isNotNull() & sane_ts("ts")
     )
     # null-SAFE key equality: the distinct-user dim legitimately carries
     # a NULL-user version pair, and the oracle's CASE assigns NULL-keyed
@@ -107,7 +112,7 @@ def join_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT date_trunc('day', ts) AS d, COUNT(*)::DOUBLE AS n
-      FROM events GROUP BY 1
+      FROM events WHERE {sane} GROUP BY 1
     ),
     stats AS (
       SELECT AVG(n) AS mu, stddev_samp(n) AS sigma FROM daily
@@ -116,7 +121,7 @@ def join_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND((n - mu) / sigma, 4) AS z,
            ABS((n - mu) / sigma) > 2 AS breaker_tripped
     FROM daily, stats
-    """,
+    """.format(sane=sane_ts_sql("ts")),
 )
 def dq_partition_sentry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-volume sentry: each ingest day's row count z-scored
@@ -129,7 +134,10 @@ def dq_partition_sentry(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first aggregate regardless of corpus size. Production keeps a
     trailing-window baseline instead of the full-corpus moments; same
     plan with a window filter."""
-    ev = load_table(spark, sf_dir, "events")
+    # temporal admission (r12): sentinel-dated rows land in phantom
+    # day-partitions whose raw day stamp is uncollectable; the date
+    # sanity census, not the volume sentry, owns those rows
+    ev = load_table(spark, sf_dir, "events").filter(sane_ts("ts"))
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.count(F.lit(1)).cast("double").alias("n")
     )

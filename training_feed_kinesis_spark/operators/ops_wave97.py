@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, sane_ts, sane_ts_sql
 
 CAT_TEXT = "2.J llm-pipeline (text)"
 CAT_TS = "2.L time-series analytics"
@@ -157,8 +157,11 @@ def _cusum_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix window (Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST)
     and shift every running sum — the ADVICE r7 ordering seam, same
     class as _FISHER_GROUP_SQL."""
+    # temporal admission (r12): a sentinel day at either extreme of the
+    # prefix order shifts EVERY running sum (and its raw day stamp is
+    # uncollectable)
     o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate").isNotNull()
+        F.col("o_orderdate").isNotNull() & sane_ts("o_orderdate")
     )
     daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
         F.sum(
@@ -189,7 +192,8 @@ def _cusum_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderdate AS day,
              CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
                   AS BIGINT) AS rev_c
-      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY o_orderdate
+      FROM orders WHERE o_orderdate IS NOT NULL
+        AND {sane_ts_sql('o_orderdate')} GROUP BY o_orderdate
     ),
     centered AS (
       SELECT day, rev_c,
@@ -344,12 +348,13 @@ def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ts_stl_decompose",
     CAT_TS,
-    """
+    f"""
     WITH daily AS (
       SELECT o_orderdate AS day,
              CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
                   AS BIGINT) AS x_c
-      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY o_orderdate
+      FROM orders WHERE o_orderdate IS NOT NULL
+        AND {sane_ts_sql('o_orderdate')} GROUP BY o_orderdate
     ),
     trended AS (
       SELECT day, x_c,
@@ -404,8 +409,11 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats3.py parity. NULL o_orderdate dropped on both engines — the
     _cusum_prefix NULL-ordering seam (a NULL day sorts to opposite
     window ends across engines)."""
+    # temporal admission (r12): a sentinel day at either extreme of the
+    # prefix order shifts EVERY running sum (and its raw day stamp is
+    # uncollectable)
     o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate").isNotNull()
+        F.col("o_orderdate").isNotNull() & sane_ts("o_orderdate")
     )
     daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
         F.sum(

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, sane_ts, sane_ts_sql
 
 CAT_TS = "2.L time-series analytics"
 CAT_STAT = "2.L statistics"
@@ -39,12 +39,13 @@ CAT_DQ = "2.L data quality"
 
 # the CUSUM spelling, re-derived for the oracle (same text as
 # ts_cusum_changepoint's CTE chain; tests pin the two keys' agreement)
-_CUSUM_CTES = """
+_CUSUM_CTES = f"""
     daily AS (
       SELECT o_orderdate AS day,
              CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
                   AS BIGINT) AS rev_c
-      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY o_orderdate
+      FROM orders WHERE o_orderdate IS NOT NULL
+        AND {sane_ts_sql('o_orderdate')} GROUP BY o_orderdate
     ),
     centered AS (
       SELECT day, rev_c,

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, sane_ts, sane_ts_sql
 
 CAT = "2.N pipeline utilities"
 
@@ -89,12 +89,12 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, event_type, value,
              ROW_NUMBER() OVER (PARTITION BY user_id
                                 ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events)
+      FROM events WHERE {sane})
     SELECT user_id, ts AS last_ts, event_type AS last_type,
            ROUND(value, 4) AS last_value
     FROM ranked
     WHERE rn = 1 AND event_type <> 'error'
-    """,
+    """.format(sane=sane_ts_sql("ts")),
 )
 def cdc_latest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC changelog compaction: latest-wins state per key, with tombstone
@@ -107,7 +107,9 @@ def cdc_latest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     per micro-batch over the delta only, then MERGEs into the snapshot;
     the full-history spelling here is the bootstrap/backfill path.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # temporal admission (r12): a 9999-12-31 sentinel would WIN the
+    # latest-wins merge for its key forever — the classic CDC poisoning
+    ev = load_table(spark, sf_dir, "events").filter(sane_ts("ts"))
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
@@ -130,7 +132,7 @@ def cdc_latest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
       SELECT user_id, ts, event_id, event_type,
              CASE WHEN event_type = LAG(event_type) OVER w THEN 0 ELSE 1 END AS chg
-      FROM events WHERE ts IS NOT NULL
+      FROM events WHERE ts IS NOT NULL AND {sane}
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     islands AS (
       SELECT user_id, ts, event_type,
@@ -142,7 +144,7 @@ def cdc_latest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events
     FROM islands
     GROUP BY user_id, event_type, island
-    """,
+    """.format(sane=sane_ts_sql("ts")),
 )
 def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-type-2 history: collapse each user's event sequence into
@@ -155,7 +157,9 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines (the r8 NULL-time seam: a NULL-ts row sits at opposite
     ends of the island order across engines and renumbers every island).
     """
-    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & sane_ts("ts")  # r12 contract
+    )
     wo = Window.partitionBy("user_id").orderBy("ts", F.col("event_id").asc_nulls_last())
     wrun = (
         Window.partitionBy("user_id")

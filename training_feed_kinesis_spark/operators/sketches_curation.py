@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ..tables import load_table, release_after
+from ..tables import load_table, release_after, sane_ts
 from .llm_dedup import (
     _MINHASH_SQL,
     _SHINGLE_ROWS_SQL,
@@ -436,7 +436,7 @@ def llm_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hourly AS (
       SELECT date_trunc('hour', ts) AS hour_start, event_type,
              COUNT(*) AS n
-      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL AND (ts IS NULL OR (ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2200-01-01')) GROUP BY 1, 2
     ),
     ranked AS (
       SELECT hour_start, event_type, n,
@@ -461,7 +461,7 @@ def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # NULL event-time rows dropped on both engines (r8 NULL-time seam)
     stream = replay_stream(spark, sf_dir, "ordered").filter(
-        F.col("ts").isNotNull()
+        F.col("ts").isNotNull() & sane_ts("ts")  # temporal admission (r12)
     )
     agg = (
         stream.withWatermark("ts", "10 minutes")

@@ -195,7 +195,19 @@ if _PYDS_AVAILABLE:
             "ts",
             pc.cast(t.column("ts"), pa.timestamp("us"), safe=False),
         )
-        rows = t.to_pylist()
+        # temporal admission (tables.SANE_TS_*, r12): an out-of-window
+        # event time (e.g. a 9999-12-31 sentinel) breaks the datasource
+        # runner's Arrow ns conversion and would wedge any downstream
+        # watermark — a real Kinesis consumer validates event time at
+        # the envelope boundary. NULL ts rows still flow.
+        import datetime as _dt
+
+        _lo, _hi = _dt.datetime(1970, 1, 1), _dt.datetime(2200, 1, 1)
+        rows = [
+            r
+            for r in t.to_pylist()
+            if r["ts"] is None or (_lo <= r["ts"] < _hi)
+        ]
         seq: dict[int, int] = {}
         out = []
         # NULL event_ids sort LAST (matching the batch reader's Arrow
@@ -274,7 +286,8 @@ if _PYDS_AVAILABLE:
                      substr(md5(COALESCE(user_id::VARCHAR, '')), 1, 1)) - 1) % {N_SHARDS}
                AS shard_id,
              event_type, value
-      FROM events)
+      FROM events
+      WHERE (ts IS NULL OR (ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2200-01-01')))
     SELECT shard_id, event_type, COUNT(*) AS n,
            {_VAL_CENTS_SUM} AS total_value
     FROM sharded

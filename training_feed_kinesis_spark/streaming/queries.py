@@ -46,7 +46,7 @@ from ..operators.exact import CENTS_SUM_SQL, cents_sum
 _VAL_CENTS_SUM = CENTS_SUM_SQL.format(col="value")
 from ..operators.scans import scratch_dir
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, sane_ts, sane_ts_sql
 from .replay import drain, replay_stream
 
 CAT_SRC = "2.A scans/sources/sinks"
@@ -78,7 +78,7 @@ def source_kinesis(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT date_trunc('hour', ts) AS hour_start, event_type,
            COUNT(*) AS n, {_VAL_CENTS_SUM} AS total_value
-    FROM events WHERE ts IS NOT NULL
+    FROM events WHERE ts IS NOT NULL AND (ts IS NULL OR (ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2200-01-01'))
     GROUP BY date_trunc('hour', ts), event_type
     """,
 )
@@ -89,7 +89,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-time rows dropped on both engines (the r8 NULL-time seam: an
     event with no event time has no window)."""
     stream = replay_stream(spark, sf_dir, "ordered").filter(
-        F.col("ts").isNotNull()
+        F.col("ts").isNotNull() & sane_ts("ts")
     )
     agg = (
         stream.withWatermark("ts", "10 minutes")
@@ -111,7 +111,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
              - k * INTERVAL '15 minutes' AS window_start,
            COUNT(*) AS n
     FROM events, (SELECT unnest(range(0, 4)) AS k)
-    WHERE ts IS NOT NULL
+    WHERE ts IS NOT NULL AND (ts IS NULL OR (ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2200-01-01'))
     GROUP BY window_start
     """,
 )
@@ -120,7 +120,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlapping windows; both engines align windows to the unix epoch.
     NULL event-time rows dropped on both engines (r8 NULL-time seam)."""
     stream = replay_stream(spark, sf_dir, "ordered").filter(
-        F.col("ts").isNotNull()
+        F.col("ts").isNotNull() & sane_ts("ts")
     )
     agg = (
         stream.withWatermark("ts", "10 minutes")
@@ -141,7 +141,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                        > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
-      FROM events WHERE ts IS NOT NULL
+      FROM events WHERE ts IS NOT NULL AND (ts IS NULL OR (ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2200-01-01'))
     ),
     sess AS (
       SELECT user_id, ts,
@@ -165,7 +165,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL event-time row has no session (the batch_sessionize seam)."""
     stream = replay_stream(spark, sf_dir, "ordered", sentinel=True)
     agg = (
-        stream.filter(F.col("ts").isNotNull())
+        stream.filter(F.col("ts").isNotNull() & sane_ts("ts"))
         .withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -249,7 +249,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAT,
     """
     SELECT user_id, COUNT(*) AS n_events, ROUND(MAX(value), 4) AS max_value
-    FROM events GROUP BY user_id
+    FROM events WHERE (ts IS NULL OR (ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2200-01-01')) GROUP BY user_id
     """,
 )
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,7 +275,9 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"user_id": [key[0]], "n_events": [n], "max_value": [round(mx, 4)]}
         )
 
-    stream = replay_stream(spark, sf_dir, "ordered")
+    # temporal admission (r12): a year-9999 event time breaks the Arrow
+    # batch conversion inside the GroupState runner (pandas ns bound)
+    stream = replay_stream(spark, sf_dir, "ordered").filter(sane_ts("ts"))
     updates = stream.groupBy("user_id").applyInPandasWithState(
         running,
         outputStructType="user_id long, n_events long, max_value double",
@@ -339,7 +341,9 @@ def _foreachbatch_sink(spark: SparkSession, sf_dir: str, sink: str, ckpt: str) -
     writes to a batchId-keyed subdirectory with overwrite — a retried batch
     rewrites the same path instead of duplicating (SURVEY §1.4 at-least-once
     → exactly-once)."""
-    stream = replay_stream(spark, sf_dir, "ordered")
+    stream = replay_stream(spark, sf_dir, "ordered").filter(
+        sane_ts("ts")  # temporal admission (r12): 9999 wins latest-wins
+    )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{sink}/batch={batch_id}")
@@ -359,7 +363,7 @@ def _foreachbatch_sink(spark: SparkSession, sf_dir: str, sink: str, ckpt: str) -
     f"""
     SELECT event_type, COUNT(*) AS n,
            {_VAL_CENTS_SUM} AS total_value
-    FROM events GROUP BY event_type
+    FROM events WHERE (ts IS NULL OR (ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2200-01-01')) GROUP BY event_type
     """,
 )
 def sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,7 +382,8 @@ def sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_exactly_once",
     CAT,
     """
-    SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    SELECT event_type, COUNT(*) AS n FROM events
+    WHERE (ts IS NULL OR (ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2200-01-01')) GROUP BY event_type
     """,
 )
 def stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -403,7 +408,7 @@ def stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT user_id % 5 AS cohort, COUNT(*) AS n,
            {_VAL_CENTS_SUM} AS total_value
-    FROM events GROUP BY user_id % 5
+    FROM events WHERE (ts IS NULL OR (ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2200-01-01')) GROUP BY user_id % 5
     """,
 )
 def join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,7 +421,9 @@ def join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("cohort", F.col("user_id") % 5)
     )
-    stream = replay_stream(spark, sf_dir, "ordered")
+    stream = replay_stream(spark, sf_dir, "ordered").filter(
+        sane_ts("ts")  # temporal admission (r12): 9999 wins latest-wins
+    )
     # LEFT enrichment: an unknown/NULL-keyed event keeps flowing with a
     # NULL cohort instead of vanishing — an inner join here silently
     # drops every null-key record (NULL-attribute corruption replay);
@@ -437,6 +444,10 @@ def join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events p JOIN events c ON p.user_id = c.user_id
     WHERE p.event_type = 'purchase' AND c.event_type = 'click'
       AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+      AND (p.ts IS NULL OR (p.ts >= TIMESTAMP '1970-01-01'
+           AND p.ts < TIMESTAMP '2200-01-01'))
+      AND (c.ts IS NULL OR (c.ts >= TIMESTAMP '1970-01-01'
+           AND c.ts < TIMESTAMP '2200-01-01'))
     """,
 )
 def join_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,7 +463,11 @@ def join_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     after every purchase that could still match it (≤ 30 min later) has
     been processed: no match is ever lost to eviction, and the drained
     result equals the batch interval join the oracle runs."""
-    stream = replay_stream(spark, sf_dir, "ordered", sentinel=True)
+    # temporal admission (r12): a 9999 event time outruns the sentinel
+    # and wedges the min-watermark; raw p_ts/c_ts must stay collectable
+    stream = replay_stream(spark, sf_dir, "ordered", sentinel=True).filter(
+        sane_ts("ts")
+    )
     p = (
         stream.filter(F.col("event_type") == "purchase")
         .select(
@@ -489,7 +504,7 @@ def join_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, event_type, value,
              ROW_NUMBER() OVER (PARTITION BY user_id
                                 ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events)
+      FROM events WHERE (ts IS NULL OR (ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2200-01-01')))
     SELECT user_id, ts AS last_ts, event_type AS last_type,
            ROUND(value, 4) AS last_value
     FROM ranked
@@ -512,7 +527,9 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    stream = replay_stream(spark, sf_dir, "ordered")
+    stream = replay_stream(spark, sf_dir, "ordered").filter(
+        sane_ts("ts")  # temporal admission (r12): 9999 wins latest-wins
+    )
     root = scratch_dir("cdc_merge_")
     state = {"v": 0}
     w = Window.partitionBy("user_id").orderBy(
@@ -565,7 +582,7 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH once AS (
       SELECT event_id, MIN(ts) AS ts, MIN(event_type) AS event_type,
              MIN(value) AS value
-      FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+      FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL AND (ts IS NULL OR (ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2200-01-01'))
       GROUP BY event_id
     )
     SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
@@ -594,7 +611,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL event-time rows dropped on both engines (r8 NULL-time seam:
     # watermark-bounded dedup state is keyed by event time)
     stream = replay_stream(spark, sf_dir, "doubled").filter(
-        F.col("ts").isNotNull()
+        F.col("ts").isNotNull() & sane_ts("ts")
     )
     # identity dedup needs identity (NULL-PK r9; see stream_dedup)
     deduped = (
@@ -619,9 +636,9 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
            p.user_id AS p_user, p.ts AS p_ts, c.ts AS c_ts
     FROM (SELECT * FROM events
           WHERE event_type = 'purchase' AND user_id IS NOT NULL
-            AND ts IS NOT NULL) p
+            AND ts IS NOT NULL AND (ts IS NULL OR (ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2200-01-01'))) p
     LEFT JOIN (SELECT * FROM events
-               WHERE event_type = 'click' AND ts IS NOT NULL) c
+               WHERE event_type = 'click' AND ts IS NOT NULL AND (ts IS NULL OR (ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2200-01-01'))) c
       ON p.user_id = c.user_id
      AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
     """,
@@ -654,7 +671,7 @@ def join_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL event-time rows dropped on both engines (r8 NULL-time seam) —
     the sentinel's far-future ts survives the filter."""
     stream = replay_stream(spark, sf_dir, "ordered", sentinel=True).filter(
-        F.col("ts").isNotNull()
+        F.col("ts").isNotNull() & sane_ts("ts")
     )
     p = (
         stream.filter(
@@ -701,7 +718,7 @@ def join_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                        > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
-      FROM events WHERE ts IS NOT NULL
+      FROM events WHERE ts IS NOT NULL AND (ts IS NULL OR (ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2200-01-01'))
     ),
     sess AS (
       SELECT user_id, ts,
@@ -786,7 +803,7 @@ def stream_stateful_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into int64 garbage inside the pandas state kernel; the shared
     # sessionize oracle already filters ts IS NOT NULL
     stream = replay_stream(spark, sf_dir, "ordered", sentinel=True).filter(
-        F.col("ts").isNotNull()
+        F.col("ts").isNotNull() & sane_ts("ts")
     )
     out = (
         stream.withWatermark("ts", "10 minutes")
@@ -824,7 +841,7 @@ _TWS_SESSION_ORACLE = """
       SELECT user_id, ts,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                        > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
-      FROM events WHERE ts IS NOT NULL
+      FROM events WHERE ts IS NOT NULL AND (ts IS NULL OR (ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2200-01-01'))
     ),
     sess AS (
       SELECT user_id, ts,
