@@ -635,9 +635,18 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("ts").isNotNull()
         & sane_ts("ts")  # temporal admission contract (r12)
     )
+    # tie discipline (r12 temporal campaign): at EQUAL timestamps the
+    # purchase must sort before the click in the DESC scan so the click
+    # sees it — mirroring ASOF's inclusive p.ts >= c.ts bound
+    # ('purchase' > 'click', so event_type DESC). Clean fixtures are
+    # (user_id, ts)-duplicate-free, but corrupted/sentinel data is not.
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .orderBy(
+            F.col("ts").desc(),
+            F.col("event_type").desc(),
+            F.col("event_id").desc(),
+        )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = ev.withColumn(

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, sane_ts
 
 CAT_TEXT = "2.J llm-pipeline (text)"
 CAT_JOIN = "2.C joins"
@@ -115,7 +115,7 @@ def llm_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                AS last_click
-      FROM events WHERE ts IS NOT NULL
+      FROM events WHERE ts IS NOT NULL AND (ts IS NULL OR (ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2200-01-01'))
     )
     SELECT event_id, user_id,
            CASE WHEN last_click >= ts - {_TOL} THEN last_click END
@@ -136,7 +136,9 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on user_id, O(n log n) per hot key — inherits the
     linearized as-of's skew safety. NULL ts dropped on both engines
     (the r8 NULL-time seam)."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & sane_ts("ts")  # temporal admission (r12)
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", F.col("event_id").asc_nulls_last())

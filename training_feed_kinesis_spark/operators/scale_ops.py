@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ..tables import load_table, substrate
+from ..tables import load_table, sane_ts, substrate
 
 CAT_STREAM = "2.I streaming"
 CAT_JOIN = "2.C joins"
@@ -189,7 +189,7 @@ def feature_pit_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
                AS next_p
-      FROM events WHERE ts IS NOT NULL
+      FROM events WHERE ts IS NOT NULL AND (ts IS NULL OR (ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2200-01-01'))
     )
     SELECT event_id, user_id,
            CASE
@@ -213,7 +213,9 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on user_id, O(events) state-free window work;
     a hot user costs O(n log n) sort, never O(n²) pairs. NULL ts
     dropped on both engines (the r8 NULL-time seam)."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & sane_ts("ts")  # temporal admission (r12)
+    )
     base = Window.partitionBy("user_id").orderBy("ts", F.col("event_id").asc_nulls_last())
     p_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
     prev_p = F.max(p_ts).over(
