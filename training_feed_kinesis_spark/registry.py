@@ -184,6 +184,7 @@ _OPERATOR_MODULES = [
     "training_feed_kinesis_spark.operators.ops_wave105",
     "training_feed_kinesis_spark.operators.ops_wave106",
     "training_feed_kinesis_spark.operators.ops_wave107",
+    "training_feed_kinesis_spark.operators.ops_wave108",
     "training_feed_kinesis_spark.sources.pyds",
     "training_feed_kinesis_spark.streaming.queries",
 ]
@@ -241,6 +242,7 @@ _PRIORITY_KEYS = [
     # round-12 net-new keys queue here as they land:
     "multimodal_bmp_admission_census",
     "llm_semdedup_centroid_prune",
+    "llm_dup_span_extract",
 ]
 
 
