@@ -76,6 +76,14 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (§5.3.6b) instead of a per-row double — the dir tag busts the
     # _READY cache of the old-schema copy
     sf_tag = sf_dir.strip("/").split("/")[-1].replace(".", "_")
+    # content-keyed cache tag (the replay._prepare / ADVICE r5 lesson): a
+    # name-only key serves a STALE fact copy when a fixture dir is
+    # rebuilt in place (caught by the r12 temporal-campaign resweep)
+    try:
+        st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
+        sf_tag += f"_{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        pass
     out = os.path.join(SCRATCH, f"dpp_fact_v2_{sf_tag}")
     li = load_table(spark, sf_dir, "lineitem").select(
         F.year("l_shipdate").cast("int").alias("shipyear"),

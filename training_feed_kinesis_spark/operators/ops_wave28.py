@@ -108,6 +108,14 @@ def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scans import SCRATCH
 
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    # content-keyed cache tag (replay._prepare / ADVICE r5 discipline): a
+    # name-only key serves a STALE copy when a fixture dir is rebuilt in
+    # place (caught by the r12 temporal-campaign resweep)
+    try:
+        _st = os.stat(os.path.join(sf_dir, "events.parquet"))
+        sf_tag += f"_{_st.st_mtime_ns}_{_st.st_size}"
+    except OSError:
+        pass
     root = os.path.join(SCRATCH, f"corrupt_scan_{sf_tag}")
     ev = load_table(spark, sf_dir, "events")
     if not os.path.isfile(os.path.join(root, "_READY")):

@@ -51,6 +51,14 @@ def _mod4_replay(spark: SparkSession, sf_dir: str) -> str:
     from .scans import SCRATCH
 
     sf_tag = sf_dir.strip("/").split("/")[-1].replace(".", "_")
+    # content-keyed cache tag (replay._prepare / ADVICE r5 discipline): a
+    # name-only key serves a STALE copy when a fixture dir is rebuilt in
+    # place (caught by the r12 temporal-campaign resweep)
+    try:
+        _st = os.stat(os.path.join(sf_dir, "events.parquet"))
+        sf_tag += f"_{_st.st_mtime_ns}_{_st.st_size}"
+    except OSError:
+        pass
     out = os.path.join(SCRATCH, f"replay_mod4_{sf_tag}")
     if os.path.isfile(os.path.join(out, "_READY")):
         return out

@@ -68,6 +68,14 @@ def scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: listing-time pruning + map-combinable aggregate; the
     write is the fixture, cached per sf."""
     sf_tag = sf_dir.strip("/").split("/")[-1].replace(".", "_")
+    # content-keyed cache tag (replay._prepare / ADVICE r5 discipline): a
+    # name-only key serves a STALE copy when a fixture dir is rebuilt in
+    # place (caught by the r12 temporal-campaign resweep)
+    try:
+        _st = os.stat(os.path.join(sf_dir, "events.parquet"))
+        sf_tag += f"_{_st.st_mtime_ns}_{_st.st_size}"
+    except OSError:
+        pass
     base = os.path.join(SCRATCH, f"nested_events_{sf_tag}")
     marker = os.path.join(base, "_READY")
     if not os.path.isfile(marker):
