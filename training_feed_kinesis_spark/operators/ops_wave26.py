@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, sane_ts
 
 CAT_MM = "2.J llm-pipeline (multimodal)"
 CAT_TS = "2.L time-series analytics"
@@ -111,7 +111,7 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT date_trunc('day', ts) AS d, ROUND(SUM(value), 4) AS rev
-      FROM events WHERE ts IS NOT NULL GROUP BY 1
+      FROM events WHERE ts IS NOT NULL AND (ts IS NULL OR (ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2200-01-01')) GROUP BY 1
     ),
     lagged AS (
       SELECT d, rev,
@@ -136,7 +136,9 @@ def ts_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the day-keyed aggregate is the only data-sized step;
     the lag and the error columns run on the days-sized series. NULL ts
     dropped on both engines (the r8 NULL-time seam)."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & sane_ts("ts")  # temporal admission (r12)
+    )
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.round(F.sum("value"), 4).alias("actual")
     )

@@ -223,7 +223,11 @@ def udf_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["batch_rows"] = len(pdf)
             yield out
 
-    ev = load_table(spark, sf_dir, "events")
+    # project to the two consumed columns BEFORE the kernel: column
+    # pruning is the right Arrow-batch posture anyway, and it keeps
+    # unconsumed wide/extreme columns (e.g. a sentinel timestamp beyond
+    # pandas' ns bounds — r12 temporal campaign) out of the transfer
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
     return ev.mapInPandas(
         tag_batches, schema="event_id long, user_id long, batch_no int, batch_rows int"
     )

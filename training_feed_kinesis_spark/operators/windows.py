@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, sane_ts
 
 CAT = "2.E window functions"
 
@@ -68,13 +68,16 @@ def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
            LAG(value, 1)  OVER w AS prev_value,
            LEAD(value, 1) OVER w AS next_value,
            LAG(value, 2, -1.0) OVER w AS prev2_or_default
-    FROM events
+    FROM events WHERE (ts IS NULL OR (ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2200-01-01'))
     WINDOW w AS (PARTITION BY user_id
                  ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST)
     """,
 )
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # temporal admission (r12): ts is emitted raw, and out-of-window
+    # sentinels are uncollectable (NULL ts rows still flow — the NULLS
+    # LAST discipline below is their seam, not the gate's)
+    ev = load_table(spark, sf_dir, "events").filter(sane_ts("ts"))
     # ts ASC NULLS LAST both engines: Spark defaults NULLS FIRST, DuckDB
     # NULLS LAST — a NULL-ts sliver would otherwise sit at opposite ends
     # of every partition (the r8 NULL-time sweep caught this family).
