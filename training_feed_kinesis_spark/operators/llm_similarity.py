@@ -460,7 +460,17 @@ def cc_min_label(labels: DataFrame, edges: DataFrame) -> DataFrame:
     checkpoints carry only candidate nodes; the corpus-sized seed frame
     is scanned exactly twice (semi + anti), never per round. Requires
     the label-is-a-node-id seed convention (label = node), which the
-    pointer-doubling join already assumes."""
+    pointer-doubling join already assumes.
+
+    Seed frames MAY carry duplicate node rows (a redelivered ingest row
+    keeps its id — the r10 joint-corruption contract), and before the
+    isolated-split every seed passed through round 1's groupBy(node),
+    which deduplicated as a side effect. That dedup is load-bearing
+    output semantics (one label row per node), so the isolated branch
+    aggregates min(label) per node instead of unioning raw rows — for
+    identical (node, node) seed rows the map-side combiner collapses
+    duplicates pre-shuffle, so the cost is a corpus-sized combine, the
+    same price the pre-split spelling paid in its first round."""
     # edges are consumed 2× per round × O(log d) rounds: pin them once so
     # a lazily-derived edge set (e.g. the LSH candidate verify join) isn't
     # recomputed every iteration
@@ -470,7 +480,11 @@ def cc_min_label(labels: DataFrame, edges: DataFrame) -> DataFrame:
         .unionByName(edges.select(F.col("b").alias("node")))
         .distinct()
     )
-    isolated = labels.join(touched, "node", "left_anti")
+    isolated = (
+        labels.join(touched, "node", "left_anti")
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
     labels = labels.join(touched, "node", "left_semi").localCheckpoint()
     for _ in range(64):
         msgs = (
