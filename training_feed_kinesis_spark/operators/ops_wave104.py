@@ -75,7 +75,12 @@ _PLANES_VALUES_SQL = ",\n      ".join(f"({j}, {_W[j]})" for j in range(_N_PLANES
 # quantization → exact ±1 integer dots → sign bits packed per band →
 # same-bucket candidate pairs.
 SIGN_CANDS_CTES = f"""qv AS (
-      SELECT vec_id,
+      -- DISTINCT (vec_id, q): signatures are per distinct CONTENT copy.
+      -- A redelivered verbatim row collapses here; a CONFLICTING
+      -- re-ingest copy (same id, different payload -- the r10 joint
+      -- contract) signs separately, and the candidate set is the union
+      -- over copies (joint+temporal campaign, r12).
+      SELECT DISTINCT vec_id,
              list_transform(range(1, {_DIM + 1}),
                i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 10000, 0)
                          AS BIGINT)) AS q
@@ -86,7 +91,7 @@ SIGN_CANDS_CTES = f"""qv AS (
       {_PLANES_VALUES_SQL}
     ),
     bits AS (
-      SELECT vec_id, j,
+      SELECT vec_id, q, j,
              CASE WHEN list_sum(list_transform(range(1, {_DIM + 1}),
                                                i -> q[i] * w[i])) >= 0
                   THEN (1 << CAST(j % {_BAND_BITS} AS INTEGER))
@@ -94,8 +99,9 @@ SIGN_CANDS_CTES = f"""qv AS (
       FROM qv, planes
     ),
     sign_sigs AS (
+      -- q in the GROUP BY keeps each copy's 8 plane-contribs separate
       SELECT vec_id, j // {_BAND_BITS} AS band, SUM(contrib) AS sig
-      FROM bits GROUP BY vec_id, j // {_BAND_BITS}
+      FROM bits GROUP BY vec_id, q, j // {_BAND_BITS}
     ),
     ecands AS (
       SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
@@ -106,12 +112,26 @@ SIGN_CANDS_CTES = f"""qv AS (
 
 def _sign_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, band, sig) — one packed 8-bit sign signature per band per
-    vector. Shape at scale: quantize + posexplode map-side (64 rows per
-    vector), broadcast the 4096-row plane matrix, partial-agg the exact
-    integer dots map-side so the shuffle carries 64 (vec_id, plane,
-    partial-sum) rows per vector — never the float payload; a second tiny
-    agg packs 8 bands. All codegen'd hash-aggregate, no interpreted HOF
-    in the hot path (the minhash-substrate lesson, llm_dedup.py)."""
+    distinct (vec_id, content) copy. Shape at scale: quantize +
+    posexplode map-side (64 rows per vector), broadcast the 4096-row
+    plane matrix, partial-agg the exact integer dots map-side so the
+    shuffle carries 64 (vec_id, copy-key, plane, partial-sum) rows per
+    vector — never the float payload; a second tiny agg packs 8 bands.
+    All codegen'd hash-aggregate, no interpreted HOF in the hot path
+    (the minhash-substrate lesson, llm_dedup.py).
+
+    Signatures are keyed by (vec_id, ck) where ck is an md5 of the
+    quantized content (r12 joint+temporal campaign): a CONFLICTING
+    re-ingest copy — same id, different payload, the r10 joint contract
+    — must sign separately, or the dot sums of the two copies fold
+    together BEFORE the sign and produce a signature belonging to
+    neither copy (and a different one than the oracle's per-row signs).
+    A verbatim redelivered copy shares its twin's ck; folding doubles
+    every dot, and sign(2d) = sign(d), so its signature is unchanged —
+    no distinct pass needed on the corpus. ck never leaves the engine:
+    only (vec_id, band, sig) is emitted, and the downstream candidate
+    join dedups pairs, so cross-engine parity needs identical GROUPS,
+    not identical keys."""
     em = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
     )
@@ -121,14 +141,22 @@ def _sign_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # but that equivalence was load-bearing-by-accident — spell it. A
     # fixture-shape test (test_wave104) pins the data dim == _DIM so a
     # dim change fails loudly instead of silently signing a prefix.
-    q = parallelize(em).select(
-        "vec_id",
-        F.posexplode(
+    q = (
+        parallelize(em)
+        .select(
+            "vec_id",
             F.expr(
                 f"transform(slice(embedding, 1, {_DIM}),"
                 " x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT))"
-            )
-        ).alias("pos0", "qi"),
+            ).alias("qarr"),
+        )
+        .select(
+            "vec_id",
+            F.md5(
+                F.concat_ws(",", F.expr("transform(qarr, x -> CAST(x AS STRING))"))
+            ).alias("ck"),
+            F.posexplode("qarr").alias("pos0", "qi"),
+        )
     )
     planes = spark.createDataFrame(
         [(j, i, _W[j][i - 1]) for j in range(_N_PLANES) for i in range(1, _DIM + 1)],
@@ -136,11 +164,12 @@ def _sign_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dots = (
         q.join(F.broadcast(planes), (F.col("pos0") + 1) == F.col("i"))
-        .groupBy("vec_id", "j")
+        .groupBy("vec_id", "ck", "j")
         .agg(F.sum(F.col("qi") * F.col("w")).alias("dot"))
     )
     contrib = dots.select(
         "vec_id",
+        "ck",
         (F.col("j") / _BAND_BITS).cast("long").alias("band"),
         F.expr(
             f"CASE WHEN dot >= 0"
@@ -148,7 +177,11 @@ def _sign_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE 0 END"
         ).alias("contrib"),
     )
-    return contrib.groupBy("vec_id", "band").agg(F.sum("contrib").alias("sig"))
+    return (
+        contrib.groupBy("vec_id", "ck", "band")
+        .agg(F.sum("contrib").alias("sig"))
+        .select("vec_id", "band", "sig")
+    )
 
 
 @register(
