@@ -98,9 +98,12 @@ def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t AS (
       SELECT doc_id, n,
+             -- explicit element accesses, not list_slice in the lambda:
+             -- the slice is O(len) per position — quadratic per doc
+             -- (r12 payload campaign)
              list_transform(
                generate_series(1, n - 2),
-               i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
              ) AS tg
       FROM d WHERE n >= 3
     )

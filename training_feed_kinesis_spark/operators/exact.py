@@ -64,3 +64,26 @@ def cents_sum(col: str) -> Column:
     2-decimal column, one terminal division, no terminal ROUND; IEEE
     poisoning semantics preserved on special-float input."""
     return F.expr(CENTS_SUM_SQL.format(col=col))
+
+
+# TOTAL canonicalization token for a float value on the 1e-4 integer
+# grid (r12 payload-extremes campaign): a bare
+# CAST(ROUND(x*10000) AS BIGINT) hard-errors on NaN/±Inf in BOTH
+# engines (ANSI overflow) and on any |x| ≥ ~9.2e14 (the grid exceeds
+# int64), so every content-hash canonicalizer maps those classes to
+# literal tokens instead. Values beyond the grid cap collapse to ONE
+# 'OVF' token per sign-agnostic class — two conflicting copies that
+# differ ONLY in two different over-cap magnitudes at the same position
+# therefore hash equal; that blind spot is deliberate (the same shape
+# as the money census's cents-unrepresentable class) and is what keeps
+# the token total without engine-specific float formatting in the hash.
+_Q4_ARMS = (
+    " WHEN {x} IS NULL THEN 'N'"
+    " WHEN isnan(CAST({x} AS DOUBLE)) THEN 'NaN'"
+    " WHEN CAST({x} AS DOUBLE) = CAST('Infinity' AS DOUBLE) THEN 'Inf'"
+    " WHEN CAST({x} AS DOUBLE) = CAST('-Infinity' AS DOUBLE) THEN '-Inf'"
+    " WHEN abs(CAST({x} AS DOUBLE)) >= 9.0e14 THEN 'OVF'"
+    " ELSE CAST(CAST(ROUND(CAST({x} AS DOUBLE) * 10000, 0) AS BIGINT)"
+)
+Q4_TOKEN = "CASE" + _Q4_ARMS + " AS STRING) END"
+Q4_TOKEN_SQL = "CASE" + _Q4_ARMS + " AS VARCHAR) END"

@@ -66,8 +66,13 @@ _U_SQL = (
     ),
     sh AS (
       SELECT doc_id, is_train,
+             -- explicit element accesses, not array_to_string(w[i:i+7]):
+             -- the list slice in the lambda is O(len(w)) per position —
+             -- quadratic per doc (r12 payload campaign)
              unnest(list_distinct(list_transform(range(1, len(w) - 6),
-               i -> array_to_string(w[i:i+7], ' ')))) AS s
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                    w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+                    w[i+6] || ' ' || w[i+7]))) AS s
       FROM (SELECT doc_id,
                    substr(md5(doc_id::VARCHAR), 1, 2) < 'd0' AS is_train,
                    string_split(lower(text), ' ') AS w

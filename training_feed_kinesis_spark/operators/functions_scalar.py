@@ -217,20 +217,28 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions (the JVM-side alternative to a Python UDF
     for vector math): aggregate-fold for norm², filter+size, element sum.
-    Both engines fold left-to-right over 64 doubles → bit-identical sums."""
+    Both engines fold left-to-right over 64 doubles → bit-identical sums.
+
+    NULL-component contract (r12 payload-extremes campaign): DuckDB's
+    ``list_sum`` SKIPS NULL elements and returns NULL for an all-NULL or
+    empty list, while a raw ``aggregate`` fold NULL-poisons on the first
+    NULL element — so the fold runs over the NULL-filtered array, with a
+    no-non-NULL-elements guard emitting NULL to match ``list_sum``."""
     em = load_table(spark, sf_dir, "embeddings")
+
+    def fold_sum(term: str):
+        # list_sum semantics: skip NULLs, NULL when nothing to sum
+        return F.expr(
+            "CASE WHEN size(filter(embedding, x -> x IS NOT NULL)) > 0"
+            " THEN aggregate(filter(embedding, x -> x IS NOT NULL), 0D,"
+            f" (acc, x) -> acc + {term}) END"
+        )
+
     return em.select(
         "vec_id",
-        F.round(
-            F.expr(
-                "aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
-            ),
-            4,
-        ).alias("norm_sq"),
+        F.round(fold_sum("CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"), 4).alias("norm_sq"),
         F.size(F.expr("filter(embedding, x -> x > 0)")).alias("n_positive"),
-        F.round(
-            F.expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE))"), 4
-        ).alias("elem_sum"),
+        F.round(fold_sum("CAST(x AS DOUBLE)"), 4).alias("elem_sum"),
     )
 
 

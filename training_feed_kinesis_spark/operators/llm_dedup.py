@@ -54,9 +54,15 @@ _SHINGLES = (
     "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), "
     "element_at(toks, i+2)))) ELSE array() END"
 )
+# shingle list over a PRE-MATERIALIZED `toks` column — the same
+# discipline as the Spark _SHINGLES above, on the oracle side (r12
+# payload campaign): inlining the split into the lambda re-evaluates it
+# per element, O(tokens²) per document — a single 100 KB doc took
+# minutes while the materialized spelling does the whole corpus in
+# 0.3 s. Splice below a FROM that projects `toks`.
 _SHINGLES_SQL = (
-    f"list_distinct(list_transform(range(1, len({_TOK_SQL}) - 1), "
-    f"i -> {_TOK_SQL}[i] || ' ' || {_TOK_SQL}[i+1] || ' ' || {_TOK_SQL}[i+2]))"
+    "list_distinct(list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
 )
 
 
@@ -118,7 +124,8 @@ def _shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHINGLE_ROWS_SQL = (
     "SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, "
-    f"unnest({_SHINGLES_SQL}) AS sh FROM documents)"
+    f"unnest({_SHINGLES_SQL}) AS sh FROM "
+    f"(SELECT doc_id, {_TOK_SQL} AS toks FROM documents))"
 )
 
 

@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load_table, parallelize
+from .exact import Q4_TOKEN, Q4_TOKEN_SQL
 
 CAT = "2.J llm-pipeline (similarity)"
 
@@ -55,18 +56,60 @@ CAT = "2.J llm-pipeline (similarity)"
 # ~13 consumers share one gate, which is exactly the "materialize the
 # admitted table once" shape a 100 TB deployment would use (gate at
 # ingest, write the admitted table, let every query scan it).
-_VEC_CANON_SPARK = (
-    "md5(array_join(transform(embedding, "
-    "x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)"
-    " AS STRING)), ','))"
+# --- geometry admission contract (r12 payload-extremes campaign) -----------
+#
+# Cosine/LSH geometry is UNDEFINED for a corrupt vector: a dim-mismatched
+# pair NULL-poisons Spark's zip_with fold while DuckDB's range-indexed
+# list_sum silently sums the overlap; a zero vector divides by zero
+# (ANSI error vs IEEE NaN); NaN/Â±Inf components poison folds with
+# engine-specific comparison semantics; |x| â‰¥ 9e14 leaves the exact 1e-4
+# BIGINT grid every signature/quantization path runs on. The contract â€”
+# the embedding analogue of tables.sane_ts â€” is a map-side per-vector
+# gate applied to every GEOMETRY consumer's input (pairs, topk, LSH,
+# clustering): exactly EMB_DIM components, all non-NULL and finite and
+# on-grid, at least one non-zero. Census keys (dq_embedding_validate,
+# dq_corruption_composite_census) stay ungated BY DESIGN â€” they must see
+# the dirt the gate removes. On a clean corpus the gate is an identity
+# filter; at 100 TB it is a pushed-down scan predicate, never a shuffle.
+EMB_DIM = 64  # corpus dim; tests/test_wave104 pins the fixture to it
+
+GEO_GATE_T = (
+    "({v} IS NOT NULL AND size({v}) = " + str(EMB_DIM)
+    + " AND forall({v}, x -> x IS NOT NULL"
+    " AND NOT isnan(CAST(x AS DOUBLE))"
+    " AND abs(CAST(x AS DOUBLE)) < 9.0e14)"
+    " AND exists({v}, x -> x != 0))"
 )
-VEC_ADMIT_SQL = """embeddings_adm AS (
+GEO_GATE_SQL_T = (
+    "({v} IS NOT NULL AND len({v}) = " + str(EMB_DIM)
+    + " AND len(list_filter({v}, x -> x IS NULL"
+    " OR isnan(CAST(x AS DOUBLE))"
+    " OR abs(CAST(x AS DOUBLE)) >= 9.0e14)) = 0"
+    " AND len(list_filter({v}, x -> x != 0)) > 0)"
+)
+GEO_GATE = GEO_GATE_T.format(v="embedding")
+GEO_GATE_SQL = GEO_GATE_SQL_T.format(v="embedding")
+
+
+def geo_gate(df: DataFrame) -> DataFrame:
+    """Filter a frame carrying an ``embedding`` column to
+    geometry-admissible vectors (see the contract block above)."""
+    return df.filter(F.expr(GEO_GATE))
+
+
+# the election hash canonicalizes through exact.Q4_TOKEN (r12
+# payload-extremes campaign): the bare BIGINT quantization hard-errors
+# on NaN/Â±Inf/over-grid components (ANSI CAST overflow, both engines)
+# exactly when a corrupted table needs the election most
+_VEC_CANON_SPARK = (
+    f"md5(array_join(transform(embedding, x -> {Q4_TOKEN.format(x='x')}), ','))"
+)
+VEC_ADMIT_SQL = f"""embeddings_adm AS (
       SELECT vec_id, embedding, label FROM (
         SELECT vec_id, embedding, label,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
                  md5(array_to_string(list_transform(embedding,
-                   x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 10000, 0)
-                        AS BIGINT) AS VARCHAR)), ','))) AS rn
+                   x -> {Q4_TOKEN_SQL.format(x='x')}), ','))) AS rn
         FROM embeddings
         WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
       ) WHERE rn = 1
@@ -233,7 +276,9 @@ COS_DUP_THRESHOLD = 0.5  # fixture embeddings are random: max pairwise cosine â‰
                  / ({_NORM_SQL.format(v='a.embedding')}
                     * {_NORM_SQL.format(v='b.embedding')}), 4) AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+    WHERE {GEO_GATE_SQL_T.format(v='a.embedding')}
+      AND {GEO_GATE_SQL_T.format(v='b.embedding')}
+      AND {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
           / ({_NORM_SQL.format(v='a.embedding')}
              * {_NORM_SQL.format(v='b.embedding')}) >= {COS_DUP_THRESHOLD}
     """,
@@ -246,8 +291,13 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     + this exact cosine verify â€” candidate-bound at scale (measured 6-8Ã—
     cheaper at the 5Ã— probe, candidates 3.6% of nÂ²), the same
     verify-after-candidates shape as MinHashâ†’Jaccard in llm_dedup_near.
-    Tests pin the LSH path's pairs âŠ† these pairs with equal cosines."""
-    em = load_table(spark, sf_dir, "embeddings")
+    Tests pin the LSH path's pairs âŠ† these pairs with equal cosines.
+
+    Geometry-admissible vectors only (GEO_GATE, r12 payload campaign):
+    cosine is undefined for dim-mismatched / non-finite / zero vectors,
+    and the two engines disagree about HOW it is undefined (zip_with
+    NULL-pads where range-indexed list_sum sums the overlap)."""
+    em = geo_gate(load_table(spark, sf_dir, "embeddings"))
     a = em.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
     b = parallelize(em).select(
         F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
@@ -260,7 +310,12 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expression in both filter and select doubles the interpreted HOF work)
     a = a.withColumn("a_norm", norm("a_emb"))
     b = b.withColumn("b_norm", norm("b_emb"))
-    cos = dot / (F.col("a_norm") * F.col("b_norm"))
+    # zero-norm guard (r12 payload campaign): an all-zero vector makes
+    # the divisor 0, which ANSI-errors on the Spark side where DuckDB's
+    # IEEE division yields NaN â€” both spellings exclude the pair (NULL
+    # and NaN each fail the >= threshold), so the emitted set agrees
+    denom = F.col("a_norm") * F.col("b_norm")
+    cos = F.when(denom != 0, dot / denom)
     return (
         F.broadcast(a)
         .join(b, F.col("a_id") < F.col("b_id"))
@@ -655,7 +710,11 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sqrt(aggregate(embedding, 0D, "
         "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
     )
-    em = load_table(spark, sf_dir, "embeddings").select(
+    # geometry gate (r12 payload campaign): MLlib's LSH fit hard-crashes
+    # on NULL components / mixed dims, and unit-normalizing a zero or
+    # non-finite vector is undefined anyway â€” measure recall over the
+    # admissible corpus, the same population the exact side ranks
+    em = geo_gate(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", array_to_vector(unit).alias("vec")
     )
     if em.isEmpty():

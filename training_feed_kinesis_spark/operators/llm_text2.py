@@ -100,14 +100,26 @@ def llm_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- arithmetic — and an all-invisible doc segments to ZERO sentences
     -- (the element_at(s, 1) crash). Non-ASCII docs profile as NULL on
     -- both engines; the NULL-text arm keeps its r8 semantics.
+    -- blank contract (r12 payload-extremes): empty text segments to []
+    -- but whitespace-only to [[]] under BreakIterator — neither is a
+    -- profile worth diverging over, so blank (trim-empty) text is ZERO
+    -- sentences with NULL word fields on both engines
     SELECT doc_id,
            CASE WHEN t IS NULL OR regexp_matches(t, '[^ -~]') THEN NULL
+                WHEN trim(t, ' ') = '' THEN 0
                 ELSE len(string_split(t, '. '))::INT END AS n_sentences,
-           CASE WHEN t IS NULL OR regexp_matches(t, '[^ -~]') THEN NULL
-                ELSE len(string_split(split_part(t, '. ', 1), ' '))::INT
+           -- words are NON-EMPTY tokens (r12 payload campaign): text
+           -- with a trailing/leading/double space splits into empty
+           -- tokens that BreakIterator word segmentation never emits
+           CASE WHEN t IS NULL OR regexp_matches(t, '[^ -~]')
+                  OR trim(t, ' ') = '' THEN NULL
+                ELSE len(list_filter(string_split(split_part(t, '. ', 1), ' '),
+                                     x -> x != ''))::INT
            END AS first_words,
-           CASE WHEN t IS NULL OR regexp_matches(t, '[^ -~]') THEN NULL
-                ELSE split_part(split_part(t, '. ', 1), ' ', 1)
+           CASE WHEN t IS NULL OR regexp_matches(t, '[^ -~]')
+                  OR trim(t, ' ') = '' THEN NULL
+                ELSE list_filter(string_split(split_part(t, '. ', 1), ' '),
+                                 x -> x != '')[1]
            END AS first_word
     FROM punct
     """,
@@ -125,17 +137,24 @@ def fn_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr("replace(text, ' row ', '. Sent ')").alias("t")
     )
     # same printable-ASCII gate as the oracle; try_element_at keeps the
-    # operator total when segmentation yields zero sentences
+    # operator total when segmentation yields zero sentences. Blank text
+    # is excluded from segmentation and pinned to n_sentences = 0 with
+    # NULL word fields (sentences('') = [] but sentences(' ') = [[]] —
+    # a BreakIterator quirk, not a semantics worth keeping).
     seg = punct.select(
         "doc_id",
+        "t",
         F.expr(
             "CASE WHEN t IS NOT NULL AND t NOT RLIKE '[^ -~]'"
-            " THEN sentences(t) END"
+            " AND trim(t) != '' THEN sentences(t) END"
         ).alias("s"),
     )
     return seg.select(
         "doc_id",
-        F.size("s").alias("n_sentences"),
+        F.expr(
+            "CASE WHEN t IS NOT NULL AND t NOT RLIKE '[^ -~]'"
+            " AND trim(t) = '' THEN 0 ELSE size(s) END"
+        ).alias("n_sentences"),
         F.size(F.expr("try_element_at(s, 1)")).alias("first_words"),
         F.expr("try_element_at(try_element_at(s, 1), 1)").alias("first_word"),
     )

@@ -502,13 +502,15 @@ _CONTAIN_T = 0.8  # containment threshold: A is (mostly) inside B
     CAT_TEXT,
     f"""
     WITH sh AS (
+      -- toks materialized ONCE per doc (r12 payload campaign): the
+      -- split inlined in the lambda is O(tokens²) per document
       SELECT DISTINCT doc_id, sh FROM (
         SELECT doc_id, unnest(list_distinct(list_transform(
-                 range(1, len(string_split(lower(text), ' ')) - 1),
-                 i -> string_split(lower(text), ' ')[i] || ' ' ||
-                      string_split(lower(text), ' ')[i+1] || ' ' ||
-                      string_split(lower(text), ' ')[i+2]))) AS sh
-        FROM documents
+                 range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' ||
+                      toks[i+2]))) AS sh
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents)
       )
     ),
     df AS (SELECT sh, COUNT(*) AS d FROM sh GROUP BY sh),

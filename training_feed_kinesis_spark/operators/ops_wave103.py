@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load_table
+from .exact import Q4_TOKEN, Q4_TOKEN_SQL
 from .llm_dedup import (
     JACCARD_THRESHOLD,
     N_SEEDS,
@@ -210,7 +211,14 @@ def llm_minhash_est_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- dq_corruption_composite_census ------------------------------------------
 
 # canonical payload hashes (PK excluded): same spelling both engines so a
-# CONFLICTING re-ingest version is any id with >1 distinct hash
+# CONFLICTING re-ingest version is any id with >1 distinct hash. Float
+# payloads canonicalize through exact.Q4_TOKEN (r12 payload-extremes
+# campaign): the census must be TOTAL on exactly the corrupt input it
+# exists to triage, and the bare BIGINT quantization hard-errored on a
+# NaN embedding component (ANSI CAST overflow, both engines). The token
+# also keeps NULL components IN the hash ('N') — array_join/
+# array_to_string silently drop NULL elements, so [1, NULL, 2] used to
+# hash equal to [1, 2].
 _PAYLOAD = {
     "documents": (
         "doc_id",
@@ -222,21 +230,21 @@ _PAYLOAD = {
     "embeddings": (
         "vec_id",
         "md5(concat_ws('|', coalesce(array_join(transform(embedding,"
-        " x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)"
-        " AS STRING)), ','), ''), coalesce(CAST(label AS STRING), '')))",
+        f" x -> {Q4_TOKEN.format(x='x')}), ','), ''),"
+        " coalesce(CAST(label AS STRING), '')))",
         "md5(concat_ws('|', coalesce(array_to_string(list_transform(embedding,"
-        " x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)"
-        " AS VARCHAR)), ','), ''), coalesce(label::VARCHAR, '')))",
+        f" x -> {Q4_TOKEN_SQL.format(x='x')}), ','), ''),"
+        " coalesce(label::VARCHAR, '')))",
     ),
     "events": (
         "event_id",
         "md5(concat_ws('|', coalesce(CAST(user_id AS STRING), ''),"
         " coalesce(event_type, ''),"
-        " coalesce(CAST(CAST(ROUND(value * 10000, 0) AS BIGINT) AS STRING), ''),"
+        f" coalesce({Q4_TOKEN.format(x='value')}, ''),"
         " coalesce(date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS'), '')))",
         "md5(concat_ws('|', coalesce(user_id::VARCHAR, ''),"
         " coalesce(event_type, ''),"
-        " coalesce(CAST(CAST(ROUND(value * 10000, 0) AS BIGINT) AS VARCHAR), ''),"
+        f" coalesce({Q4_TOKEN_SQL.format(x='value')}, ''),"
         " coalesce(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), '')))",
     ),
 }

@@ -48,7 +48,16 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table, parallelize
-from .llm_similarity import _DOT, _DOT_SQL, _NORM_SQL, COS_DUP_THRESHOLD
+from .llm_similarity import (
+    _DOT,
+    _DOT_SQL,
+    _NORM_SQL,
+    COS_DUP_THRESHOLD,
+    GEO_GATE,
+    GEO_GATE_SQL,
+    GEO_GATE_SQL_T,
+    geo_gate,
+)
 
 CAT = "2.J llm-pipeline (dedup)"
 
@@ -79,13 +88,24 @@ SIGN_CANDS_CTES = f"""qv AS (
       -- A redelivered verbatim row collapses here; a CONFLICTING
       -- re-ingest copy (same id, different payload -- the r10 joint
       -- contract) signs separately, and the candidate set is the union
-      -- over copies (joint+temporal campaign, r12).
+      -- over copies (joint+temporal campaign, r12). Components that
+      -- cannot land on the exact 1e-4 BIGINT grid (NULL / NaN / ±Inf /
+      -- |x| >= 9e14 -- the bare cast ANSI-errors on them, both
+      -- engines) quantize to NULL and drop out of the signing dot
+      -- (list_sum and Spark's SUM both skip NULLs); the exact-cosine
+      -- verify still sees the raw values (r12 payload campaign).
       SELECT DISTINCT vec_id,
              list_transform(range(1, {_DIM + 1}),
-               i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 10000, 0)
-                         AS BIGINT)) AS q
+               i -> CASE
+                      WHEN embedding[i] IS NULL THEN NULL
+                      WHEN isnan(CAST(embedding[i] AS DOUBLE)) THEN NULL
+                      WHEN abs(CAST(embedding[i] AS DOUBLE)) >= 9.0e14
+                        THEN NULL
+                      ELSE CAST(ROUND(CAST(embedding[i] AS DOUBLE)
+                                      * 10000, 0) AS BIGINT)
+                    END) AS q
       FROM embeddings
-      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+      WHERE vec_id IS NOT NULL AND {GEO_GATE_SQL}
     ),
     planes(j, w) AS (VALUES
       {_PLANES_VALUES_SQL}
@@ -132,8 +152,8 @@ def _sign_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (vec_id, band, sig) is emitted, and the downstream candidate
     join dedups pairs, so cross-engine parity needs identical GROUPS,
     not identical keys."""
-    em = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    em = geo_gate(
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id").isNotNull())
     )
     # slice to the first _DIM dims EXPLICITLY (ADVICE r11): the DuckDB
     # spelling quantizes exactly range(1, _DIM+1); the inner join on the
@@ -141,19 +161,39 @@ def _sign_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # but that equivalence was load-bearing-by-accident — spell it. A
     # fixture-shape test (test_wave104) pins the data dim == _DIM so a
     # dim change fails loudly instead of silently signing a prefix.
+    # non-quantizable components (NULL / NaN / ±Inf / over-grid) map to
+    # NULL and drop out of the signing dot — the bare cast ANSI-errors
+    # on them in both engines (r12 payload campaign); the ck token keeps
+    # an explicit 'N' so a NULLed position still distinguishes copies
+    # (concat_ws silently drops NULL elements)
     q = (
         parallelize(em)
         .select(
             "vec_id",
+            # sequence + try_element_at, NOT slice: mirrors the oracle's
+            # range(1, 65) indexing exactly — a shorter (or even empty)
+            # array yields NULL tail positions in BOTH engines instead
+            # of fewer exploded rows in one of them
             F.expr(
-                f"transform(slice(embedding, 1, {_DIM}),"
-                " x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT))"
+                f"transform(sequence(1, {_DIM}),"
+                " i -> CASE"
+                " WHEN try_element_at(embedding, i) IS NULL THEN NULL"
+                " WHEN isnan(CAST(try_element_at(embedding, i) AS DOUBLE))"
+                "   THEN NULL"
+                " WHEN abs(CAST(try_element_at(embedding, i) AS DOUBLE))"
+                "   >= 9.0e14 THEN NULL"
+                " ELSE CAST(ROUND(CAST(try_element_at(embedding, i) AS DOUBLE)"
+                "   * 10000, 0) AS BIGINT)"
+                " END)"
             ).alias("qarr"),
         )
         .select(
             "vec_id",
             F.md5(
-                F.concat_ws(",", F.expr("transform(qarr, x -> CAST(x AS STRING))"))
+                F.concat_ws(
+                    ",",
+                    F.expr("transform(qarr, x -> coalesce(CAST(x AS STRING), 'N'))"),
+                )
             ).alias("ck"),
             F.posexplode("qarr").alias("pos0", "qi"),
         )
@@ -196,7 +236,9 @@ def _sign_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ecands c
     JOIN embeddings a ON a.vec_id = c.a_id
     JOIN embeddings b ON b.vec_id = c.b_id
-    WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+    WHERE {GEO_GATE_SQL_T.format(v='a.embedding')}
+      AND {GEO_GATE_SQL_T.format(v='b.embedding')}
+      AND {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
           / ({_NORM_SQL.format(v='a.embedding')}
              * {_NORM_SQL.format(v='b.embedding')}) >= {COS_DUP_THRESHOLD}
     """,
@@ -235,7 +277,9 @@ def llm_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
-    em = load_table(spark, sf_dir, "embeddings")
+    # verify legs through the same geometry gate: a conflicting
+    # non-admissible copy of an admitted id must not fan the verify out
+    em = geo_gate(load_table(spark, sf_dir, "embeddings"))
     ea = em.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
     eb = em.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
     dot = F.expr(_DOT.format(a="a_emb", b="b_emb"))
@@ -245,7 +289,11 @@ def llm_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
         )
     )
-    cos = dot / (norm("a_emb") * norm("b_emb"))
+    # zero-norm guard mirrors llm_dedup_embed (r12 payload campaign):
+    # NULL on the Spark side, NaN on the oracle side — both fail the
+    # threshold, so the emitted pair set agrees
+    denom = norm("a_emb") * norm("b_emb")
+    cos = F.when(denom != 0, dot / denom)
     return (
         cands.join(ea, "a_id")
         .join(eb, "b_id")

@@ -39,13 +39,16 @@ BREAK_DAY = 15
     CAT_TEXT,
     f"""
     WITH toks AS (
+      -- words materialized ONCE per doc (r12 payload campaign): the
+      -- split inlined inside the lambda re-evaluates per element --
+      -- O(tokens^2) per document, minutes on a single 100 KB doc
       SELECT doc_id,
-             list_distinct(string_split(lower(text), ' ')) AS uni,
+             list_distinct(w) AS uni,
              list_distinct(list_transform(
-               range(1, len(string_split(lower(text), ' '))),
-               i -> string_split(lower(text), ' ')[i] || ' ' ||
-                    string_split(lower(text), ' ')[i + 1])) AS bi
-      FROM documents
+               range(1, len(w)),
+               i -> w[i] || ' ' || w[i + 1])) AS bi
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents)
     ),
     probe AS (SELECT uni AS p_uni, bi AS p_bi FROM toks WHERE doc_id = 0),
     scored AS (
@@ -92,15 +95,24 @@ def llm_retrieval_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap scan (the llm_sim_topk probe shape), two domain-wide
     rank windows. With N probes the same plan partitions by probe."""
     d = load_table(spark, sf_dir, "documents")
+    # words projected ONCE before the bigram lambda (r12 payload
+    # campaign): split() inlined in the transform re-evaluates per
+    # element — O(tokens²) per document, the llm_dedup._SHINGLES trap
     toks = d.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w")
+    ).select(
         "doc_id",
-        F.array_distinct(F.split(F.lower("text"), " ")).alias("uni"),
+        F.array_distinct(F.col("w")).alias("uni"),
+        # size guard (r12 payload campaign): sequence(1, 0) runs
+        # DESCENDING in Spark, so a 1-word doc would build [1, 0] and
+        # element_at(w, 2) ANSI-errors; DuckDB's range(1, 1) is empty.
+        # Same guard shape as llm_dedup._SHINGLES.
         F.array_distinct(
             F.expr(
-                "transform(sequence(1, size(split(lower(text), ' ')) - 1),"
-                " i -> concat_ws(' ',"
-                " element_at(split(lower(text), ' '), i),"
-                " element_at(split(lower(text), ' '), i + 1)))"
+                "CASE WHEN size(w) >= 2 THEN"
+                " transform(sequence(1, size(w) - 1),"
+                " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"
+                " ELSE array() END"
             )
         ).alias("bi"),
     )

@@ -279,13 +279,15 @@ def stopshingle_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- DISTINCT at (doc_id, sh): the _shingle_rows set discipline — a
       -- re-ingested duplicate doc row must not inflate the df counts
       -- that feed the cap (doc-corruption replay)
+      -- toks materialized ONCE per doc (r12 payload campaign): the
+      -- split inlined in the lambda is O(tokens²) per document
       SELECT DISTINCT doc_id, sh FROM (
         SELECT doc_id, unnest(list_distinct(list_transform(
-                 range(1, len(string_split(lower(text), ' ')) - 1),
-                 i -> string_split(lower(text), ' ')[i] || ' ' ||
-                      string_split(lower(text), ' ')[i+1] || ' ' ||
-                      string_split(lower(text), ' ')[i+2]))) AS sh
-        FROM documents
+                 range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' ||
+                      toks[i+2]))) AS sh
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents)
       )
     ),
     df AS (SELECT sh, COUNT(*) AS d FROM sh GROUP BY sh),
