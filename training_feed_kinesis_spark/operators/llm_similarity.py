@@ -209,6 +209,8 @@ _DOT_SQL = (
                       * {_NORM_SQL.format(v='b.embedding')}), 4) AS cosine
       FROM embeddings_adm a JOIN embeddings_adm b ON a.vec_id != b.vec_id
       WHERE a.vec_id < {N_PROBES}
+        AND {GEO_GATE_SQL_T.format(v='a.embedding')}
+        AND {GEO_GATE_SQL_T.format(v='b.embedding')}
     ),
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -227,8 +229,12 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffle until the tiny per-probe top-k. This exact pattern is how
     brute-force kNN stays viable surprisingly far: 100 TB corpus × small
     probe batch is a linear scan, embarrassingly parallel. It stops scaling
-    when BOTH sides are large — that's llm_sim_lsh's job."""
-    em = load_embeddings_admitted(spark, sf_dir)
+    when BOTH sides are large — that's llm_sim_lsh's job.
+
+    Both sides pass the geometry gate (r12 payload campaign): cosine
+    rank against a zero/non-finite/dim-mismatched neighbor is undefined,
+    engine-dependently."""
+    em = geo_gate(load_embeddings_admitted(spark, sf_dir))
     probes = em.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -337,8 +343,19 @@ def llm_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    em = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("vec")
+    # geometry gate (r12 payload campaign): array_to_vector NPEs on a
+    # NULL embedding and MLlib fit rejects mixed dims. localCheckpoint
+    # is an OPTIMIZER BARRIER, not a perf knob: approxSimilarityJoin's
+    # internal self-join re-plans the input and evaluates the
+    # array_to_vector UDF on pre-filter rows (NPE on the NULL-embedding
+    # sliver) — the checkpoint pins the gate+projection order.
+    em = (
+        geo_gate(load_table(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id",
+            array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"),
+        )
+        .localCheckpoint(eager=False)
     )
     if em.isEmpty():
         # MLlib LSH.fit throws on a zero-row dataset (r9 empty-table
@@ -406,8 +423,11 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the fixture labels are random w.r.t. the vectors, so cross-cell recall
     is a quantizer property, not tested — tests assert exactness WITHIN the
     routed cells against numpy ground truth instead). No SQL oracle:
-    cross-engine float reduction order differs on the group-sum path."""
-    em = load_table(spark, sf_dir, "embeddings")
+    cross-engine float reduction order differs on the group-sum path.
+
+    Geometry-gated input (r12 payload campaign): centroids and cosines
+    are undefined over zero/non-finite/dim-mismatched vectors."""
+    em = geo_gate(load_table(spark, sf_dir, "embeddings"))
     exploded = em.select(
         "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
@@ -479,10 +499,16 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COS_EDGE_THRESHOLD = 0.4  # clustering threshold: 59 edges over 500 vecs at sf0.01
 
+# edge legs through the geometry gate (r12 payload campaign): a corrupt
+# vector can never MERGE (its cosine is engine-dependently undefined) but
+# it stays IN the label manifest as its own singleton component — the
+# seeds below are deliberately ungated
 _EDGES_SQL = f"""
   SELECT a.vec_id AS a, b.vec_id AS b
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-  WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+  WHERE {GEO_GATE_SQL_T.format(v='a.embedding')}
+    AND {GEO_GATE_SQL_T.format(v='b.embedding')}
+    AND {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
         / ({_NORM_SQL.format(v='a.embedding')}
            * {_NORM_SQL.format(v='b.embedding')}) >= {COS_EDGE_THRESHOLD}
 """
@@ -616,6 +642,10 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id").isNotNull()
     )
+    # edge legs gate to geometry-admissible vectors (r12 payload
+    # campaign; see _EDGES_SQL) — the seed frame stays ungated so a
+    # corrupt vector keeps its singleton label instead of vanishing
+    gated = geo_gate(em)
     # norms depend only on the vector, so they are computed ONCE per side
     # before the O(n²) join — the per-pair filter is then a single dot
     # aggregate plus a divide instead of dot + two 64-step norm aggregates
@@ -625,12 +655,12 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = lambda c: F.sqrt(  # noqa: E731
         F.expr(f"aggregate({c}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
     )
-    a = em.select(
+    a = gated.select(
         F.col("vec_id").alias("a"),
         F.col("embedding").alias("a_emb"),
         norm("embedding").alias("a_norm"),
     )
-    b = parallelize(em).select(
+    b = parallelize(gated).select(
         F.col("vec_id").alias("b"),
         F.col("embedding").alias("b_emb"),
         norm("embedding").alias("b_norm"),
@@ -713,9 +743,13 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # geometry gate (r12 payload campaign): MLlib's LSH fit hard-crashes
     # on NULL components / mixed dims, and unit-normalizing a zero or
     # non-finite vector is undefined anyway — measure recall over the
-    # admissible corpus, the same population the exact side ranks
-    em = geo_gate(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", array_to_vector(unit).alias("vec")
+    # admissible corpus, the same population the exact side ranks.
+    # localCheckpoint = optimizer barrier (see llm_sim_lsh): the approx
+    # join re-plans the input and runs the vector UDF on pre-filter rows.
+    em = (
+        geo_gate(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", array_to_vector(unit).alias("vec"))
+        .localCheckpoint(eager=False)
     )
     if em.isEmpty():
         # MLlib LSH.fit throws on a zero-row dataset (r9 empty-table

@@ -36,7 +36,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load_table, parallelize
-from .ops_wave96 import _GH_HEX, SPAN_K
+from .ops_wave96 import GRAMS_CTES, SPAN_K, _gram_rows
 
 CAT = "2.J llm-pipeline (dedup)"
 
@@ -50,14 +50,7 @@ _LT = (
     "llm_dup_span_extract",
     CAT,
     f"""
-    WITH grams AS (
-      SELECT doc_id,
-             unnest(range(1, length({_LT}) - {SPAN_K} + 2)) AS pos,
-             substr(md5(substr({_LT},
-               CAST(unnest(range(1, length({_LT}) - {SPAN_K} + 2)) AS INT),
-               {SPAN_K})), 1, {_GH_HEX}) AS gh
-      FROM documents WHERE length(text) >= {SPAN_K}
-    ),
+    WITH {GRAMS_CTES},
     shared AS (
       SELECT gh FROM grams GROUP BY gh HAVING MIN(doc_id) <> MAX(doc_id)
     ),
@@ -100,24 +93,9 @@ def llm_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints (see module docstring). The manifest a rewrite pass
     cuts and an audit ledger publishes."""
     d = parallelize(load_table(spark, sf_dir, "documents"))
-    grams = (
-        d.filter(F.length("text") >= SPAN_K)
-        .select("doc_id", F.expr(_LT).alias("lt"))
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(1), F.length("lt") - SPAN_K + 1)).alias(
-                "pos"
-            ),
-            "lt",
-        )
-        .select(
-            "doc_id",
-            "pos",
-            F.substring(
-                F.md5(F.expr(f"substring(lt, pos, {SPAN_K})")), 1, _GH_HEX
-            ).alias("gh"),
-        )
-    )
+    # linear K-shifted-chunkings gram enumeration, shared with the
+    # census (r12 payload campaign — see ops_wave96.GRAMS_CTES)
+    grams = _gram_rows(spark, sf_dir).select("doc_id", "pos", "gh")
     shared = (
         grams.groupBy("gh")
         .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))

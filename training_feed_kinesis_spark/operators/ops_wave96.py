@@ -45,19 +45,94 @@ SPAN_K = 24
 # key collides within ~100k grams; 64-bit holds to ~10^9.5).
 _GH_HEX = 16
 
+_LT_EXPR = (
+    "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+    " 'abcdefghijklmnopqrstuvwxyz')"
+)
+
+# LINEAR overlapping-gram enumeration (r12 payload campaign), shared by
+# llm_dup_span_census and llm_dup_span_extract on BOTH engines. The
+# naive per-position spelling — substr(lt, pos, K) for every pos — is
+# O(chars²) per document, because char-indexed substr on a UTF-8 string
+# must scan from the start (O(pos) per call, in Spark's UTF8String and
+# DuckDB alike): a corpus with 100 KB documents took 251 s oracle-side
+# and ~7 min Spark-side. Every overlapping K-gram is instead produced by
+# K SHIFTED NON-OVERLAPPING chunkings, each a single O(n) regex pass:
+# for offset r in [0, K), '(?s).{K}' over substring(lt, r+1) yields the
+# grams at positions ≡ r+1 (mod K), and pos = r + 1 + chunk_index·K.
+# Gram set and positions are IDENTICAL to the per-position spelling
+# ((?s) keeps '.' matching newlines; both engines' '.' is one code
+# point, the same grid their length()/substring() count). AS
+# MATERIALIZED is load-bearing on the DuckDB side: plain CTEs inline,
+# which would re-evaluate the fold (and the regex) inside per-row
+# projections of the laterals.
+GRAMS_CTES = f"""lt AS MATERIALIZED (
+      SELECT doc_id, {_LT_EXPR} AS lt
+      FROM documents WHERE length(text) >= {SPAN_K}
+    ),
+    chunks AS MATERIALIZED (
+      SELECT doc_id, length(lt) AS doc_len, CAST(r AS INT) AS r,
+             regexp_extract_all(substr(lt, CAST(r AS INT) + 1),
+                                '(?s).{{{SPAN_K}}}') AS cs
+      FROM lt, UNNEST(range(0, {SPAN_K})) AS t(r)
+    ),
+    grams AS (
+      SELECT doc_id, doc_len,
+             CAST(r + 1 + (i - 1) * {SPAN_K} AS INT) AS pos,
+             substr(md5(cs[CAST(i AS INT)]), 1, {_GH_HEX}) AS gh
+      FROM chunks, UNNEST(range(1, len(cs) + 1)) AS t(i)
+    )"""
+
+
+def _gram_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, doc_len, pos, gh) — one row per overlapping SPAN_K-char
+    gram, via the linear K-shifted-chunkings spelling (see GRAMS_CTES).
+    The Spark win is double: substring-per-position was O(pos) per call,
+    and the exploded (pos, lt) rows carried the WHOLE document text into
+    the explode — here the text fans out only K ways (one substring copy
+    per shift), and the exploded rows carry 24-char grams."""
+    import os as _os
+
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    offs = spark.range(SPAN_K).select(F.col("id").cast("int").alias("r"))
+    chunks = (
+        d.filter(F.length("text") >= SPAN_K)
+        .select("doc_id", F.expr(_LT_EXPR).alias("lt"))
+        .crossJoin(F.broadcast(offs))
+        .select(
+            "doc_id",
+            F.length("lt").alias("doc_len"),
+            "r",
+            F.expr(
+                f"regexp_extract_all(substring(lt, r + 1),"
+                f" '(?s).{{{SPAN_K}}}', 0)"
+            ).alias("cs"),
+        )
+    )
+    g = chunks.select(
+        "doc_id", "doc_len", "r", F.posexplode("cs").alias("ci", "gram")
+    )
+    # TFK_HASH_SHINGLES=1 (same flag as llm_contamination): 8-byte
+    # xxhash64 keys instead of 16-hex-char strings — halves both
+    # shuffles; off by default only because xxhash64 has no DuckDB twin.
+    gh = (
+        F.xxhash64("gram")
+        if _os.environ.get("TFK_HASH_SHINGLES") == "1"
+        else F.substring(F.md5("gram"), 1, _GH_HEX)
+    )
+    return g.select(
+        "doc_id",
+        "doc_len",
+        (F.col("r") + 1 + F.col("ci") * SPAN_K).alias("pos"),
+        gh.alias("gh"),
+    )
+
 
 @register(
     "llm_dup_span_census",
     CAT_DEDUP,
     f"""
-    WITH grams AS (
-      SELECT doc_id, length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS doc_len,
-             unnest(range(1, length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) - {SPAN_K} + 2)) AS pos,
-             substr(md5(substr(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
-               CAST(unnest(range(1, length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) - {SPAN_K} + 2))
-                    AS INT), {SPAN_K})), 1, {_GH_HEX}) AS gh
-      FROM documents WHERE length(text) >= {SPAN_K}
-    ),
+    WITH {GRAMS_CTES},
     shared AS (
       SELECT gh FROM grams GROUP BY gh HAVING MIN(doc_id) <> MAX(doc_id)
     ),
@@ -118,44 +193,11 @@ def llm_dup_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     array of the original paper is what this pipeline replaces: the
     gram-hash join finds the same ≥K-char cross-doc repeats with
     shuffle-friendly primitives and no global sort."""
-    d = parallelize(load_table(spark, sf_dir, "documents"))
-    grams = (
-        d.filter(F.length("text") >= SPAN_K)
-        .select(
-            "doc_id",
-            F.expr("translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')").alias("lt"),
-        )
-        .select(
-            "doc_id",
-            F.length("lt").alias("doc_len"),
-            F.explode(
-                F.sequence(F.lit(1), F.length("lt") - SPAN_K + 1)
-            ).alias("pos"),
-            "lt",
-        )
-        .select(
-            "doc_id",
-            "doc_len",
-            "pos",
-            # TFK_HASH_SHINGLES=1 (same flag as llm_contamination): key
-            # grams by an 8-byte xxhash64 BIGINT instead of a 16-char hex
-            # string — halves the width of both shuffles with identical
-            # results barring a 64-bit collision between DISTINCT grams
-            # (≈n²/2⁶⁵). Off by default only because xxhash64 has no
-            # DuckDB twin and the md5 spelling is what the oracle checks;
-            # equivalence is pinned by
-            # test_dup_span_census_hashed_grams_equivalent.
-            (
-                F.xxhash64(F.expr(f"substring(lt, pos, {SPAN_K})"))
-                if _os.environ.get("TFK_HASH_SHINGLES") == "1"
-                else F.substring(
-                    F.md5(F.expr(f"substring(lt, pos, {SPAN_K})")),
-                    1,
-                    _GH_HEX,
-                )
-            ).alias("gh"),
-        )
-    )
+    # linear K-shifted-chunkings gram enumeration (r12 payload
+    # campaign) — see _gram_rows / GRAMS_CTES; the TFK_HASH_SHINGLES=1
+    # BIGINT-key variant lives there too, equivalence pinned by
+    # test_dup_span_census_hashed_grams_equivalent
+    grams = _gram_rows(spark, sf_dir)
     shared = (
         grams.groupBy("gh")
         .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
