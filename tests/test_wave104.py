@@ -136,9 +136,12 @@ def test_candidate_join_is_equijoin_no_cartesian(spark):
     plan = _plan(_REGISTRY["llm_dedup_embed_lsh"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # sign-dot aggregation must partial-aggregate map-side: the shuffle
-    # carries (vec_id, plane, partial sum), never the exploded dims
+    # r12: signatures are computed fully map-side (one HOF projection,
+    # zero shuffle); the remaining aggregates are the candidate-pair
+    # dropDuplicates — pin that the pair dedup survives
     assert plan.count("HashAggregate") >= 2
+    # and the former ×64 plane fan-out join must not come back
+    assert "posexplode" not in plan
 
 
 def test_candidate_volume_prunes_pair_space(spark):

@@ -84,6 +84,9 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_tag += f"_{st.st_mtime_ns}_{st.st_size}"
     except OSError:
         pass
+    # session-scoped (r12 optimization-round contract): derived-from-testdata
+    # fixture dirs must not outlive the process that built them
+    sf_tag += f"_{spark.sparkContext.applicationId}"
     out = os.path.join(SCRATCH, f"dpp_fact_v2_{sf_tag}")
     li = load_table(spark, sf_dir, "lineitem").select(
         F.year("l_shipdate").cast("int").alias("shipyear"),

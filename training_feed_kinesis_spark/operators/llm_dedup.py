@@ -214,17 +214,38 @@ _MINHASH_SQL = f"""
 """
 
 
+def _minhash_min_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, m0..m{N_SEEDS-1}) — all seeded minhash minima in ONE
+    codegen'd aggregation (r12, guide §2.3/§2.4: aggregate before you
+    shuffle, shuffle fewer rows). Replaces the shingle-rows × seeds
+    cross join + (doc_id, seed) shuffle: the N_SEEDS md5s are computed
+    per shingle row as columns and partial-aggregated map-side, so one
+    tiny (doc_id)-keyed exchange carries N_SEEDS strings per doc.
+
+    The cross-row dropDuplicates of _shingle_rows is deliberately
+    skipped: MIN is duplicate-insensitive, so redelivered or
+    conflicting re-ingest copies produce the same minima as the
+    deduplicated union of versions — bit-identical results without the
+    (doc_id, sh)-wide dedup shuffle."""
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    per_row = d.select("doc_id", F.expr(_TOK).alias("toks")).select(
+        "doc_id", F.explode(F.expr(_SHINGLES)).alias("sh")
+    )
+    return per_row.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"m{s}")
+            for s in range(N_SEEDS)
+        ]
+    )
+
+
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingle_rows(spark, sf_dir)
-    seeds = spark.range(N_SEEDS).select(F.col("id").cast("int").alias("seed"))
-    return (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh")))
-            ).alias("minhash")
-        )
+    mins = _minhash_min_cols(spark, sf_dir)
+    return mins.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"m{s}") for s in range(N_SEEDS)])
+        ).alias("seed", "minhash"),
     )
 
 
@@ -357,21 +378,49 @@ def _band_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _band_sigs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = _minhash_sigs(spark, sf_dir)
-    return (
-        sigs.withColumn("band", (F.col("seed") / BAND_SIZE).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat(
-                    F.col("band").cast("string"),
-                    F.lit(":"),
-                    F.min("minhash"),
-                    F.lit("|"),
-                    F.max("minhash"),
-                )
-            ).alias("band_sig")
-        )
+    # r12: derived map-side from the one-aggregation minhash columns —
+    # the former (doc_id, band) re-aggregation (another exchange) is now
+    # an array_min/array_max over each band's seed columns per row; the
+    # md5(band:min|max) spelling (and therefore every band_sig value) is
+    # unchanged
+    mins = _minhash_min_cols(spark, sf_dir)
+    n_bands = N_SEEDS // BAND_SIZE
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.md5(
+                    F.concat(
+                        F.lit(f"{b}:"),
+                        F.array_min(
+                            F.array(
+                                *[
+                                    F.col(f"m{s}")
+                                    for s in range(
+                                        b * BAND_SIZE, (b + 1) * BAND_SIZE
+                                    )
+                                ]
+                            )
+                        ),
+                        F.lit("|"),
+                        F.array_max(
+                            F.array(
+                                *[
+                                    F.col(f"m{s}")
+                                    for s in range(
+                                        b * BAND_SIZE, (b + 1) * BAND_SIZE
+                                    )
+                                ]
+                            )
+                        ),
+                    )
+                ).alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return mins.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig")
     )
 
 
@@ -542,9 +591,23 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-bit pigeonhole block has 16 possible values, so every 16th doc
     pair collides and candidate generation degenerates toward n²/16
     (measured 268 s at sf0.1; with 16-bit blocks a collision almost
-    always IS a near-dup). Scale: explode(tokens)×64 rows shuffle as (doc, bitpos)
-    ints — the text itself never shuffles."""
+    always IS a near-dup). Scale: ONE shuffled aggregation keyed on
+    doc_id whose payload is 64 small-int partial sums per doc — the
+    token hashes, like the text, never shuffle.
+
+    r12 optimization (guide §2.3/§2.4 — aggregate before you shuffle,
+    shuffle fewer rows): the bit dimension is evaluated as 64 COLUMNS of
+    one codegen'd aggregate instead of exploding every token row ×64 into
+    (doc_id, bitpos, w) rows through TWO shuffled aggregations. Same
+    per-token hex-digit votes, same SUM>0 sign per bit, same concatenated
+    bit-string — bit-identical output (the oracle SQL is unchanged), but
+    the 64× row fan-out, one full exchange and one aggregation stage are
+    gone (measured 7.3 s → ~1.5 s for the downstream pair scan at sf0.1;
+    per-key numbers in OPTIMIZATION_r12.md)."""
     d = parallelize(load_table(spark, sf_dir, "documents"))
+    # the cross-row distinct is load-bearing under CONFLICTING re-ingest
+    # (same doc_id, different text): a token shared by both versions must
+    # vote once, not once per version (union-of-versions set semantics)
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.expr(_TOK))).alias("token")
     ).distinct()
@@ -554,34 +617,25 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("token"), F.md5(F.concat(F.col("token"), F.lit("#")))
         ).alias("h"),
     )
-    weights = tokh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.lit(SIMHASH_BITS))).alias("bitpos"),
-        "h",
-    ).select(
-        "doc_id",
-        "bitpos",
+    # ±1 vote of hex digit i, spelled exactly like the exploded original
+    # (instr('89abcdef', digit) > 0 → +1 else −1)
+    vote = [
         F.when(
-            F.instr(
-                F.lit("89abcdef"), F.expr("substring(h, bitpos, 1)")
-            )
-            > 0,
-            1,
-        )
-        .otherwise(-1)
-        .alias("w"),
+            F.instr(F.lit("89abcdef"), F.substring("h", i, 1)) > 0, 1
+        ).otherwise(-1)
+        for i in range(1, SIMHASH_BITS + 1)
+    ]
+    wsums = tokh.groupBy("doc_id").agg(
+        *[F.sum(vote[i - 1]).alias(f"s{i}") for i in range(1, SIMHASH_BITS + 1)]
     )
-    bits = weights.groupBy("doc_id", "bitpos").agg(
-        F.when(F.sum("w") > 0, 1).otherwise(0).alias("bit")
-    )
-    return bits.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("bitpos", "bit"))),
-                lambda s: s.bit.cast("string"),
-            ),
-            "",
-        ).alias("simhash64")
+    return wsums.select(
+        "doc_id",
+        F.concat(
+            *[
+                F.when(F.col(f"s{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+                for i in range(1, SIMHASH_BITS + 1)
+            ]
+        ).alias("simhash64"),
     )
 
 

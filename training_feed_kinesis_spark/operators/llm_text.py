@@ -203,7 +203,12 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df derived from tf, not from a second explode of the corpus: tf has
+    # exactly one row per distinct (doc, term), so COUNT per term ≡
+    # COUNT(DISTINCT doc_id) over the token stream — one scan + explode
+    # instead of two, and no distinct-aggregate expand (r12, guide §2.4;
+    # Catalyst reuses tf's exchange for both consumers)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         tf.join(F.broadcast(df), "term")

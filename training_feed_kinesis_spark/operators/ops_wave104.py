@@ -132,26 +132,25 @@ SIGN_CANDS_CTES = f"""qv AS (
 
 def _sign_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, band, sig) — one packed 8-bit sign signature per band per
-    distinct (vec_id, content) copy. Shape at scale: quantize +
-    posexplode map-side (64 rows per vector), broadcast the 4096-row
-    plane matrix, partial-agg the exact integer dots map-side so the
-    shuffle carries 64 (vec_id, copy-key, plane, partial-sum) rows per
-    vector — never the float payload; a second tiny agg packs 8 bands.
-    All codegen'd hash-aggregate, no interpreted HOF in the hot path
-    (the minhash-substrate lesson, llm_dedup.py).
+    input row. Shape at scale (r12 optimization, guide §2.3/§2.4): the
+    ±1 hyperplane matrix is a COMPILE-TIME constant, so every plane dot
+    is a signed sum of the row's 64 quantized components — 64 codegen'd
+    integer expressions evaluated map-side inside the scan stage. The
+    former spelling posexploded each vector ×64 dims, broadcast-joined a
+    4096-row plane table (a ×64 fan-out to n×4096 rows) and ran TWO
+    shuffled aggregations; all of that is now a single per-row
+    projection + an 8-struct explode. ZERO shuffle, zero interpreted
+    HOF; identical sig values (same exact BIGINT dot, same >= 0 sign,
+    same bit packing).
 
-    Signatures are keyed by (vec_id, ck) where ck is an md5 of the
-    quantized content (r12 joint+temporal campaign): a CONFLICTING
-    re-ingest copy — same id, different payload, the r10 joint contract
-    — must sign separately, or the dot sums of the two copies fold
-    together BEFORE the sign and produce a signature belonging to
-    neither copy (and a different one than the oracle's per-row signs).
-    A verbatim redelivered copy shares its twin's ck; folding doubles
-    every dot, and sign(2d) = sign(d), so its signature is unchanged —
-    no distinct pass needed on the corpus. ck never leaves the engine:
-    only (vec_id, band, sig) is emitted, and the downstream candidate
-    join dedups pairs, so cross-engine parity needs identical GROUPS,
-    not identical keys."""
+    Per-row signing keeps the r12 joint+temporal contract for free: a
+    CONFLICTING re-ingest copy (same id, different payload — the r10
+    joint contract) signs separately BY CONSTRUCTION, since nothing
+    folds rows before the sign. A verbatim redelivered copy emits a
+    duplicate (vec_id, band, sig) row (the former spelling collapsed it
+    via its copy-key groupBy); the only consumer is the candidate
+    self-join, which dropDuplicates the (a_id, b_id) pairs, so the
+    candidate set — and every emitted result — is unchanged."""
     em = geo_gate(
         load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id").isNotNull())
     )
@@ -162,10 +161,10 @@ def _sign_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture-shape test (test_wave104) pins the data dim == _DIM so a
     # dim change fails loudly instead of silently signing a prefix.
     # non-quantizable components (NULL / NaN / ±Inf / over-grid) map to
-    # NULL and drop out of the signing dot — the bare cast ANSI-errors
-    # on them in both engines (r12 payload campaign); the ck token keeps
-    # an explicit 'N' so a NULLed position still distinguishes copies
-    # (concat_ws silently drops NULL elements)
+    # NULL — the bare cast ANSI-errors on them in both engines (r12
+    # payload campaign); the geometry gate above excludes them, so the
+    # signing sums below never actually see a NULL (asserted by the
+    # gate's contract, relied on by the plain + chains)
     q = (
         parallelize(em)
         .select(
@@ -187,41 +186,41 @@ def _sign_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " END)"
             ).alias("qarr"),
         )
-        .select(
-            "vec_id",
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.expr("transform(qarr, x -> coalesce(CAST(x AS STRING), 'N'))"),
-                )
-            ).alias("ck"),
-            F.posexplode("qarr").alias("pos0", "qi"),
+    )
+
+    # One higher-order-function expression computes all 8 band sigs:
+    # `qarr` is referenced exactly ONCE, so projection collapse cannot
+    # duplicate the quantization tree (a fully unrolled 4096-term
+    # codegen spelling was tried first: CollapseProject inlined qarr's
+    # 64-branch CASE into every one of its 4096 references — a
+    # multi-million-node expression tree that OOMed the driver during
+    # broadcast build). The plane matrix is a literal array-of-arrays —
+    # all-foldable, so ConstantFolding reduces it to ONE array Literal
+    # at plan time. dot_j is a sequential exact-BIGINT fold (integer
+    # addition is exactly associative, so it equals the former
+    # SUM-over-group bit for bit; the geometry gate guarantees no NULL
+    # components reach the fold).
+    w2 = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(str(v) + "L" for v in row) + ")" for row in _W
         )
+        + ")"
     )
-    planes = spark.createDataFrame(
-        [(j, i, _W[j][i - 1]) for j in range(_N_PLANES) for i in range(1, _DIM + 1)],
-        "j INT, i INT, w BIGINT",
+    n_bands = _N_PLANES // _BAND_BITS
+    sig_structs = (
+        f"transform(sequence(0, {n_bands - 1}), b ->"
+        " named_struct('band', CAST(b AS BIGINT), 'sig',"
+        f" aggregate(sequence(0, {_BAND_BITS - 1}), CAST(0 AS BIGINT),"
+        " (acc, i) -> acc + CASE WHEN"
+        f" aggregate(sequence(1, {_DIM}), CAST(0 AS BIGINT),"
+        f" (a2, k) -> a2 + element_at(qarr, k)"
+        f" * element_at(element_at({w2}, b * {_BAND_BITS} + i + 1), k))"
+        " >= 0 THEN shiftleft(1, i) ELSE 0 END)))"
     )
-    dots = (
-        q.join(F.broadcast(planes), (F.col("pos0") + 1) == F.col("i"))
-        .groupBy("vec_id", "ck", "j")
-        .agg(F.sum(F.col("qi") * F.col("w")).alias("dot"))
-    )
-    contrib = dots.select(
-        "vec_id",
-        "ck",
-        (F.col("j") / _BAND_BITS).cast("long").alias("band"),
-        F.expr(
-            f"CASE WHEN dot >= 0"
-            f" THEN shiftleft(1, CAST(j % {_BAND_BITS} AS INT))"
-            f" ELSE 0 END"
-        ).alias("contrib"),
-    )
-    return (
-        contrib.groupBy("vec_id", "ck", "band")
-        .agg(F.sum("contrib").alias("sig"))
-        .select("vec_id", "band", "sig")
-    )
+    return q.select(
+        "vec_id", F.expr(f"explode({sig_structs})").alias("bb")
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig"))
 
 
 @register(

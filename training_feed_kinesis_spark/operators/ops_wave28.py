@@ -116,6 +116,9 @@ def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_tag += f"_{_st.st_mtime_ns}_{_st.st_size}"
     except OSError:
         pass
+    # session-scoped (r12 optimization-round contract): derived-from-testdata
+    # fixture dirs must not outlive the process that built them
+    sf_tag += f"_{spark.sparkContext.applicationId}"
     root = os.path.join(SCRATCH, f"corrupt_scan_{sf_tag}")
     ev = load_table(spark, sf_dir, "events")
     if not os.path.isfile(os.path.join(root, "_READY")):

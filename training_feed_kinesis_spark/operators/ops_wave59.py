@@ -53,6 +53,9 @@ def _doc_replay_dir(spark: SparkSession, sf_dir: str) -> str:
         sf_tag += f"_{_st.st_mtime_ns}_{_st.st_size}"
     except OSError:
         pass
+    # session-scoped (r12 optimization-round contract): derived-from-testdata
+    # fixture dirs must not outlive the process that built them
+    sf_tag += f"_{spark.sparkContext.applicationId}"
     out = os.path.join(SCRATCH, f"docs_replay_{sf_tag}")
     if os.path.isfile(os.path.join(out, "_READY")):
         return out

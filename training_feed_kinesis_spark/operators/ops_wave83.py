@@ -59,6 +59,9 @@ def _mod4_replay(spark: SparkSession, sf_dir: str) -> str:
         sf_tag += f"_{_st.st_mtime_ns}_{_st.st_size}"
     except OSError:
         pass
+    # session-scoped (r12 optimization-round contract): derived-from-testdata
+    # fixture dirs must not outlive the process that built them
+    sf_tag += f"_{spark.sparkContext.applicationId}"
     out = os.path.join(SCRATCH, f"replay_mod4_{sf_tag}")
     if os.path.isfile(os.path.join(out, "_READY")):
         return out

@@ -60,17 +60,26 @@ def _stamp_mtimes(path: str, base_offset: int = 0) -> int:
 
 
 def _prepare(spark: SparkSession, sf_dir: str, variant: str) -> str:
-    """Write the replay files once per (sf_dir, variant); return source dir.
+    """Write the replay files once per (session, sf_dir, variant); return
+    source dir.
 
     The replay content is a deterministic function of (events.parquet,
-    variant), so the directory is cached at a STABLE path and reused across
-    processes — a `_READY` marker written after the mtime stamping guards
-    against reusing a partial dir from a crashed writer. Checkpoints are
+    variant); the directory is cached per SESSION (applicationId in the
+    path — see the r12 note below) — a `_READY` marker written after the
+    mtime stamping guards against reusing a partial dir from a crashed
+    writer racing a concurrent builder in the same session. Checkpoints are
     never reused (each drain gets a fresh one)."""
-    key = (sf_dir, variant)
+    key = (spark.sparkContext.applicationId, sf_dir, variant)
     if key in _prepared and os.path.isdir(_prepared[key]):
         return _prepared[key]
     sf_tag = sf_dir.strip("/").split("/")[-1].replace(".", "_")
+    # SESSION-scoped (r12 optimization-round contract): the replay source is
+    # derived from events.parquet, so a dir that outlives the process would
+    # be a persisted intermediate keyed on the test data — a later bench or
+    # verify invocation must rebuild it from the parquet inputs, not find it
+    # pre-built by an earlier one. Within one process (one pytest session,
+    # one bench run) reuse is unchanged.
+    sf_tag += f"_{spark.sparkContext.applicationId}"
     # the cache key must identify the CONTENT, not just the dir name:
     # pytest tmp fixture dirs reuse names across sessions (nullsf0, ...)
     # while their generated corruption changes — a name-only key once

@@ -41,14 +41,6 @@ TABLES = (
 ALWAYS_BROADCAST = frozenset({"region", "nation"})
 
 
-# Opt-in table cache (bench.py): the headline suite touches the same few
-# tables ~35 times; caching the post-normalization DataFrames once removes
-# the repeated parquet scan/decode fixed cost from every timed query. Never
-# enabled for correctness runs — results are identical either way, this is
-# purely a shared-scan optimization.
-_table_cache: dict[tuple[str, str], DataFrame] = {}
-
-
 # ---------------------------------------------------------------------------
 # Temporal admission contract (round-12 campaign; SURVEY §5.3.11).
 #
@@ -96,23 +88,9 @@ def sane_ts_sql(col: str) -> str:
     )
 
 
-def cache_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
-    """Cache + materialize the given tables; later load_table calls for
-    (sf_dir, name) return the in-memory columnar copy."""
-    for n in names:
-        key = (sf_dir, n)
-        if key not in _table_cache:
-            df = load_table(spark, sf_dir, n).cache()
-            df.count()
-            _table_cache[key] = df
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table, applying required session confs + load-time fixes."""
     configure(spark)
-    cached = _table_cache.get((sf_dir, name))
-    if cached is not None:
-        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
