@@ -88,10 +88,35 @@ def sane_ts_sql(col: str) -> str:
     )
 
 
+# Plan memo (r12): (applicationId, path, mtime_ns, size) -> the lazy,
+# UNCACHED post-normalization DataFrame. METADATA/plan reuse only — every
+# action over the returned frame re-reads the parquet (no .cache(), no
+# materialization). Motivation: spark.read.parquet does an eager
+# driver-side footer read + file listing per call (~60-90 ms of py4j +
+# I/O), and the headline bench constructs several hundred table frames per
+# run, so relation construction alone was multi-second driver overhead.
+# At 100 TB this memo is the table catalog (HMS/Iceberg), which serves
+# exactly this metadata. Content-keyed on (mtime_ns, size) like the replay
+# caches, so an in-place fixture rewrite misses cleanly; applicationId in
+# the key scopes it to one session (DataFrame plans are session-bound).
+_TABLE_PLAN_MEMO: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table, applying required session confs + load-time fixes."""
     configure(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    skey = None
+    try:
+        st = os.stat(path)
+        skey = (
+            spark.sparkContext.applicationId, path, st.st_mtime_ns, st.st_size
+        )
+    except OSError:
+        pass
+    if skey and skey in _TABLE_PLAN_MEMO:
+        return _TABLE_PLAN_MEMO[skey]
+    df = spark.read.parquet(path)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
@@ -104,11 +129,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # NTZ ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]). Session tz is pinned
             # UTC, so the cast is wall-clock-preserving and DuckDB parity holds.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if skey:
+        _TABLE_PLAN_MEMO[skey] = df
     return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+# Partition-count memo (r12): (applicationId, DataFrame identity) -> scan
+# partition count. The ``df.rdd`` probe below physically plans the whole
+# query a second time (~80-90 ms of driver work per call, thrown away);
+# the count is a pure function of the plan within a session, so it is
+# metadata — memoized like the table plans, never data.
+_NPART_MEMO: dict = {}
 
 
 def parallelize(df: DataFrame) -> DataFrame:
@@ -123,7 +158,17 @@ def parallelize(df: DataFrame) -> DataFrame:
     rows buys a cores-wide compute stage."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # keyed on the DataFrame OBJECT (load_table memoizes and returns the
+    # same object per table per session, so repeated invocations hit);
+    # the df reference in the value pins the id against reuse after GC
+    key = (spark.sparkContext.applicationId, id(df))
+    hit = _NPART_MEMO.get(key)
+    if hit is not None and hit[1] is df:
+        n = hit[0]
+    else:
+        n = df.rdd.getNumPartitions()
+        _NPART_MEMO[key] = (n, df)
+    if n < target:
         return df.repartition(target)
     return df
 
