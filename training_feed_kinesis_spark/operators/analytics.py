@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load_table, sane_ts, sane_ts_sql
+from ..tables import load_table, parallelize, sane_ts, sane_ts_sql
 
 CAT_TEXT = "2.J llm-pipeline (text)"
 CAT_TS = "2.M workloads"
@@ -53,8 +53,19 @@ _SHINGLES8_SQL = (
 def _shingle8_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, is_test, s) exploded distinct 8-shingles with the hash-based
     train/test split tag. Split by md5 prefix (SURVEY §2.L `split_train_test`
-    idiom): reproducible on any engine/cluster, no RNG state."""
-    d = load_table(spark, sf_dir, "documents")
+    idiom): reproducible on any engine/cluster, no RNG state.
+
+    parallelize() before the shingle stage (r12, guide §2.5 input skew /
+    §1.2 distributed-algorithm first): the 8×element_at concat per token
+    position is the expensive map work of both consumers, and a
+    single-row-group parquet input scans as ONE split — without the
+    repartition the whole shingle build runs on one core while the rest
+    idle (measured: llm_contamination 1.74 s → 0.79 s at sf0.1 on
+    local[32]). At real scale the input arrives in hundreds of splits and
+    the repartition is a no-op; results are unchanged (round-robin
+    placement feeds only exact, order-insensitive count/distinct/join
+    aggregation downstream)."""
+    d = parallelize(load_table(spark, sf_dir, "documents"))
     return (
         d.select(
             "doc_id",

@@ -718,63 +718,67 @@ def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every key run in one JVM accumulate (the storage-residue class
     # behind the round-6 555-key sweep OOM).
     # The sketch stays a bit-string (the oracled contract); for the
-    # verify stage each signature is re-read as 4× 16-bit BIGINT blocks
-    # so Hamming distance is 4 XOR+bit_count ops per pair instead of 64
-    # substr compares — on a shared-vocabulary corpus the candidate set
-    # is millions of pairs, and the candidate→verify path must stay
-    # narrow: dedup runs on bare (a_id, b_id) id pairs, signatures are
-    # re-attached afterwards by broadcasting the n_docs-row block table.
+    # verify stage each signature is also carried as 4× 16-bit BIGINT
+    # blocks so Hamming distance is 4 XOR+bit_count ops per pair instead
+    # of 64 substr compares.
+    #
+    # r12 (guide §2.3 — filter before the shuffle): Hamming is verified
+    # INSIDE the candidate join stage and the <= HAMMING_MAX cut applied
+    # BEFORE the pair dedup, so the distinct exchange carries only the
+    # surviving near-dup pairs. The former spelling deduped first — an
+    # exchange of EVERY candidate pair (2.77 M rows at sf0.1, measured,
+    # vs thousands of survivors) — and then re-attached signatures by
+    # broadcast join. Carrying the four BIGINT blocks on each block row
+    # costs 32 bytes × 4 rows per doc in the candidate-join exchange;
+    # dropping the candidate-pair distinct saves millions of rows. A
+    # pair found by two blocks verifies twice (4 integer ops each) —
+    # far cheaper than shuffling it twice. Result parity: exceptAll = 0
+    # both directions vs the former spelling; the oracle is unchanged.
     sigs = llm_simhash(spark, sf_dir).localCheckpoint(eager=False)
-    binted = sigs.select(
+    withblk = sigs.select(
         "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+        "simhash64",
         *[
             F.conv(
-                F.expr(f"substr(simhash64, {1 + k * _SIM_BLK}, {_SIM_BLK})"),
+                F.expr(f"substr(simhash64, {1 + kk * _SIM_BLK}, {_SIM_BLK})"),
                 2,
                 10,
             )
             .cast("bigint")
-            .alias(f"i{k}")
-            for k in range(4)
+            .alias(f"i{kk}")
+            for kk in range(4)
         ],
-    )
-    blocks = sigs.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
-        "simhash64",
     ).select(
         "doc_id",
         "k",
         F.expr(f"substr(simhash64, 1 + k * {_SIM_BLK}, {_SIM_BLK})").alias(
             "blk"
         ),
+        "i0",
+        "i1",
+        "i2",
+        "i3",
     )
-    a = blocks.select(F.col("doc_id").alias("a_id"), "k", "blk")
-    b = blocks.select(F.col("doc_id").alias("b_id"), "k", "blk")
-    cands = (
-        a.join(b, ["k", "blk"])
-        .filter(F.col("a_id") <= F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
+    a = withblk.select(
+        F.col("doc_id").alias("a_id"),
+        "k",
+        "blk",
+        *[F.col(f"i{kk}").alias(f"a{kk}") for kk in range(4)],
     )
-    av = F.broadcast(
-        binted.select(
-            F.col("doc_id").alias("a_id"),
-            *[F.col(f"i{k}").alias(f"a{k}") for k in range(4)],
-        )
-    )
-    bv = F.broadcast(
-        binted.select(
-            F.col("doc_id").alias("b_id"),
-            *[F.col(f"i{k}").alias(f"b{k}") for k in range(4)],
-        )
+    b = withblk.select(
+        F.col("doc_id").alias("b_id"),
+        "k",
+        "blk",
+        *[F.col(f"i{kk}").alias(f"b{kk}") for kk in range(4)],
     )
     hamming = F.expr(
         " + ".join(f"bit_count(a{k} ^ b{k})" for k in range(4))
     )
     return (
-        cands.join(av, "a_id")
-        .join(bv, "b_id")
+        a.join(b, ["k", "blk"])
+        .filter(F.col("a_id") <= F.col("b_id"))
         .select("a_id", "b_id", hamming.cast("bigint").alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
     )
