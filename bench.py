@@ -128,12 +128,15 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def _time_once(key: str) -> float:
+        # try/finally (ADVICE r12): without it a raising operator leaked
+        # its "bench: <key>" description onto every subsequent job
         spark.sparkContext.setJobDescription(f"bench: {key}")
-        t0 = time.perf_counter()
-        _consume(registry[key].fn(spark, sf_dir))
-        dt = round(time.perf_counter() - t0, 3)
-        spark.sparkContext.setJobDescription(None)
-        return dt
+        try:
+            t0 = time.perf_counter()
+            _consume(registry[key].fn(spark, sf_dir))
+            return round(time.perf_counter() - t0, 3)
+        finally:
+            spark.sparkContext.setJobDescription(None)
 
     for _ in range(n_runs):
         for key in HEADLINE:

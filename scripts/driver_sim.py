@@ -56,9 +56,19 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def norm(v):
     import numpy as np, pandas as pd, datetime
     if v is None or (isinstance(v, float) and math.isnan(v)): return None
+    # HASH-FAITHFUL (r13, VERDICT r12 item 2): the old round(f + 0.0, 6)
+    # erased signed zeros and 7th-digit drift that the real driver's value
+    # hash catches — it approved a "597/597 green" sweep over a key the
+    # driver marked red (llm_dsir_weight, -0.0 vs +0.0 at the final
+    # ROUND). repr() is the shortest round-trip representation: full
+    # precision, and it spells -0.0 differently from 0.0. bool/float both
+    # normalize to repr strings so True/4/4.0 are three distinct values,
+    # matching the driver's representation-strict hash (tests/conftest
+    # _num_class rationale).
+    if isinstance(v, (bool, np.bool_)): return repr(bool(v))
     if isinstance(v, (np.floating, float)):
         f = float(v)
-        return None if math.isnan(f) else round(f + 0.0, 6)
+        return None if math.isnan(f) else repr(f)
     if isinstance(v, np.integer): return int(v)
     if isinstance(v, pd.Timestamp): return None if v is pd.NaT else v.isoformat()
     if isinstance(v, (datetime.datetime, datetime.date)): return v.isoformat()

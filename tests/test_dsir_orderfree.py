@@ -68,6 +68,41 @@ def test_dsir_weight_is_physical_order_free(spark, permuted_dirs):
     assert a == b
 
 
+def test_dsir_weight_bit_exact_vs_oracle(spark, duck):
+    """r12 driver red cell: the final ``ROUND(s/c/1e6, 4)`` emitted +0.0
+    on Spark but -0.0 on DuckDB for a doc whose weight rounds to zero
+    from below — rows/schema matched, the driver's value hash did not
+    (CORRECTNESS_r12). The r13 spelling computes the 4-dp rounding in
+    exact BIGINT arithmetic and divides by 10000.0 once, so the doubles
+    must agree BIT-FOR-BIT (conftest's 6-dp comparator is structurally
+    blind to this class — hence the raw struct.pack compare here)."""
+    import struct
+
+    from training_feed_kinesis_spark.registry import load_all
+
+    rec = load_all()["llm_dsir_weight"]
+    sp = {
+        r["doc_id"]: (r["dsir_weight"], r["n_tokens"])
+        for r in rec.fn(spark, SF_DIR).collect()
+    }
+    du = {
+        r.doc_id: (r.dsir_weight, r.n_tokens)
+        for r in duck.execute(rec.oracle).fetchdf().itertuples()
+    }
+    assert set(sp) == set(du) and len(sp) > 0
+
+    def bits(f):
+        return struct.pack("<d", float(f)).hex()
+
+    neg_zero = bits(-0.0)
+    for k in sp:
+        (ws, ns), (wd, nd) = sp[k], du[k]
+        assert bits(ws) == bits(wd) and int(ns) == int(nd), (
+            k, repr(ws), repr(wd))
+        # the integer spelling can never produce a signed zero
+        assert bits(ws) != neg_zero, k
+
+
 def test_dsir_weight_is_partitioning_free(spark, permuted_dirs):
     """Same data, different parallelism: 1 shuffle partition vs session
     default must agree bit-identically (partial-agg combine order

@@ -51,3 +51,21 @@ def test_parallelize_still_widens_single_split_scans(spark):
     # repeated calls (memo hit) must keep the same contract
     out2 = parallelize(load_table(spark, SF_DIR, "documents"))
     assert out2.rdd.getNumPartitions() >= min(target, 2)
+
+
+def test_parallelize_probe_memo_does_not_pin_frames(spark):
+    """r12 ADVICE/VERDICT item 4: the id(df)-keyed module dict held a
+    strong reference to every frame ever probed — callers passing fresh
+    derived frames (parallelize(gated) etc.) leaked an entry + pinned
+    JVM plan per call. The r13 attribute memo must (a) still memoize,
+    (b) let a dropped frame be collected."""
+    import gc
+    import weakref
+
+    df = load_table(spark, SF_DIR, "documents").select("doc_id")
+    parallelize(df)
+    assert isinstance(getattr(df, "_tfk_npart", None), int)  # memo present
+    ref = weakref.ref(df)
+    del df
+    gc.collect()
+    assert ref() is None  # nothing module-level pins the frame

@@ -100,6 +100,9 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.write.mode("overwrite").partitionBy("shipyear").parquet(out)
         with open(os.path.join(out, "_READY"), "w") as f:
             f.write("ok")
+        from .scans import track_scratch
+
+        track_scratch(out)
     # explicit schema: an EMPTY input writes no partition dirs and
     # schema inference would fail (empty-corpus census r6)
     fact = spark.read.schema(li.schema).parquet(out)

@@ -129,6 +129,9 @@ def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             fh.write(b"PAR1 this is not a real parquet footer")
         with open(os.path.join(root, "_READY"), "w") as fh:
             fh.write("ok")
+        from .scans import track_scratch
+
+        track_scratch(root)
     prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
     spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
     try:

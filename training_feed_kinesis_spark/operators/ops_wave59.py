@@ -66,6 +66,9 @@ def _doc_replay_dir(spark: SparkSession, sf_dir: str) -> str:
     _stamp_mtimes(out)
     with open(os.path.join(out, "_READY"), "w") as fh:
         fh.write("ok")
+    from .scans import track_scratch
+
+    track_scratch(out)
     return out
 
 

@@ -106,6 +106,9 @@ def _mod4_replay(spark: SparkSession, sf_dir: str) -> str:
     shutil.rmtree(tmp, ignore_errors=True)
     with open(os.path.join(out, "_READY"), "w") as fh:
         fh.write("ok")
+    from .scans import track_scratch
+
+    track_scratch(out)
     return out
 
 

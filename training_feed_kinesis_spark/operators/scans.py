@@ -25,10 +25,35 @@ SCRATCH = os.environ.get(
     "TFK_SCRATCH", os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
 )
 
+# Scratch dirs THIS process created, removed at interpreter exit (ADVICE
+# r12): session-scoping the derived fixture/replay dir names (r12
+# compliance fix) meant each process writes fresh dirs under the stable
+# SCRATCH path and nothing ever deleted them — unbounded disk growth
+# across bench/test/sweep invocations (and tmpfs growth for /dev/shm
+# checkpoints). Every creation site registers its dir here; cleanup is
+# best-effort (ignore_errors: a dir busy at shutdown is left for the next
+# run's atexit, never an exception during teardown).
+_SESSION_SCRATCH: list[str] = []
+
+
+def track_scratch(path: str) -> str:
+    """Register a scratch path for removal when this process exits."""
+    if not _SESSION_SCRATCH:
+        import atexit
+        import shutil
+
+        def _cleanup() -> None:
+            for p in _SESSION_SCRATCH:
+                shutil.rmtree(p, ignore_errors=True)
+
+        atexit.register(_cleanup)
+    _SESSION_SCRATCH.append(path)
+    return path
+
 
 def scratch_dir(prefix: str) -> str:
     os.makedirs(SCRATCH, exist_ok=True)
-    return tempfile.mkdtemp(prefix=prefix, dir=SCRATCH)
+    return track_scratch(tempfile.mkdtemp(prefix=prefix, dir=SCRATCH))
 
 
 @register("scan_parquet", CAT, "SELECT * FROM part")

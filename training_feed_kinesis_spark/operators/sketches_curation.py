@@ -172,13 +172,20 @@ _DSIR_B = 256
                               / ((SELECT n FROM nr) + {_DSIR_B}))) * 1e6,
                         0) AS BIGINT) AS llr_u
       FROM raw r LEFT JOIN tgt t ON t.b = r.b
+    ),
+    agg AS (
+      SELECT tok.doc_id,
+             SUM(CAST(lr.llr_u AS BIGINT)) AS s,
+             COUNT(*)::BIGINT AS c
+      FROM tok JOIN lr ON lr.b = tok.b
+      GROUP BY tok.doc_id
     )
-    SELECT tok.doc_id,
-           ROUND(CAST(SUM(CAST(lr.llr_u AS BIGINT)) AS DOUBLE)
-                 / COUNT(*) / 1e6, 4) AS dsir_weight,
-           COUNT(*)::BIGINT AS n_tokens
-    FROM tok JOIN lr ON lr.b = tok.b
-    GROUP BY tok.doc_id
+    SELECT doc_id,
+           ((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(s) + c * 100) // (2 * c * 100))) / 10000.0
+             AS dsir_weight,
+           c AS n_tokens
+    FROM agg
     """,
 )
 def llm_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,15 +243,30 @@ def llm_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("llr_u"),
         )
     )
-    return (
+    agg = (
         tok.join(F.broadcast(lr), "b")
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.sum("llr_u").cast("double") / F.count(F.lit(1)) / F.lit(1e6), 4
-            ).alias("dsir_weight"),
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("llr_u").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("c"),
         )
+    )
+    # Final representation stays integer-exact too (r13, VERDICT r12 item
+    # 1): ROUND(s/c/1e6, 4) as a DOUBLE op flipped a signed zero between
+    # engines (driver red cell on doc 422 at sf0.01 — Spark's
+    # BigDecimal-HALF_UP gives +0.0 where DuckDB's C round gives -0.0).
+    # Instead, the half-away-from-zero rounding to 4 dp is computed in
+    # exact BIGINT arithmetic (q = sign(s)*((2|s| + c*100) div (2*c*100)),
+    # identical on both engines), and the ONE float op left is q/10000.0 —
+    # a correctly-rounded IEEE division of identical integers, so the
+    # result is bit-identical across engines and can never be -0.0.
+    q = F.when(F.col("s") < 0, F.lit(-1).cast("long")).otherwise(
+        F.lit(1).cast("long")
+    ) * F.expr("(2 * abs(s) + c * 100) div (2 * c * 100)")
+    return agg.select(
+        "doc_id",
+        (q / F.lit(10000.0)).alias("dsir_weight"),
+        F.col("c").alias("n_tokens"),
     )
 
 

@@ -122,6 +122,11 @@ def _prepare(spark: SparkSession, sf_dir: str, variant: str) -> str:
     _stamp_mtimes(out)
     with open(os.path.join(out, "_READY"), "w") as f:
         f.write("ok")
+    # session-suffixed dir names never hit again after this process dies —
+    # remove them at exit instead of accumulating under SCRATCH (ADVICE r12)
+    from ..operators.scans import track_scratch
+
+    track_scratch(out)
     _prepared[key] = out
     return out
 
@@ -188,6 +193,9 @@ def _with_sentinel(spark: SparkSession, src: str) -> str:
             os.utime(os.path.join(out, f), (t, t))
     with open(os.path.join(out, "_READY"), "w") as fh:
         fh.write("ok")
+    from ..operators.scans import track_scratch
+
+    track_scratch(out)
     _sentineled[src] = out
     return out
 
@@ -198,10 +206,14 @@ def _ckpt_dir() -> str:
     deployments pass a durable `checkpoint` path instead."""
     import tempfile
 
+    from ..operators.scans import track_scratch
+
     shm = "/dev/shm/tfk_ckpt"
     try:
         os.makedirs(shm, exist_ok=True)
-        return tempfile.mkdtemp(prefix="ckpt_", dir=shm)
+        # tmpfs: throwaway WAL/state commits MUST be reclaimed at exit or
+        # repeated invocations grow RAM-backed storage (ADVICE r12)
+        return track_scratch(tempfile.mkdtemp(prefix="ckpt_", dir=shm))
     except OSError:
         return scratch_dir("ckpt_")
 

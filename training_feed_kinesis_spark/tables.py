@@ -99,6 +99,15 @@ def sane_ts_sql(col: str) -> str:
 # exactly this metadata. Content-keyed on (mtime_ns, size) like the replay
 # caches, so an in-place fixture rewrite misses cleanly; applicationId in
 # the key scopes it to one session (DataFrame plans are session-bound).
+#
+# SINGLE-FILE-SNAPSHOT ASSUMPTION (ADVICE r12): the content key is the
+# os.stat of ``{name}.parquet`` itself. Every table in this repo is one
+# parquet FILE, for which mtime_ns/size changes on any rewrite. If a
+# table ever becomes a DIRECTORY dataset, adding/replacing a part file
+# does not reliably bump the directory's stat and a stale memoized
+# relation (resolved file listing + schema) could be served — fold the
+# max child (mtime_ns, size) into the key before making that move (same
+# immutable-snapshot contract as ``substrate`` below).
 _TABLE_PLAN_MEMO: dict = {}
 
 
@@ -138,14 +147,6 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
-# Partition-count memo (r12): (applicationId, DataFrame identity) -> scan
-# partition count. The ``df.rdd`` probe below physically plans the whole
-# query a second time (~80-90 ms of driver work per call, thrown away);
-# the count is a pure function of the plan within a session, so it is
-# metadata — memoized like the table plans, never data.
-_NPART_MEMO: dict = {}
-
-
 def parallelize(df: DataFrame) -> DataFrame:
     """Ensure at least defaultParallelism partitions before a CPU-bound
     per-row stage (hash sketches, vector math).
@@ -155,19 +156,24 @@ def parallelize(df: DataFrame) -> DataFrame:
     on a single core at sf0.1). At real scale inputs arrive with hundreds
     of splits and this is a no-op; the repartition only fires when the scan
     produced fewer splits than cores, so the one-time shuffle of the input
-    rows buys a cores-wide compute stage."""
+    rows buys a cores-wide compute stage.
+
+    The ``df.rdd`` probe physically plans the whole query a second time
+    (~80-90 ms of driver work per call, thrown away); the count is a pure
+    function of the plan within the frame's session, so it is memoized AS
+    AN ATTRIBUTE OF THE FRAME (r13, VERDICT r12 item 4): the r12 module
+    dict keyed on id(df) held a strong reference to every frame ever
+    passed in — callers handing over fresh derived frames leaked an
+    entry (plus its pinned JVM plan) per call. The attribute dies with
+    the wrapper object, hits for the memoized ``load_table`` frames that
+    repeat across invocations, and is session-correct because a
+    DataFrame never outlives its session."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    # keyed on the DataFrame OBJECT (load_table memoizes and returns the
-    # same object per table per session, so repeated invocations hit);
-    # the df reference in the value pins the id against reuse after GC
-    key = (spark.sparkContext.applicationId, id(df))
-    hit = _NPART_MEMO.get(key)
-    if hit is not None and hit[1] is df:
-        n = hit[0]
-    else:
+    n = getattr(df, "_tfk_npart", None)
+    if n is None:
         n = df.rdd.getNumPartitions()
-        _NPART_MEMO[key] = (n, df)
+        df._tfk_npart = n
     if n < target:
         return df.repartition(target)
     return df
