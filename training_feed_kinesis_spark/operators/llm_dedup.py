@@ -81,12 +81,21 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     A doc's shingle SET is keyed by doc_id; under conflicting re-ingest
     the set is the deterministic union of the versions. The MIN-based
     minhash path absorbs duplicates for free, but the shared substrate
-    carries the set semantics for every consumer."""
-    d = parallelize(load_table(spark, sf_dir, "documents"))
-    return (
-        d.select("doc_id", F.expr(_TOK).alias("toks"))
-        .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("sh"))
-        .dropDuplicates(["doc_id", "sh"])
+    carries the set semantics for every consumer.
+
+    r13 (VERDICT r12 item 3): derived by EXPLODING the cached
+    ``shingle_arrays`` substrate instead of re-tokenizing the corpus.
+    The arrays are exactly the per-doc distinct shingle sets (array-
+    distinct per row, set-union merged across re-ingested rows), so the
+    explode reproduces the old tokenize→explode→dropDuplicates relation
+    row-for-row — but consumers that used to pay the corpus scan + the
+    (doc_id, sh)-wide dedup shuffle PER REFERENCE (llm_jaccard_pairs
+    alone references this relation three times: both self-join legs +
+    counts) now explode a small cached relation. Empty arrays (docs
+    under 3 tokens) drop in the explode exactly as they produced no
+    rows before."""
+    return _shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("shs").alias("sh")
     )
 
 
@@ -113,12 +122,15 @@ def _shingle_arrays_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n) distinct-shingle counts, via the exploded rows: partial
-    aggregation collapses map-side, so the shuffle is one count per doc."""
-    return (
-        _shingle_rows(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
+    """(doc_id, n) distinct-shingle counts.
+
+    r13: ``size()`` over the cached set arrays — zero shuffle — instead
+    of a count aggregation over the exploded rows. The ``size(shs) > 0``
+    filter reproduces the old explode→groupBy domain exactly: a doc with
+    no shingles contributed no exploded rows, hence no count row."""
+    arrs = _shingle_arrays(spark, sf_dir)
+    return arrs.filter(F.size("shs") > 0).select(
+        "doc_id", F.size("shs").cast("long").alias("n")
     )
 
 
@@ -705,18 +717,17 @@ def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-uniform sketch blocks, and verification is a fixed 64-step char
     compare per candidate — the same candidates ≪ n² argument as LSH
     banding."""
-    # localCheckpoint (NOT .cache()): the self-join references sigs on
-    # BOTH sides, and Spark re-executes a DataFrame subtree per reference
-    # (no CTE dedup) — unmaterialized, the 64×tokens sketch aggregation
-    # runs twice and dominated the key (the production shape persists
-    # sketches once anyway; the relation is n_docs × 64 chars, trivially
-    # memory-resident). A lazy localCheckpoint gets the same
-    # compute-once behavior, but its blocks are released by the
-    # ContextCleaner when the frame goes out of scope after the key's
-    # terminal action — a CacheManager .cache() entry is keyed by plan
-    # and lives until an explicit unpersist, so sketch relations from
-    # every key run in one JVM accumulate (the storage-residue class
-    # behind the round-6 555-key sweep OOM).
+    # SESSION SUBSTRATE (r13, VERDICT r12 item 3): the signature relation
+    # is built once per (session, table dir), cached and eagerly
+    # materialized, shared by both self-join legs AND by every consumer/
+    # repeated invocation (llm_dedup_method_matrix re-runs this whole
+    # pipeline; the sig build alone was 1.9 s at sf0.1 paid per call) —
+    # the same "materialize the sketch table at ingest" posture as
+    # _band_sigs/_shingle_arrays. Replaces a per-invocation lazy
+    # localCheckpoint, which solved only the two-legs-one-compute problem
+    # within a single call and re-built the sketch per invocation. The
+    # substrate memo is bounded (one entry per table dir) — not the
+    # r6/r7 anonymous cache-residue class.
     # The sketch stays a bit-string (the oracled contract); for the
     # verify stage each signature is also carried as 4× 16-bit BIGINT
     # blocks so Hamming distance is 4 XOR+bit_count ops per pair instead
@@ -734,7 +745,8 @@ def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair found by two blocks verifies twice (4 integer ops each) —
     # far cheaper than shuffling it twice. Result parity: exceptAll = 0
     # both directions vs the former spelling; the oracle is unchanged.
-    sigs = llm_simhash(spark, sf_dir).localCheckpoint(eager=False)
+    sigs = substrate(spark, sf_dir, "simhash_sigs",
+                     lambda: llm_simhash(spark, sf_dir))
     withblk = sigs.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
