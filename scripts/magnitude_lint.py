@@ -165,26 +165,59 @@ def main() -> int:
     as_json = "--json" in sys.argv[1:]
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     reg = load_all()
-    cons = {}
-    for sf in (SF_LO, SF_HI):
-        con = duckdb.connect()
-        for t in TABLES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM"
-                f" read_parquet('{sf}/{t}.parquet')"
-            )
-        cons[sf] = con
 
-    findings = []
-    errors = []
-    for key, spec in reg.items():
-        if spec.oracle is None or (only and key not in only):
-            continue
+    # r13 (pytest-budget item): the serial sweep was ~51 s wall for ~45 s
+    # of DuckDB time spread flat over 581 oracles × 2 SFs. Keys are
+    # independent read-only queries over parquet views, and duckdb
+    # releases the GIL during execute — a small thread pool with
+    # THREAD-LOCAL connections (duckdb connections are not thread-safe
+    # to share) overlaps them. Results identical: same oracles, same
+    # max|.| fold, order-independent.
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    tls = threading.local()
+
+    def _cons():
+        if not hasattr(tls, "cons"):
+            tls.cons = {}
+            for sf in (SF_LO, SF_HI):
+                con = duckdb.connect()
+                # cap per-connection parallelism: 4 pool workers × the
+                # default threads=n_cores thrashed (measured 51 → 109 s,
+                # sys time 15 min); 4 × 8 = one core set, no contention
+                con.execute("SET threads=8")
+                for t in TABLES:
+                    con.execute(
+                        f"CREATE VIEW {t} AS SELECT * FROM"
+                        f" read_parquet('{sf}/{t}.parquet')"
+                    )
+                tls.cons[sf] = con
+        return tls.cons
+
+    def _probe(item):
+        key, spec = item
+        cons = _cons()
         try:
             lo = _maxabs_floats(cons[SF_LO], spec.oracle)
             hi = _maxabs_floats(cons[SF_HI], spec.oracle)
+            return key, spec, lo, hi, None
         except Exception as e:  # noqa: BLE001 — lint must survey everything
-            errors.append((key, str(e).splitlines()[0][:120]))
+            return key, spec, None, None, str(e).splitlines()[0][:120]
+
+    items = [
+        (key, spec)
+        for key, spec in reg.items()
+        if spec.oracle is not None and not (only and key not in only)
+    ]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        probed = list(pool.map(_probe, items))
+
+    findings = []
+    errors = []
+    for key, spec, lo, hi, err in probed:
+        if err is not None:
+            errors.append((key, err))
             continue
         for col, mhi in hi.items():
             mlo = lo.get(col)
@@ -217,8 +250,6 @@ def main() -> int:
                     }
                 )
 
-    for con in cons.values():
-        con.close()
     if as_json:
         print(json.dumps({"findings": findings, "errors": errors}, indent=1))
     else:

@@ -26,6 +26,65 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def registry_frames(spark):
+    """key -> (DataFrame | None, error | None) for EVERY registered key,
+    each built (and analyzed) exactly once per test session and shared by
+    the registry-wide sweeps (type-parity lint, cartesian-product lint).
+
+    r13 (VERDICT r12 item 2 — the pytest suite outgrew the driver's
+    verify budget): the two sweeps each called ``spec.fn`` for ~580 keys
+    (~200 s + ~84 s serial), and for streaming keys ``fn`` DRAINS a full
+    replay. Built once, and built from a driver THREAD POOL (guide §2.6
+    overlap — schema analysis is driver-side py4j that releases the GIL,
+    and the drain-executing keys spend their time waiting on micro-
+    batches, so 8 workers overlap well). Fixture builders and substrate
+    memos are lock-guarded for exactly this concurrency
+    (scans.FIXTURE_LOCK / tables.MEMO_LOCK)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from training_feed_kinesis_spark.registry import load_all
+
+    # Session confs are GLOBAL, not thread-local: an operator that flips
+    # a planning-relevant conf inside its fn (useV1SourceList /
+    # aggregatePushDown, CBO, partitionOverwriteMode, scripting,
+    # ignoreCorruptFiles) can poison ANOTHER thread's concurrent plan
+    # analysis (observed: scan_metadata_cols failing to resolve
+    # `_metadata` while ops_wave17 had the session on the V2 reader).
+    # Keys defined in conf-mutating modules build SERIALLY, after the
+    # pool. (drain()'s shuffle.partitions toggle stays in the pool: the
+    # partition count is never analysis- or result-relevant.)
+    _pkg = "training_feed_kinesis_spark.operators."
+    conf_mutators = {
+        _pkg + m
+        for m in (
+            "ops_wave17", "ops_wave28", "ops_wave80",
+            "engine_surface", "engine_surface2", "surface_wave7",
+        )
+    }
+
+    def build(item):
+        key, spec = item
+        try:
+            df = spec.fn(spark, SF_DIR)
+            df.schema  # force analysis inside the pool
+            return key, df, None
+        except Exception as e:  # noqa: BLE001
+            return key, None, e
+
+    items = sorted(load_all().items())
+    pooled = [i for i in items if i[1].fn.__module__ not in conf_mutators]
+    serial = [i for i in items if i[1].fn.__module__ in conf_mutators]
+    frames = {}
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for key, df, err in pool.map(build, pooled):
+            frames[key] = (df, err)
+    for item in serial:
+        key, df, err = build(item)
+        frames[key] = (df, err)
+    return frames
+
+
+@pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()
     for t in TABLES:

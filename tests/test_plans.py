@@ -257,20 +257,40 @@ _PLAN_SWEEP_EXCLUDE = frozenset(
 )
 
 
-def test_no_cartesian_product_anywhere(spark, registry):
+def test_no_cartesian_product_anywhere(spark, registry, registry_frames):
     """Registry-wide O(n²) guard: NO registered operator may plan a
     CartesianProduct — the node Spark emits only for an unconstrained
     fact×fact cross. (1-row scalar broadcasts plan as
     BroadcastNestedLoopJoin, which is fine and not matched here.) A single
     sweep catches a quadratic regression in ANY operator before it ships.
-    """
-    offenders = []
-    for key, spec in sorted(registry.items()):
-        if key in _PLAN_SWEEP_EXCLUDE or key.startswith("stream"):
-            continue
-        plan = _plan(spec.fn(spark, SF_DIR), "simple")
-        if "CartesianProduct" in plan:
-            offenders.append(key)
+
+    r13: plans come from the shared session fixture (built once for all
+    registry-wide sweeps) and the physical-plan strings are generated
+    from a driver thread pool — ``explainString`` is a pure py4j call, no
+    stdout capture, so it is thread-safe (this sweep was 84 s serial)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    jvm = spark.sparkContext._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+
+    def plan_of(key):
+        df, err = registry_frames[key]
+        if err is not None:
+            raise err
+        return key, df._jdf.queryExecution().explainString(mode)
+
+    keys = [
+        key
+        for key in sorted(registry)
+        if key not in _PLAN_SWEEP_EXCLUDE and not key.startswith("stream")
+        and key in registry_frames
+    ]
+    assert len(keys) > 300, "sweep lost its registry coverage"
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        offenders = [
+            key for key, plan in pool.map(plan_of, keys)
+            if "CartesianProduct" in plan
+        ]
     assert not offenders, f"CartesianProduct in: {offenders}"
 
 

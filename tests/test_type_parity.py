@@ -19,10 +19,14 @@ from training_feed_kinesis_spark.typelint import (
 from .conftest import SF_DIR, _cell_eq_strict
 
 
-def test_registry_type_parity(spark, duck):
+def test_registry_type_parity(spark, duck, registry_frames):
     """Every oracled key's Spark schema must be pandas-representation
-    compatible with its DuckDB oracle's bound types (no execution)."""
-    n, bad, errs = lint_registry(spark, duck, load_all(), SF_DIR)
+    compatible with its DuckDB oracle's bound types (no execution).
+    Plans come pre-built from the shared session fixture (r13: this
+    sweep alone re-built all ~580 plans serially, ~200 s)."""
+    n, bad, errs = lint_registry(
+        spark, duck, load_all(), SF_DIR, frames=registry_frames
+    )
     assert n > 300, f"lint only bound {n} keys — registry import broken?"
     assert not errs, "oracle-bind/plan-build errors:\n" + "\n".join(errs)
     assert not bad, "type-parity mismatches:\n" + "\n".join(bad)

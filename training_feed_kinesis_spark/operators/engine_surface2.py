@@ -96,13 +96,14 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))"
         ).alias("rev_s"),
     )
-    if not os.path.isfile(os.path.join(out, "_READY")):
-        li.write.mode("overwrite").partitionBy("shipyear").parquet(out)
-        with open(os.path.join(out, "_READY"), "w") as f:
-            f.write("ok")
-        from .scans import track_scratch
+    from .scans import FIXTURE_LOCK, track_scratch
 
-        track_scratch(out)
+    with FIXTURE_LOCK:
+        if not os.path.isfile(os.path.join(out, "_READY")):
+            li.write.mode("overwrite").partitionBy("shipyear").parquet(out)
+            with open(os.path.join(out, "_READY"), "w") as f:
+                f.write("ok")
+            track_scratch(out)
     # explicit schema: an EMPTY input writes no partition dirs and
     # schema inference would fail (empty-corpus census r6)
     fact = spark.read.schema(li.schema).parquet(out)

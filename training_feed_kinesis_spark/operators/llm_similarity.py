@@ -154,6 +154,18 @@ def load_embeddings_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _ADMIT_MEMO.get(memo_key)
     if hit is not None:
         return hit
+    # concurrent driver threads (test-suite plan pool, guide §2.6) must
+    # not double-run the eager census / double-checkpoint the election
+    from ..tables import MEMO_LOCK
+
+    with MEMO_LOCK:
+        hit = _ADMIT_MEMO.get(memo_key)
+        if hit is not None:
+            return hit
+        return _load_embeddings_admitted_locked(spark, sf_dir, memo_key)
+
+
+def _load_embeddings_admitted_locked(spark, sf_dir, memo_key):
     # NULL vec_id is rejected alongside NULL vectors (r9 NULL-PK
     # campaign): an identity-less vector cannot be versioned by the
     # election window — and a NULL partition key would otherwise lump

@@ -121,17 +121,18 @@ def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag += f"_{spark.sparkContext.applicationId}"
     root = os.path.join(SCRATCH, f"corrupt_scan_{sf_tag}")
     ev = load_table(spark, sf_dir, "events")
-    if not os.path.isfile(os.path.join(root, "_READY")):
-        ev.filter(F.dayofmonth("ts") <= 10).select(
-            "event_id", "event_type", "ts"
-        ).write.mode("overwrite").parquet(root)
-        with open(os.path.join(root, "part-corrupt.parquet"), "wb") as fh:
-            fh.write(b"PAR1 this is not a real parquet footer")
-        with open(os.path.join(root, "_READY"), "w") as fh:
-            fh.write("ok")
-        from .scans import track_scratch
+    from .scans import FIXTURE_LOCK, track_scratch
 
-        track_scratch(root)
+    with FIXTURE_LOCK:
+        if not os.path.isfile(os.path.join(root, "_READY")):
+            ev.filter(F.dayofmonth("ts") <= 10).select(
+                "event_id", "event_type", "ts"
+            ).write.mode("overwrite").parquet(root)
+            with open(os.path.join(root, "part-corrupt.parquet"), "wb") as fh:
+                fh.write(b"PAR1 this is not a real parquet footer")
+            with open(os.path.join(root, "_READY"), "w") as fh:
+                fh.write("ok")
+            track_scratch(root)
     prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
     spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
     try:

@@ -57,6 +57,15 @@ def _doc_replay_dir(spark: SparkSession, sf_dir: str) -> str:
     # fixture dirs must not outlive the process that built them
     sf_tag += f"_{spark.sparkContext.applicationId}"
     out = os.path.join(SCRATCH, f"docs_replay_{sf_tag}")
+    from .scans import FIXTURE_LOCK
+
+    with FIXTURE_LOCK:
+        return _doc_replay_build(spark, sf_dir, out)
+
+
+def _doc_replay_build(spark: SparkSession, sf_dir: str, out: str) -> str:
+    from ..streaming.replay import _stamp_mtimes
+
     if os.path.isfile(os.path.join(out, "_READY")):
         return out
     d = load_table(spark, sf_dir, "documents")

@@ -63,6 +63,15 @@ def _mod4_replay(spark: SparkSession, sf_dir: str) -> str:
     # fixture dirs must not outlive the process that built them
     sf_tag += f"_{spark.sparkContext.applicationId}"
     out = os.path.join(SCRATCH, f"replay_mod4_{sf_tag}")
+    from .scans import FIXTURE_LOCK
+
+    with FIXTURE_LOCK:
+        return _mod4_replay_build(spark, sf_dir, out, sf_tag)
+
+
+def _mod4_replay_build(spark, sf_dir, out, sf_tag):
+    from .scans import SCRATCH
+
     if os.path.isfile(os.path.join(out, "_READY")):
         return out
     shutil.rmtree(out, ignore_errors=True)

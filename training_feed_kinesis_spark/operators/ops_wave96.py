@@ -77,10 +77,21 @@ GRAMS_CTES = f"""lt AS MATERIALIZED (
       FROM lt, UNNEST(range(0, {SPAN_K})) AS t(r)
     ),
     grams AS (
+      -- zipped multi-unnest (r13): the former lateral
+      -- `chunks, UNNEST(range(1, len(cs)+1)) AS t(i)` + `cs[i]` carried
+      -- the WHOLE cs list (4k+ grams on a 100 KB doc) into every one of
+      -- its len(cs) output rows before the projection indexed it —
+      -- 90.3 s for 3.1 M grams on the payload-extremes corpus. Parallel
+      -- unnests in the SELECT clause zip element-for-element (equal
+      -- lengths by construction), so each output row is born with just
+      -- its own gram: 1.3 s, EXCEPT-verified identical both directions.
       SELECT doc_id, doc_len,
              CAST(r + 1 + (i - 1) * {SPAN_K} AS INT) AS pos,
-             substr(md5(cs[CAST(i AS INT)]), 1, {_GH_HEX}) AS gh
-      FROM chunks, UNNEST(range(1, len(cs) + 1)) AS t(i)
+             substr(md5(g), 1, {_GH_HEX}) AS gh
+      FROM (SELECT doc_id, doc_len, r,
+                   unnest(cs) AS g,
+                   unnest(range(1, len(cs) + 1)) AS i
+            FROM chunks)
     )"""
 
 

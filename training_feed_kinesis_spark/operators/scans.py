@@ -35,6 +35,15 @@ SCRATCH = os.environ.get(
 # run's atexit, never an exception during teardown).
 _SESSION_SCRATCH: list[str] = []
 
+# Serializes _READY-guarded scratch-fixture builds (replay dirs, derived
+# parquet fixtures) so concurrent driver threads — the test suite builds
+# registry plans from a thread pool (guide §2.6) — cannot interleave two
+# writers into one dir. RLock: a fixture builder may itself prepare a
+# nested fixture. Coarse by design; builds happen once per session.
+import threading
+
+FIXTURE_LOCK = threading.RLock()
+
 
 def track_scratch(path: str) -> str:
     """Register a scratch path for removal when this process exits."""

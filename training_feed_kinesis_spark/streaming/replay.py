@@ -72,6 +72,15 @@ def _prepare(spark: SparkSession, sf_dir: str, variant: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir, variant)
     if key in _prepared and os.path.isdir(_prepared[key]):
         return _prepared[key]
+    from ..operators.scans import FIXTURE_LOCK
+
+    with FIXTURE_LOCK:
+        return _prepare_locked(spark, sf_dir, variant, key)
+
+
+def _prepare_locked(spark, sf_dir, variant, key):
+    if key in _prepared and os.path.isdir(_prepared[key]):
+        return _prepared[key]
     sf_tag = sf_dir.strip("/").split("/")[-1].replace(".", "_")
     # SESSION-scoped (r12 optimization-round contract): the replay source is
     # derived from events.parquet, so a dir that outlives the process would
@@ -154,6 +163,15 @@ _sentineled: dict[str, str] = {}
 
 
 def _with_sentinel(spark: SparkSession, src: str) -> str:
+    if src in _sentineled:
+        return _sentineled[src]
+    from ..operators.scans import FIXTURE_LOCK
+
+    with FIXTURE_LOCK:
+        return _with_sentinel_locked(spark, src)
+
+
+def _with_sentinel_locked(spark: SparkSession, src: str) -> str:
     if src in _sentineled:
         return _sentineled[src]
     import shutil

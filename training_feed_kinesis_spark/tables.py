@@ -15,6 +15,7 @@ downstream only sees DataFrames, so swapping the loader for a catalog table
 from __future__ import annotations
 
 import os
+import threading
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession
@@ -226,6 +227,12 @@ def release_after(result: DataFrame, *cached: DataFrame) -> DataFrame:
 # own anonymous cached relation in the CacheManager.
 _SUBSTRATE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
+# Guards cached-relation memo builds against concurrent driver threads
+# (the test suite builds registry plans from a pool, guide §2.6): an
+# unlocked race double-builds and double-CACHES the relation, and the
+# losing cache entry is never unpersisted — the r7 residue class.
+MEMO_LOCK = threading.RLock()
+
 
 def substrate(spark: SparkSession, sf_dir: str, name: str, builder) -> DataFrame:
     """Session-scoped shared cached relation (the materialize-once shape).
@@ -250,7 +257,10 @@ def substrate(spark: SparkSession, sf_dir: str, name: str, builder) -> DataFrame
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
     df = _SUBSTRATE_MEMO.get(key)
     if df is None:
-        df = builder().cache()
-        df.count()
-        _SUBSTRATE_MEMO[key] = df
+        with MEMO_LOCK:
+            df = _SUBSTRATE_MEMO.get(key)  # re-check under the lock
+            if df is None:
+                df = builder().cache()
+                df.count()
+                _SUBSTRATE_MEMO[key] = df
     return df
