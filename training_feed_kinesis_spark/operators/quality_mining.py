@@ -162,7 +162,13 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("ps")),
     )
-    # basket count to the driver (one scalar) over the cached substrate
+    # basket count to the driver (one scalar) over the cached substrate.
+    # r13 negative result, kept on record: replacing this 0.08 s count()
+    # with a broadcast-scalar crossJoin (the oracle's n_orders shape, and
+    # the "no driver action in the query path" ideal) measured ~0.9 s
+    # SLOWER per invocation (min 2.48 vs 1.53 s, A/B same JVM) — the
+    # 1-row broadcast exchange is built as a blocking subjob before the
+    # main stages can launch, costing far more than the cached count.
     n_orders = baskets.count()
     item_supp = (
         baskets.select(F.explode("ps").alias("l_partkey"))
